@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loaders for the graft engine.
+  *
+  * Every operator reads through here so that scan-level concerns
+  * (format, schema discovery, future bucketing/partition layout) have a
+  * single home. At 100 TB these would be catalog tables partitioned by
+  * date; the API is kept to (session, dir) → DataFrame so swapping the
+  * physical layout does not touch operator code.
+  *
+  * Reference equivalent: connectors.py:50-146 (Athena/BigQuery/S3
+  * readers returning pandas frames) — re-expressed as lazy Spark scans
+  * so filters and column pruning push down into the parquet reader
+  * instead of materializing whole tables like the reference does.
+  */
+object Tables {
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame      = read(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "lineitem")
+  /** `events.ts` is written as INT64 TIMESTAMP(NANOS) which Spark's
+    * vectorized reader rejects. Read nanos as long and truncate to
+    * microseconds (identical to how a ns-aware engine truncates when
+    * asked for ms/µs granularity downstream).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(spark, dir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+}

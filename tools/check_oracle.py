@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run each oracle SQL in
+DuckDB over the sf tables, compare to the Spark parquet dump (columns
+sorted by name, rows sorted by all columns), report per-query match."""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+def canon(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+fails = 0
+for name, sql in sorted(oracle.items()):
+    spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
+    if not spark_files:
+        print(f"{name}: NO SPARK OUTPUT"); fails += 1; continue
+    sdf = pd.concat([pd.read_parquet(f) for f in spark_files])
+    try:
+        odf = con.sql(sql).df()
+    except Exception as e:
+        print(f"{name}: ORACLE SQL ERROR: {e}"); fails += 1; continue
+    s, o = canon(sdf), canon(odf)
+    if list(s.columns) != list(o.columns):
+        print(f"{name}: COLUMN MISMATCH spark={list(s.columns)} oracle={list(o.columns)}")
+        fails += 1; continue
+    if len(s) != len(o):
+        print(f"{name}: ROWCOUNT MISMATCH spark={len(s)} oracle={len(o)}")
+        fails += 1; continue
+    ok = True
+    for c in s.columns:
+        a, b = s[c].values, o[c].values
+        if np.issubdtype(s[c].dtype, np.floating) or np.issubdtype(o[c].dtype, np.floating):
+            af = pd.to_numeric(s[c], errors="coerce").values.astype(float)
+            bf = pd.to_numeric(o[c], errors="coerce").values.astype(float)
+            same = (np.isnan(af) & np.isnan(bf)) | (af == bf)
+            if not same.all():
+                i = int(np.argmax(~same))
+                print(f"{name}: VALUE MISMATCH col={c} row={i} spark={af[i]!r} oracle={bf[i]!r} diff={af[i]-bf[i]!r}")
+                ok = False; break
+        else:
+            if not (pd.Series(a).astype(str).values == pd.Series(b).astype(str).values).all():
+                i = int(np.argmax(pd.Series(a).astype(str).values != pd.Series(b).astype(str).values))
+                print(f"{name}: VALUE MISMATCH col={c} row={i} spark={a[i]!r} oracle={b[i]!r}")
+                ok = False; break
+    if ok:
+        print(f"{name}: OK ({len(s)} rows) [exact]")
+    else:
+        fails += 1
+print(f"\n{len(oracle)-fails}/{len(oracle)} matched")
+sys.exit(1 if fails else 0)
