@@ -24,6 +24,14 @@ object SparkEntry {
     "q06_sessionize"    -> Relational.q06Sessionize _,
     "q07_trending"      -> Relational.q07Trending _,
     "q08_url_normalize" -> Relational.q08UrlNormalize _,
+    "q09_explode_conf"  -> Analytics.q09ExplodeConf _,
+    "q10_dynamic_cube"  -> Cube.q10DynamicCube _,
+    "q11_pivot"         -> Analytics.q11Pivot _,
+    "q12_calendar_window" -> Analytics.q12CalendarWindow _,
+    "q13_date_intervals"  -> Analytics.q13DateIntervals _,
+    "q14_threshold_monitor" -> Analytics.q14ThresholdMonitor _,
+    "q15_bin_histogram" -> Analytics.q15BinHistogram _,
+    "q16_num_format"    -> Analytics.q16NumFormat _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -134,6 +142,134 @@ object SparkEntry {
         CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS chars
       FROM urls
       GROUP BY 1, 2
+    """,
+    "q09_explode_conf" -> """
+      WITH tax AS (
+        SELECT doc_id, n_chars, lang AS value, (doc_id % 10) / 10.0 AS conf FROM documents
+        UNION ALL
+        SELECT doc_id, n_chars, source AS value, ((doc_id * 7) % 10) / 10.0 AS conf FROM documents
+      )
+      SELECT value, COUNT(*) AS docs,
+        CAST(SUM(CAST(conf AS DECIMAL(18,1))) AS DOUBLE) AS conf_sum,
+        SUM(n_chars) AS chars
+      FROM tax WHERE conf >= 0.5 GROUP BY value
+    """,
+    "q10_dynamic_cube" -> """
+      WITH base AS (
+        SELECT event_type, user_id, value,
+          't' || CAST(user_id % 5 AS VARCHAR) AS tag1,
+          'u' || CAST(user_id % 3 AS VARCHAR) AS tag2,
+          (event_id % 10) / 10.0 AS conf1,
+          ((event_id * 3) % 10) / 10.0 AS conf2
+        FROM events
+        WHERE value >= 1.0
+          AND (event_type IN ('click','view','purchase') OR user_id < 100)
+          AND NOT (event_type = 'error')
+      ),
+      exploded AS (
+        SELECT event_type, user_id, value, tag1 AS tag, conf1 AS conf FROM base
+        UNION ALL
+        SELECT event_type, user_id, value, tag2 AS tag, conf2 AS conf FROM base
+      )
+      SELECT * FROM (
+        SELECT event_type, tag,
+          COUNT(DISTINCT user_id) AS users,
+          COUNT(*) AS events,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        FROM exploded WHERE conf >= 0.5
+        GROUP BY event_type, tag
+      ) WHERE users >= 1
+      ORDER BY users DESC, event_type ASC, tag ASC LIMIT 100
+    """,
+    "q11_pivot" -> """
+      SELECT CAST(ts AS DATE) AS day,
+        CAST(SUM(CASE WHEN event_type='click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS "click",
+        CAST(SUM(CASE WHEN event_type='view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS "view",
+        CAST(SUM(CASE WHEN event_type='purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS "purchase",
+        CAST(SUM(CASE WHEN event_type='signup' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS "signup",
+        CAST(SUM(CASE WHEN event_type='error' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS "error"
+      FROM events GROUP BY 1
+    """,
+    "q12_calendar_window" -> """
+      WITH m AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS ms, o_totalprice FROM orders
+        WHERE CAST(date_trunc('month', o_orderdate) AS DATE) IN
+          (DATE '2001-07-01', DATE '2001-06-01', DATE '2000-07-01')
+      ),
+      agg AS (
+        SELECT
+          CAST(SUM(CASE WHEN ms = DATE '2001-07-01' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS revenue,
+          CAST(SUM(CASE WHEN ms = DATE '2001-06-01' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS mom_revenue,
+          CAST(SUM(CASE WHEN ms = DATE '2000-07-01' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS yoy_revenue,
+          COUNT(CASE WHEN ms = DATE '2001-07-01' THEN 1 END) AS orders
+        FROM m
+      )
+      SELECT *, DATE '2001-07-01' AS month_start,
+        CASE WHEN mom_revenue > 0 THEN revenue/mom_revenue - 1.0 END AS mom_pct,
+        CASE WHEN yoy_revenue > 0 THEN revenue/yoy_revenue - 1.0 END AS yoy_pct
+      FROM agg
+    """,
+    "q13_date_intervals" -> """
+      WITH spine AS (
+        SELECT CAST(gs AS DATE) AS day
+        FROM generate_series(DATE '2024-01-01', DATE '2024-01-31', INTERVAL 1 DAY) t(gs)
+      ),
+      daily AS (
+        SELECT CAST(ts AS DATE) AS day, COUNT(*) AS events,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        FROM events GROUP BY 1
+      )
+      SELECT spine.day, COALESCE(daily.events, 0) AS events,
+        COALESCE(daily.value_sum, 0.0) AS value_sum
+      FROM spine LEFT JOIN daily USING (day)
+    """,
+    "q14_threshold_monitor" -> """
+      SELECT user_id, COUNT(*) AS events,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+        COUNT(CASE WHEN event_type='purchase' THEN 1 END) AS purchases
+      FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-24'
+      GROUP BY user_id
+      HAVING COUNT(CASE WHEN event_type='purchase' THEN 1 END) = 0
+         AND CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) >= 50.0
+    """,
+    "q15_bin_histogram" -> """
+      SELECT bin, COUNT(*) AS orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        bin * 50000.0 AS bin_lo,
+        CASE WHEN bin < 9 THEN (bin + 1) * 50000.0 END AS bin_hi
+      FROM (SELECT CAST(LEAST(FLOOR(o_totalprice / 50000.0), 9.0) AS BIGINT) AS bin,
+              o_totalprice FROM orders)
+      GROUP BY bin
+    """,
+    "q16_num_format" -> """
+      WITH agg AS (
+        SELECT o_orderpriority,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+          COUNT(*) AS orders
+        FROM orders GROUP BY 1
+      ),
+      fmt AS (
+        SELECT *,
+          CAST(CAST(revenue AS DECIMAL(30,2)) * 100 AS BIGINT) AS rev_cents,
+          orders * 100 AS ord_cents
+        FROM agg
+      )
+      SELECT o_orderpriority, revenue, orders,
+        CASE
+          WHEN revenue >= 1e12 THEN CAST((rev_cents*20 + 100000000000000) // 200000000000000 // 10 AS VARCHAR) || '.' || CAST((rev_cents*20 + 100000000000000) // 200000000000000 % 10 AS VARCHAR) || 'T'
+          WHEN revenue >= 1e9  THEN CAST((rev_cents*20 + 100000000000) // 200000000000 // 10 AS VARCHAR) || '.' || CAST((rev_cents*20 + 100000000000) // 200000000000 % 10 AS VARCHAR) || 'B'
+          WHEN revenue >= 1e6  THEN CAST((rev_cents*20 + 100000000) // 200000000 // 10 AS VARCHAR) || '.' || CAST((rev_cents*20 + 100000000) // 200000000 % 10 AS VARCHAR) || 'M'
+          WHEN revenue >= 1e3  THEN CAST((rev_cents*20 + 100000) // 200000 // 10 AS VARCHAR) || '.' || CAST((rev_cents*20 + 100000) // 200000 % 10 AS VARCHAR) || 'K'
+          ELSE CAST((rev_cents*20 + 100) // 200 // 10 AS VARCHAR) || '.' || CAST((rev_cents*20 + 100) // 200 % 10 AS VARCHAR)
+        END AS revenue_fmt,
+        CASE
+          WHEN orders >= 1e12 THEN CAST((ord_cents*20 + 100000000000000) // 200000000000000 // 10 AS VARCHAR) || '.' || CAST((ord_cents*20 + 100000000000000) // 200000000000000 % 10 AS VARCHAR) || 'T'
+          WHEN orders >= 1e9  THEN CAST((ord_cents*20 + 100000000000) // 200000000000 // 10 AS VARCHAR) || '.' || CAST((ord_cents*20 + 100000000000) // 200000000000 % 10 AS VARCHAR) || 'B'
+          WHEN orders >= 1e6  THEN CAST((ord_cents*20 + 100000000) // 200000000 // 10 AS VARCHAR) || '.' || CAST((ord_cents*20 + 100000000) // 200000000 % 10 AS VARCHAR) || 'M'
+          WHEN orders >= 1e3  THEN CAST((ord_cents*20 + 100000) // 200000 // 10 AS VARCHAR) || '.' || CAST((ord_cents*20 + 100000) // 200000 % 10 AS VARCHAR) || 'K'
+          ELSE CAST((ord_cents*20 + 100) // 200 // 10 AS VARCHAR) || '.' || CAST((ord_cents*20 + 100) // 200 % 10 AS VARCHAR)
+        END AS orders_fmt
+      FROM fmt
     """,
   )
 }

@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.AnchorCalendar
+import Exprs._
+
+/** Analytics operators beyond the core relational set: array-taxonomy
+  * explode, pivot, calendar-anchored comparisons, date spines,
+  * threshold monitoring, binning, and number formatting.
+  */
+object Analytics {
+
+  /** Zip-unnest of parallel CSV (values, confidences) strings with a
+    * confidence threshold, then aggregate per value — the reference's
+    * taxonomy explode (tasks.py:761-853; dash_app.py:457-476 per-array
+    * confidence filtering).
+    *
+    * The taxonomy columns are synthesized deterministically from the
+    * documents table (the test tables carry no CSV taxonomy), then the
+    * real pipeline runs: split → zip_with(struct) → explode → filter →
+    * agg. All codegen'd native expressions; explode multiplies rows
+    * before the aggregation's map-side partial combine, so no extra
+    * shuffle beyond the final groupBy.
+    */
+  def q09ExplodeConf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("values_csv", concat_ws(",", col("lang"), col("source")))
+      .withColumn("confs_csv",
+        concat_ws(",", col("doc_id") % 10, (col("doc_id") * 7) % 10))
+    docs
+      .withColumn("pair", explode(zip_with(
+        split(col("values_csv"), ","), split(col("confs_csv"), ","),
+        (v, c) => struct(v.as("value"), c.as("conf_str")))))
+      .withColumn("value", col("pair.value"))
+      .withColumn("conf", col("pair.conf_str").cast("double") / 10.0)
+      .filter(col("conf") >= 0.5)
+      .groupBy(col("value"))
+      .agg(
+        count(lit(1)).as("docs"),
+        dsum1(col("conf")).as("conf_sum"),
+        sum(col("n_chars")).as("chars"))
+  }
+
+  /** Pivot: one shuffle, explicit pivot values (no extra distinct-scan
+    * to discover them — at 100 TB the value-discovery pass is the cost
+    * that matters). Mirrors the reference's dashboard pivots. */
+  def q11Pivot(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .withColumn("day", to_date(col("ts")))
+      .groupBy(col("day"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(dsum(col("value")))
+  }
+
+  /** Calendar-anchored month rollup with MoM and YoY comparison —
+    * AnchorCalendar (biutils.py:467-484) drives which three months are
+    * read; conditional aggregation over ONE scan replaces the
+    * reference's three separate queries. The month predicates are
+    * literals, so a date-partitioned 100 TB table prunes to 3 months.
+    */
+  def q12CalendarWindow(spark: SparkSession, dir: String): DataFrame = {
+    val cal = AnchorCalendar(java.time.LocalDate.parse("2001-08-15"))
+    val cur = lit(cal.latestCompleteMonthStart.toString).cast("date")
+    val mom = lit(cal.momMonthStart.toString).cast("date")
+    val yoy = lit(cal.yoyMonthStart.toString).cast("date")
+    val m = date_trunc("month", col("o_orderdate")).cast("date")
+    Tables.orders(spark, dir)
+      .filter(m === cur || m === mom || m === yoy)
+      .agg(
+        dsum(when(m === cur, col("o_totalprice"))).as("revenue"),
+        dsum(when(m === mom, col("o_totalprice"))).as("mom_revenue"),
+        dsum(when(m === yoy, col("o_totalprice"))).as("yoy_revenue"),
+        count(when(m === cur, lit(1))).as("orders"))
+      .withColumn("month_start", cur)
+      .withColumn("mom_pct",
+        when(col("mom_revenue") > 0, col("revenue") / col("mom_revenue") - 1.0))
+      .withColumn("yoy_pct",
+        when(col("yoy_revenue") > 0, col("revenue") / col("yoy_revenue") - 1.0))
+  }
+
+  /** Date-spine generation + gap fill — gen_date_intervals
+    * (biutils.py:117-141) re-expressed as sequence()+explode (a few
+    * rows exploded driver-side-free, entirely distributed) left-joined
+    * to the fact rollup, zero-filling missing days. The spine side is
+    * tiny → broadcast, so the rollup never reshuffles. */
+  def q13DateIntervals(spark: SparkSession, dir: String): DataFrame = {
+    val spine = spark.range(1).select(
+      explode(expr("sequence(date'2024-01-01', date'2024-01-31')")).as("day"))
+    val daily = Tables.events(spark, dir)
+      .withColumn("day", to_date(col("ts")))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("events"), dsum(col("value")).as("value_sum"))
+    spine.join(daily, Seq("day"), "left")
+      .select(
+        col("day"),
+        coalesce(col("events"), lit(0L)).as("events"),
+        coalesce(col("value_sum"), lit(0.0)).as("value_sum"))
+  }
+
+  /** Threshold monitor — the reference's MonetizationMonitor
+    * (tasks.py:2580-2607): windowed aggregate, then keep entities that
+    * cross an activity threshold while failing a monetization
+    * predicate. One scan, partial-agg, HAVING-style post-filter. */
+  def q14ThresholdMonitor(spark: SparkSession, dir: String): DataFrame = {
+    val winStart = lit("2024-01-24").cast("date")
+    Tables.events(spark, dir)
+      .filter(to_date(col("ts")) >= winStart)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("events"),
+        dsum(col("value")).as("value_sum"),
+        count(when(col("event_type") === "purchase", lit(1))).as("purchases"))
+      .filter(col("purchases") === 0 && col("value_sum") >= 50.0)
+  }
+
+  /** Equal-width binning + histogram — ag_grid_color_scale's
+    * linear/signed binning (biutils.py:143-218) as a width_bucket-style
+    * expression: fixed bounds so the binning is a pure per-row codegen
+    * expression (no global min/max pass needed at 100 TB when bounds
+    * are configured, which is how the reference does it too). */
+  def q15BinHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val width = 50000.0
+    val bin = least(floor(col("o_totalprice") / width), lit(9.0)).cast("long")
+    Tables.orders(spark, dir)
+      .withColumn("bin", bin)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("orders"), dsum(col("o_totalprice")).as("revenue"))
+      .withColumn("bin_lo", (col("bin") * width))
+      .withColumn("bin_hi", when(col("bin") < 9, (col("bin") + 1) * width))
+  }
+
+  /** Magnitude ("1.2M") number formatting as a native expression chain
+    * — auto_num_format (biutils.py:230-237). Rounding is done with
+    * integer arithmetic on cents (floor((2a+b)/2b) = round-half-up of
+    * a/b), because engines disagree on ROUND(double, 1): Spark rounds
+    * the exact binary value, DuckDB rounds the shortest decimal
+    * representation. Integer math is identical everywhere, fully
+    * codegen'd, no UDF. Input must be non-negative (counts/revenue).
+    */
+  def autoNumFormat(c: Column): Column = {
+    val cents = c.cast("decimal(30,2)") * 100
+    def scaled(divDollars: Long, suffix: String): Column = {
+      val dc = divDollars * 100 // divisor in cents
+      val tenths = ((cents * 20 + dc).cast("long") / lit(2 * dc)).cast("long")
+      concat((tenths / 10).cast("long").cast("string"), lit("."),
+        (tenths % 10).cast("string"), lit(suffix))
+    }
+    when(c >= 1e12, scaled(1000000000000L, "T"))
+      .when(c >= 1e9, scaled(1000000000L, "B"))
+      .when(c >= 1e6, scaled(1000000L, "M"))
+      .when(c >= 1e3, scaled(1000L, "K"))
+      .otherwise(scaled(1L, ""))
+  }
+
+  def q16NumFormat(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("orders"))
+      .withColumn("revenue_fmt", autoNumFormat(col("revenue")))
+      .withColumn("orders_fmt", autoNumFormat(col("orders")))
+  }
+}
