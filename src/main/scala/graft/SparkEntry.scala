@@ -32,6 +32,20 @@ object SparkEntry {
     "q14_threshold_monitor" -> Analytics.q14ThresholdMonitor _,
     "q15_bin_histogram" -> Analytics.q15BinHistogram _,
     "q16_num_format"    -> Analytics.q16NumFormat _,
+    "q17_cosine_topk"   -> Similarity.q17CosineTopK _,
+    "q18_weighted_recs" -> Similarity.q18WeightedRecs _,
+    "q19_feature_matrix" -> Similarity.q19FeatureMatrix _,
+    "q20_dedup_exact"   -> Dedup.q20DedupExact _,
+    "q21_dedup_minhash" -> Dedup.q21DedupMinhash _,
+    "q22_dedup_simhash" -> Dedup.q22DedupSimhash _,
+    "q23_ngram_jaccard" -> Dedup.q23NgramJaccard _,
+    "q24_ann_bruteforce" -> Ann.q24AnnBruteforce _,
+    "q25_ann_lsh"       -> Ann.q25AnnLsh _,
+    "q26_lang_id"       -> TextAnalysis.q26LangId _,
+    "q27_quality_score" -> TextAnalysis.q27QualityScore _,
+    "q28_token_count"   -> TextAnalysis.q28TokenCount _,
+    "q29_fingerprint"   -> Dedup.q29Fingerprint _,
+    "q30_dedup_embedding" -> Ann.q30DedupEmbedding _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -270,6 +284,168 @@ object SparkEntry {
           ELSE CAST((ord_cents*20 + 100) // 200 // 10 AS VARCHAR) || '.' || CAST((ord_cents*20 + 100) // 200 % 10 AS VARCHAR)
         END AS orders_fmt
       FROM fmt
+    """,
+    "q17_cosine_topk" -> """
+      WITH words AS (
+        SELECT doc_id, w AS word, COUNT(*) AS cnt
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY 1, 2
+      ),
+      norms AS (SELECT doc_id, sqrt(SUM(cnt*cnt)) AS norm FROM words GROUP BY 1),
+      dots AS (
+        SELECT a.doc_id AS probe_doc, b.doc_id AS neighbor_doc, SUM(a.cnt*b.cnt) AS dot
+        FROM words a JOIN words b ON a.word = b.word AND a.doc_id <> b.doc_id
+        WHERE a.doc_id % 50 = 0
+        GROUP BY 1, 2
+      )
+      SELECT probe_doc, neighbor_doc, "rank", cosine FROM (
+        SELECT d.probe_doc, d.neighbor_doc,
+          CAST(d.dot AS DOUBLE)/(na.norm*nb.norm) AS cosine,
+          ROW_NUMBER() OVER (PARTITION BY d.probe_doc
+            ORDER BY CAST(d.dot AS DOUBLE)/(na.norm*nb.norm) DESC, d.neighbor_doc ASC) AS "rank"
+        FROM dots d
+        JOIN norms na ON d.probe_doc = na.doc_id
+        JOIN norms nb ON d.neighbor_doc = nb.doc_id
+      ) WHERE "rank" <= 5
+    """,
+    "q18_weighted_recs" -> """
+      WITH words AS (
+        SELECT doc_id, w AS word, COUNT(*) AS cnt
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY 1, 2
+      ),
+      norms AS (SELECT doc_id, sqrt(SUM(cnt*cnt)) AS norm FROM words GROUP BY 1),
+      dots AS (
+        SELECT a.doc_id AS probe_doc, b.doc_id AS neighbor_doc, SUM(a.cnt*b.cnt) AS dot
+        FROM words a JOIN words b ON a.word = b.word AND a.doc_id <> b.doc_id
+        WHERE a.doc_id % 50 = 0
+        GROUP BY 1, 2
+      ),
+      sim AS (
+        SELECT probe_doc, neighbor_doc, cosine FROM (
+          SELECT d.probe_doc, d.neighbor_doc,
+            CAST(d.dot AS DOUBLE)/(na.norm*nb.norm) AS cosine,
+            ROW_NUMBER() OVER (PARTITION BY d.probe_doc
+              ORDER BY CAST(d.dot AS DOUBLE)/(na.norm*nb.norm) DESC, d.neighbor_doc ASC) AS rnk
+          FROM dots d
+          JOIN norms na ON d.probe_doc = na.doc_id
+          JOIN norms nb ON d.neighbor_doc = nb.doc_id
+        ) WHERE rnk <= 20
+      ),
+      mm AS (SELECT MIN(n_chars) AS mn, MAX(n_chars) AS mx FROM documents),
+      pop AS (
+        SELECT doc_id AS neighbor_doc,
+          CAST(n_chars - mn AS DOUBLE)/(mx - mn) AS pop_norm
+        FROM documents, mm
+      )
+      SELECT probe_doc, neighbor_doc, rec_rank, blended FROM (
+        SELECT s.probe_doc, s.neighbor_doc,
+          0.7 * s.cosine + 0.3 * p.pop_norm AS blended,
+          ROW_NUMBER() OVER (PARTITION BY s.probe_doc
+            ORDER BY 0.7 * s.cosine + 0.3 * p.pop_norm DESC, s.neighbor_doc ASC) AS rec_rank
+        FROM sim s JOIN pop p USING (neighbor_doc)
+      ) WHERE rec_rank <= 5
+    """,
+    "q19_feature_matrix" -> """
+      WITH words AS (
+        SELECT doc_id, w AS word, COUNT(*) AS cnt
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY 1, 2
+      )
+      SELECT doc_id, COUNT(*) AS n_features, sqrt(SUM(cnt*cnt)) AS l2_norm,
+        CAST(MAX(cnt) AS DOUBLE)/sqrt(SUM(cnt*cnt)) AS max_weight
+      FROM words GROUP BY 1
+    """,
+    "q20_dedup_exact" -> """
+      SELECT sha256(text) AS text_hash, MIN(doc_id) AS keep_doc_id,
+        COUNT(*) AS dup_count, SUM(n_chars) AS total_chars
+      FROM documents GROUP BY 1
+    """,
+    "q23_ngram_jaccard" -> """
+      WITH t AS (
+        SELECT doc_id, lang, source,
+          list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                         for i in range(1, len(w) - 1)]) AS tri
+        FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS w FROM documents)
+      )
+      SELECT lang, source, doc_a, doc_b, jaccard FROM (
+        SELECT a.lang AS lang, a.source AS source,
+          a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(len(list_intersect(a.tri, b.tri)) AS DOUBLE) /
+            len(list_distinct(a.tri || b.tri)) AS jaccard
+        FROM t a JOIN t b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      ) WHERE jaccard >= 0.02
+    """,
+    "q24_ann_bruteforce" -> """
+      WITH e AS (
+        SELECT vec_id, embedding,
+          sqrt(list_reduce(
+            list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+            (a, b) -> a + b)) AS norm
+        FROM embeddings
+      ),
+      scored AS (
+        SELECT p.vec_id AS probe_id, n.vec_id AS neighbor_id,
+          list_reduce(
+            list_transform(range(1, 65),
+              i -> CAST(p.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)),
+            (a, b) -> a + b) / (p.norm * n.norm) AS cosine
+        FROM e p JOIN e n ON p.vec_id % 50 = 0 AND p.vec_id <> n.vec_id
+      )
+      SELECT probe_id, neighbor_id, "rank", cosine FROM (
+        SELECT probe_id, neighbor_id, cosine,
+          ROW_NUMBER() OVER (PARTITION BY probe_id
+            ORDER BY cosine DESC, neighbor_id ASC) AS "rank"
+        FROM scored
+      ) WHERE "rank" <= 10
+    """,
+    "q26_lang_id" -> """
+      WITH s AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+      scored AS (
+        SELECT doc_id, lang,
+          CAST(len(list_filter(w, x -> x IN ('batch','window','hash'))) AS DOUBLE)/len(w) AS score_de,
+          CAST(len(list_filter(w, x -> x IN ('scan','filter','join'))) AS DOUBLE)/len(w) AS score_en,
+          CAST(len(list_filter(w, x -> x IN ('table','key','agg'))) AS DOUBLE)/len(w) AS score_es,
+          CAST(len(list_filter(w, x -> x IN ('row','column','value'))) AS DOUBLE)/len(w) AS score_fr,
+          CAST(len(list_filter(w, x -> x IN ('data','fast','slow'))) AS DOUBLE)/len(w) AS score_zh
+        FROM s
+      )
+      SELECT doc_id, lang,
+        CASE
+          WHEN score_de = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'de'
+          WHEN score_en = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'en'
+          WHEN score_es = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'es'
+          WHEN score_fr = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'fr'
+          WHEN score_zh = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'zh'
+        END AS predicted_lang,
+        score_de, score_en, score_es, score_fr, score_zh
+      FROM scored
+    """,
+    "q27_quality_score" -> """
+      WITH s AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents)
+      SELECT doc_id, len(w) AS n_words,
+        CAST(n_chars - len(w) + 1 AS DOUBLE)/len(w) AS avg_word_len,
+        CAST(len(list_filter(w, x -> x IN ('join','hash','row'))) AS DOUBLE)/len(w) AS stopword_ratio,
+        least(CAST(len(w) AS DOUBLE)/50.0, 1.0) * 0.4
+          + (1.0 - CAST(len(list_filter(w, x -> x IN ('join','hash','row'))) AS DOUBLE)/len(w)) * 0.3
+          + least((CAST(n_chars - len(w) + 1 AS DOUBLE)/len(w))/6.0, 1.0) * 0.3 AS quality_score
+      FROM s
+    """,
+    "q28_token_count" -> """
+      SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+        len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS re_tokens,
+        CAST(n_chars AS DOUBLE)/len(string_split(text, ' ')) AS chars_per_token
+      FROM documents
+    """,
+    "q29_fingerprint" -> """
+      SELECT doc_id,
+        list_min([list_reduce(
+            list_transform(w[i:i+7], x -> (length(x)*131 + ascii(x))::BIGINT),
+            (a, b) -> a*31 + b)
+          for i in range(1, len(w) - 6)]) AS fingerprint,
+        len(w) AS n_words
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
     """,
   )
 }

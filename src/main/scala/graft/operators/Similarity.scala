@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Sparse-vector similarity and recommendation operators — graft's
+  * re-expression of the reference's TaxonomyRelationships pipeline
+  * (tasks.py:105-563): build sparse feature vectors from taxonomy
+  * values, L2-normalize, cosine-similarity, blend with min-max
+  * normalized popularity, emit top-n recommendations
+  * (tasks.py:384-538).
+  *
+  * The reference materializes dense scipy matrices on one node
+  * (tasks.py:454-464 cosine_similarity(matrix)); at 100 TB that is
+  * impossible, so here similarity is the classic distributed
+  * sparse-dot-product: explode (doc, term, weight) postings, join on
+  * term, partial-sum products. Only probe×term postings shuffle; the
+  * full doc×doc matrix never exists anywhere.
+  *
+  * All scores stay exactly reproducible: dot products are integer
+  * sums; norms/divisions are IEEE ops applied in identical order in
+  * any engine, so the DuckDB oracle matches bit-for-bit.
+  */
+object Similarity {
+
+  /** (doc_id, word, cnt) postings from the documents table. */
+  private[operators] def postings(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Per-doc L2 norm of the count vector (exact integer sum → sqrt). */
+  private[operators] def norms(post: DataFrame): DataFrame =
+    post.groupBy(col("doc_id"))
+      .agg(sqrt(sum(col("cnt") * col("cnt"))).as("norm"))
+
+  /** Sparse feature matrix with L2 normalization — build_feature_matrix
+    * (tasks.py:384-452). Returns one row per doc with the features as a
+    * map<string,double> of L2-normalized weights. */
+  def featureMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val post = postings(spark, dir)
+    val n = norms(post)
+    post.join(n, "doc_id")
+      .groupBy(col("doc_id"))
+      .agg(
+        map_from_entries(collect_list(struct(col("word"), col("cnt") / col("norm"))))
+          .as("features"),
+        count(lit(1)).as("n_features"),
+        first(col("norm")).as("l2_norm"))
+  }
+
+  /** Scalar projection of the feature matrix for the oracle gate. */
+  def q19FeatureMatrix(spark: SparkSession, dir: String): DataFrame = {
+    postings(spark, dir)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_features"),
+        sqrt(sum(col("cnt") * col("cnt"))).as("l2_norm"),
+        (max(col("cnt")).cast("double") / sqrt(sum(col("cnt") * col("cnt"))))
+          .as("max_weight"))
+  }
+
+  /** Cosine top-k per probe via distributed sparse dot product
+    * (tasks.py:454-538). Probes = doc_id % 50 == 0. The term-postings
+    * join is skew-prone on hot terms; at 100 TB hot terms get salted
+    * or dropped by a document-frequency cap (standard practice —
+    * stop-term pruning), which AQE's skew-join handles here. */
+  def cosineTopK(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val post = postings(spark, dir)
+    val n = norms(post)
+    val probes = post.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("probe_doc"), col("word"), col("cnt").as("p_cnt"))
+    val dots = probes
+      .join(post.withColumnRenamed("doc_id", "neighbor_doc"), "word")
+      .filter(col("probe_doc") =!= col("neighbor_doc"))
+      .groupBy(col("probe_doc"), col("neighbor_doc"))
+      .agg(sum(col("p_cnt") * col("cnt")).as("dot"))
+    val scored = dots
+      .join(n.select(col("doc_id").as("probe_doc"), col("norm").as("p_norm")), "probe_doc")
+      .join(n.select(col("doc_id").as("neighbor_doc"), col("norm").as("n_norm")), "neighbor_doc")
+      .withColumn("cosine", col("dot").cast("double") / (col("p_norm") * col("n_norm")))
+    val w = Window.partitionBy(col("probe_doc"))
+      .orderBy(col("cosine").desc, col("neighbor_doc").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_doc"), col("neighbor_doc"), col("rank"), col("cosine"))
+  }
+
+  def q17CosineTopK(spark: SparkSession, dir: String): DataFrame =
+    cosineTopK(spark, dir, 5)
+
+  /** Blended recommendations: alpha * cosine + (1-alpha) * min-max
+    * normalized popularity, top-n (tasks.py:480-538). Popularity =
+    * document length; global min/max is a 1-row aggregate broadcast
+    * into the score expression. */
+  def q18WeightedRecs(spark: SparkSession, dir: String): DataFrame = {
+    val alpha = 0.7
+    val beta = 0.3 // NOT 1 - alpha: 1.0 - 0.7 is 0.30000000000000004 in
+    // binary, and the oracle SQL writes the literal 0.3.
+    val docs = Tables.documents(spark, dir)
+    val minMax = docs.agg(
+      min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+    val pop = docs.select(col("doc_id").as("neighbor_doc"), col("n_chars"))
+      .crossJoin(broadcast(minMax))
+      .select(col("neighbor_doc"),
+        ((col("n_chars") - col("min_chars")).cast("double") /
+          (col("max_chars") - col("min_chars"))).as("pop_norm"))
+    val sim = cosineTopK(spark, dir, 20)
+    val blended = sim.join(pop, "neighbor_doc")
+      .withColumn("blended", lit(alpha) * col("cosine") + lit(beta) * col("pop_norm"))
+    val w = Window.partitionBy(col("probe_doc"))
+      .orderBy(col("blended").desc, col("neighbor_doc").asc)
+    blended
+      .withColumn("rec_rank", row_number().over(w))
+      .filter(col("rec_rank") <= 5)
+      .select(col("probe_doc"), col("neighbor_doc"), col("rec_rank"), col("blended"))
+  }
+}
