@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkFixture
+import graft.functions.AnchorCalendar
+import java.time.LocalDate
+
+class AnalyticsSpec extends AnyFunSuite with SparkFixture {
+
+  test("autoNumFormat formats magnitudes with half-up rounding") {
+    import spark.implicits._
+    val df = Seq(0.0, 999.0, 1000.0, 1234.0, 750.0, 999999.0, 1250000.0,
+      2500000000.0, 3750000000000.0)
+      .toDF("v")
+      .select(col("v"), Analytics.autoNumFormat(col("v")).as("fmt"))
+    val out = df.collect().map(r => r.getAs[Double]("v") -> r.getAs[String]("fmt")).toMap
+    assert(out(0.0) === "0.0")
+    assert(out(999.0) === "999.0")
+    assert(out(1000.0) === "1.0K")
+    assert(out(1234.0) === "1.2K")
+    assert(out(750.0) === "750.0")
+    assert(out(999999.0) === "1000.0K") // stays in K band by threshold
+    assert(out(1250000.0) === "1.3M")   // half-up: 1.25 -> 1.3
+    assert(out(2500000000.0) === "2.5B")
+    assert(out(3750000000000.0) === "3.8T")
+  }
+
+  test("AnchorCalendar derives complete month and comparison anchors") {
+    val cal = AnchorCalendar(LocalDate.parse("2001-08-15"))
+    assert(cal.latestCompleteMonthStart === LocalDate.parse("2001-07-01"))
+    assert(cal.latestCompleteMonthEnd === LocalDate.parse("2001-08-01"))
+    assert(cal.momMonthStart === LocalDate.parse("2001-06-01"))
+    assert(cal.yoyMonthStart === LocalDate.parse("2000-07-01"))
+  }
+
+  test("AnchorCalendar on a month's first day treats previous month as complete") {
+    val cal = AnchorCalendar(LocalDate.parse("2024-03-01"))
+    assert(cal.latestCompleteMonthStart === LocalDate.parse("2024-02-01"))
+    assert(cal.momMonthStart === LocalDate.parse("2024-01-01"))
+  }
+
+  test("AnchorCalendar ISO week anchors land on Mondays") {
+    // 2024-01-10 is a Wednesday; this week's Monday is 01-08, latest
+    // complete week started 01-01 (also a Monday).
+    val cal = AnchorCalendar(LocalDate.parse("2024-01-10"))
+    assert(cal.latestCompleteWeekStart === LocalDate.parse("2024-01-01"))
+    assert(cal.wowWeekStart === LocalDate.parse("2023-12-25"))
+    val onMonday = AnchorCalendar(LocalDate.parse("2024-01-08"))
+    assert(onMonday.latestCompleteWeekStart === LocalDate.parse("2024-01-01"))
+  }
+
+  test("q13 date spine fills gaps with zeros and covers the full range") {
+    val rows = Analytics.q13DateIntervals(spark, sfDir).collect()
+    assert(rows.length === 31)
+    val byDay = rows.map(r => r.getAs[java.sql.Date]("day").toString -> r.getAs[Long]("events")).toMap
+    assert(byDay("2024-01-31") === 0) // events end on the 30th
+    assert(byDay("2024-01-15") > 0)
+  }
+
+  test("q15 bins partition all orders exactly once") {
+    val df = Analytics.q15BinHistogram(spark, sfDir).cache()
+    val total = df.agg(sum("orders")).collect()(0).getLong(0)
+    assert(total === spark.read.parquet(s"$sfDir/orders.parquet").count())
+    val bins = df.select("bin").collect().map(_.getLong(0))
+    assert(bins.forall(b => b >= 0 && b <= 9))
+  }
+
+  test("q12 calendar window computes MoM/YoY pct from the three anchor months") {
+    val r = Analytics.q12CalendarWindow(spark, sfDir).collect()(0)
+    val rev = r.getAs[Double]("revenue")
+    val mom = r.getAs[Double]("mom_revenue")
+    assert(math.abs(r.getAs[Double]("mom_pct") - (rev / mom - 1.0)) < 1e-12)
+  }
+}

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkFixture
+
+class AnnSpec extends AnyFunSuite with SparkFixture {
+
+  test("q24 brute force: ranks dense, cosine descending per probe") {
+    val rows = Ann.q24AnnBruteforce(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("probe_id")).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).sameElements(1 to rs.length))
+      val cos = sorted.map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("q24 rank-1 equals exact argmax computed locally for one probe") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Seq[Float]]("embedding").toArray)
+      .toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probe = 0L
+    val best = emb.filter(_._1 != probe)
+      .map { case (id, v) => (id, cos(emb(probe), v)) }
+      .maxBy { case (id, c) => (c, -id) }
+    val got = Ann.q24AnnBruteforce(spark, sfDir)
+      .filter(col("probe_id") === probe && col("rank") === 1).collect()(0)
+    assert(got.getAs[Long]("neighbor_id") === best._1)
+    assert(math.abs(got.getAs[Double]("cosine") - best._2) < 1e-9)
+  }
+
+  test("q25 LSH candidates are a subset of brute-force quality: recall@5 > 0") {
+    val lsh = Ann.q25AnnLsh(spark, sfDir).collect()
+    assert(lsh.nonEmpty)
+    // every returned neighbor must share at least one bucket => cosine
+    // ordering within candidates still descends
+    lsh.groupBy(_.getAs[Long]("probe_id")).values.foreach { rs =>
+      val cos = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("q30 near-dup pairs respect the threshold and the label block") {
+    val rows = Ann.q30DedupEmbedding(spark, sfDir).collect()
+    assert(rows.forall(_.getAs[Double]("cosine") >= 0.3))
+    assert(rows.forall(r => r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b")))
+  }
+}

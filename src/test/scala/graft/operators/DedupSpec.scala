@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkFixture
+
+class DedupSpec extends AnyFunSuite with SparkFixture {
+
+  test("q20 exact dedup: one group per distinct text, keeps min doc_id") {
+    val df = Dedup.q20DedupExact(spark, sfDir).cache()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    assert(df.count() === docs.select("text").distinct().count())
+    assert(df.agg(sum("dup_count")).collect()(0).getLong(0) === docs.count())
+  }
+
+  test("minhash LSH finds planted near-duplicates and skips unrelated docs") {
+    // ground truth: exact trigram jaccard >= 0.5 pairs on the corpus
+    val withTri = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("tri", Dedup.shingles3)
+      .select(col("doc_id"), col("tri"))
+    val truth = withTri.as("a").join(withTri.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("j", size(array_intersect(col("a.tri"), col("b.tri"))).cast("double") /
+        size(array_union(col("a.tri"), col("b.tri"))))
+      .filter(col("j") >= 0.5)
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = Dedup.q21DedupMinhash(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // LSH with 32 bands x 4 rows has ~100% recall at J>=0.5 on this corpus
+    assert(found === truth)
+    assert(found.nonEmpty)
+  }
+
+  test("simhash of identical texts collides at hamming 0") {
+    import spark.implicits._
+    val two = Seq((1L, "alpha beta gamma delta epsilon zeta"), (2L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val sim = two
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 63), 0L,
+             (acc, j) -> acc + IF(
+               aggregate(w, 0L,
+                 (a, x) -> a + IF((shiftright(xxhash64(x), j) & 1) = 1, 1L, -1L)) >= 0,
+               shiftleft(1L, j), 0L))"""))
+      .select("simhash").collect().map(_.getLong(0))
+    assert(sim(0) === sim(1))
+  }
+
+  test("q22 simhash pairs all verify hamming <= 8") {
+    val rows = Dedup.q22DedupSimhash(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Int]("hamming") <= 8))
+    assert(rows.forall(r => r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
+  }
+
+  test("q23 jaccard is symmetric-bounded and deterministic") {
+    val rows = Dedup.q23NgramJaccard(spark, sfDir).collect()
+    assert(rows.forall { r =>
+      val j = r.getAs[Double]("jaccard"); j >= 0.02 && j <= 1.0
+    })
+  }
+
+  test("q29 fingerprint is deterministic and shift-stable on a tail edit") {
+    import spark.implicits._
+    val words = (1 to 20).map(i => s"w$i").mkString(" ")
+    val edited = words + " extrawordatend"
+    val df = Seq((1L, words), (2L, words), (3L, edited)).toDF("doc_id", "text")
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("fp", expr(
+        """array_min(transform(
+             sequence(0, size(w) - 8),
+             i -> aggregate(
+               sequence(0, 7), 0L,
+               (acc, k) -> acc * 31 + (length(element_at(w, i + k + 1)) * 131
+                                       + ascii(element_at(w, i + k + 1))))))"""))
+      .select("doc_id", "fp").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(df(1L) === df(2L)) // deterministic
+    // appending one word adds windows but keeps the existing minimum
+    // unless the new windows hash lower; the min can only decrease
+    assert(df(3L) <= df(1L))
+  }
+}

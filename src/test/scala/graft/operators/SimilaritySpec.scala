@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkFixture
+
+class SimilaritySpec extends AnyFunSuite with SparkFixture {
+
+  test("cosine scores are in (0,1] and ranks are dense per probe") {
+    val rows = Similarity.q17CosineTopK(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val c = r.getAs[Double]("cosine"); c > 0.0 && c <= 1.0 + 1e-12
+    })
+    rows.groupBy(_.getAs[Long]("probe_doc")).values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.sameElements(1 to rs.length))
+    }
+  }
+
+  test("feature matrix carries L2-normalized map weights") {
+    val fm = Similarity.featureMatrix(spark, sfDir).limit(5).collect()
+    fm.foreach { r =>
+      val feats = r.getAs[Map[String, Double]]("features")
+      val normSq = feats.values.map(v => v * v).sum
+      assert(math.abs(normSq - 1.0) < 1e-9) // unit L2 norm after scaling
+      assert(feats.size === r.getAs[Long]("n_features"))
+    }
+  }
+
+  test("q19 norms match a hand computation on one doc") {
+    val doc0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") === 0).select("text").collect()(0).getString(0)
+    val counts = doc0.split(" ").groupBy(identity).map(_._2.length)
+    val expectedNorm = math.sqrt(counts.map(c => c.toLong * c).sum.toDouble)
+    val got = Similarity.q19FeatureMatrix(spark, sfDir)
+      .filter(col("doc_id") === 0).collect()(0)
+    assert(math.abs(got.getAs[Double]("l2_norm") - expectedNorm) < 1e-12)
+    assert(got.getAs[Long]("n_features") === counts.size)
+  }
+
+  test("q18 blended score combines cosine and popularity with 0.7/0.3") {
+    val rows = Similarity.q18WeightedRecs(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val b = r.getAs[Double]("blended"); b >= 0.0 && b <= 1.0 + 1e-12
+    })
+  }
+}
