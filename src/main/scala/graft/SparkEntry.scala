@@ -46,6 +46,7 @@ object SparkEntry {
     "q28_token_count"   -> TextAnalysis.q28TokenCount _,
     "q29_fingerprint"   -> Dedup.q29Fingerprint _,
     "q30_dedup_embedding" -> Ann.q30DedupEmbedding _,
+    "q31_multimodal_features" -> Multimodal.q31MultimodalFeatures _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -446,6 +447,17 @@ object SparkEntry {
           for i in range(1, len(w) - 6)]) AS fingerprint,
         len(w) AS n_words
       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    """,
+    "q31_multimodal_features" -> """
+      SELECT doc_id,
+        CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+        n_chars AS media_len,
+        n_chars % 640 AS width,
+        n_chars % 480 AS height,
+        CAST(list_sum(list_transform(range(1, length(text) + 1),
+          i -> ascii(text[i:i]))) AS DOUBLE) / length(text) AS mean_byte,
+        sha256(text) AS content_hash
+      FROM documents
     """,
   )
 }

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Multimodal (image/audio/video) column plumbing for training-data
+  * pipelines. Media travel as opaque `binary` columns with typed
+  * metadata; decode / feature-extraction run per-partition so a real
+  * decoder (JNI/FFI image lib) would amortize init across a batch —
+  * the Scala analogue of arrow-batched Pandas UDFs.
+  *
+  * The decode step itself is STUBBED (this environment has no media
+  * codecs): `FakeDecoder` derives deterministic pseudo-pixels from the
+  * payload bytes. Everything around it — schema, binary payload
+  * handling, partition-wise batching, feature schema — is real and
+  * tested, so swapping in a true decoder changes one function.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, media_type: String, content: Array[Byte])
+  case class MediaFeatures(doc_id: Long, media_type: String, media_len: Int,
+      width: Int, height: Int, mean_byte: Double)
+
+  /** Deterministic stand-in for a real image decoder: dimensions and a
+    * "pixel mean" derived purely from the payload. A real
+    * implementation replaces exactly this function. */
+  def fakeDecode(r: MediaRow): MediaFeatures = {
+    val len = r.content.length
+    val mean = if (len == 0) 0.0
+      else r.content.map(b => (b & 0xff).toLong).sum.toDouble / len
+    MediaFeatures(r.doc_id, r.media_type, len,
+      width = len % 640, height = len % 480, mean_byte = mean)
+  }
+
+  /** Media table synthesized from documents: the text payload plays
+    * the role of encoded image bytes. In production this is a parquet
+    * table with a real binary column — the schema and the pipeline
+    * below are unchanged. */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, "image").otherwise("audio").as("media_type"),
+        col("text").cast("binary").as("content"))
+      .as[MediaRow]
+  }
+
+  /** Partition-wise decode: one decoder instance per partition, rows
+    * streamed through it — the shape a JNI decoder needs. */
+  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // real impl: val decoder = HeavyDecoder.open(); rows.map(decoder.decode)
+      rows.map(fakeDecode)
+    }
+  }
+
+  /** Frame sampling stub: pick every k-th "frame" (byte block) of a
+    * video payload; returns (doc_id, frame_idx, frame binary). The
+    * blocking/partitioning is the real logic; frame decode is the stub. */
+  def sampleFrames(media: Dataset[MediaRow], frameBytes: Int, everyK: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      r.content.grouped(frameBytes).zipWithIndex.collect {
+        case (frame, idx) if idx % everyK == 0 => (r.doc_id, idx, frame)
+      }
+    }.toDF("doc_id", "frame_idx", "frame")
+  }
+
+  /** Oracle-checkable projection: binary length, hex content hash, and
+    * the deterministic fake-decode features. */
+  def q31MultimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feats = decodeFeatures(mediaTable(spark, dir))
+    feats.toDF()
+      .join(Tables.documents(spark, dir).select(col("doc_id"),
+        sha2(col("text").cast("binary"), 256).as("content_hash")), "doc_id")
+      .select(col("doc_id"), col("media_type"), col("media_len"),
+        col("width"), col("height"), col("mean_byte"), col("content_hash"))
+  }
+}

@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+
+class MultimodalSpec extends AnyFunSuite with SparkFixture {
+
+  test("decode pipeline preserves row count and emits sane features") {
+    val media = Multimodal.mediaTable(spark, sfDir)
+    val feats = Multimodal.decodeFeatures(media).collect()
+    assert(feats.length === spark.read.parquet(s"$sfDir/documents.parquet").count())
+    feats.foreach { f =>
+      assert(f.media_len > 0)
+      assert(f.mean_byte >= 32.0 && f.mean_byte <= 122.0) // ascii payload
+      assert(f.width === f.media_len % 640)
+    }
+  }
+
+  test("frame sampling blocks the payload and keeps every k-th frame") {
+    import spark.implicits._
+    val payload = Array.tabulate[Byte](10)(_.toByte)
+    val ds = Seq(Multimodal.MediaRow(1L, "video", payload)).toDS()
+    val frames = Multimodal.sampleFrames(ds, frameBytes = 4, everyK = 2)
+      .collect().map(r => (r.getAs[Int]("frame_idx"), r.getAs[Array[Byte]]("frame")))
+      .sortBy(_._1)
+    // blocks: [0..3],[4..7],[8..9]; keep idx 0 and 2
+    assert(frames.map(_._1).sameElements(Array(0, 2)))
+    assert(frames(0)._2.sameElements(Array[Byte](0, 1, 2, 3)))
+    assert(frames(1)._2.sameElements(Array[Byte](8, 9)))
+  }
+
+  test("media type split is deterministic by doc_id parity") {
+    val rows = Multimodal.q31MultimodalFeatures(spark, sfDir).collect()
+    rows.foreach { r =>
+      val expected = if (r.getAs[Long]("doc_id") % 2 == 0) "image" else "audio"
+      assert(r.getAs[String]("media_type") === expected)
+    }
+  }
+}

@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkFixture
+import java.nio.file.Files
+
+class InfraSpec extends AnyFunSuite with SparkFixture {
+
+  test("query cache computes once, then serves reads; refresh recomputes") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cache").toString
+    var builds = 0
+    def build = { builds += 1; Seq((1, "a"), (2, "b")).toDF("id", "v") }
+    val cfg = """{"dims":["id"],"metrics":["count"]}"""
+
+    val first = QueryCache.cached(spark, dir, cfg)(build)
+    assert(first.count() === 2 && builds === 1)
+    val second = QueryCache.cached(spark, dir, cfg)(build)
+    assert(second.count() === 2 && builds === 1) // served from cache
+    val refreshed = QueryCache.refresh(spark, dir, cfg)(build)
+    assert(refreshed.count() === 2 && builds === 2)
+    // distinct config -> distinct key -> rebuild
+    QueryCache.cached(spark, dir, cfg + "x")(build)
+    assert(builds === 3)
+  }
+
+  test("cache key is deterministic and config-sensitive") {
+    assert(QueryCache.cacheKey("abc") === QueryCache.cacheKey("abc"))
+    assert(QueryCache.cacheKey("abc") !== QueryCache.cacheKey("abd"))
+    assert(QueryCache.cacheKey("abc").length === 32)
+  }
+
+  test("csv ingest round-trips with explicit schema and normalization") {
+    val dir = Files.createTempDirectory("graft-csv").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/in.csv"),
+      "name,qty,region\n  Widget  A ,5, EAST \nGadget,7,west\n,3,\n")
+    val schema = StructType(Seq(
+      StructField("name", StringType), StructField("qty", IntegerType),
+      StructField("region", StringType)))
+    val df = CsvIngest.normalize(
+      CsvIngest.readCsv(spark, s"$dir/in.csv", schema), lowerCols = Seq("region"))
+    val rows = df.orderBy(col("qty")).collect()
+    assert(rows.length === 3)
+    assert(rows(1).getAs[String]("name") === "Widget A") // trimmed + collapsed
+    assert(rows(1).getAs[String]("region") === "east")   // lowercased
+    assert(rows(0).getAs[String]("name") === null)       // empty -> null
+    assert(rows(2).getAs[Int]("qty") === 7)
+    // sink round-trip
+    CsvIngest.writeCsv(df, s"$dir/out")
+    val back = CsvIngest.readCsv(spark, s"$dir/out", schema)
+    assert(back.count() === 3)
+  }
+}
