@@ -1,0 +1,26 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Time a single named query — dev tool for hotspot isolation. */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try { // absorb JVM/codegen/session warmup before timing
+      SparkEntry.queries("q01_agg_filter")(spark, sfDir).count()
+      SparkEntry.queries("q04_window_topn")(spark, sfDir).count()
+    } catch { case _: Throwable => }
+    val t0 = System.nanoTime()
+    val n = SparkEntry.queries(name)(spark, sfDir).count()
+    println(f"[benchone] $name rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+    spark.stop()
+  }
+}

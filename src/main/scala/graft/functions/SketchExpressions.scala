@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Primitive kernels for sketch signatures. Shared by interpreted eval
+  * and codegen (the generated code calls straight into these static
+  * methods — tight while-loops over long[], no boxing, no per-element
+  * lambda dispatch; ~100x over interpreted higher-order functions).
+  */
+object SketchKernels {
+  final val Prime = 4294967291L // largest prime < 2^32
+  final val Mask = 4294967295L
+
+  /** MinHash banded signature: Carter-Wegman permutations
+    * perm_k(t) = (h1(t) + k*h2(t)) mod P over the element hashes,
+    * folded into nBands band hashes (band = chained xxhash64 of its
+    * rows). Returns one long per band. */
+  def minhashBands(tri: ArrayData, nPerm: Int, nBands: Int): ArrayData = {
+    val n = tri.numElements()
+    val r = nPerm / nBands
+    val sig = new Array[Long](nPerm)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val t = tri.getLong(i)
+      val h1 = XXH64.hashLong(t, 42L) & Mask
+      val h2 = XXH64.hashLong(t, 7L) & Mask
+      var k = 0
+      while (k < nPerm) {
+        val v = (h1 + k * h2) % Prime
+        if (v < sig(k)) sig(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    val bands = new Array[Long](nBands)
+    var b = 0
+    while (b < nBands) {
+      var h = 42L
+      var j = 0
+      while (j < r) { h = XXH64.hashLong(sig(b * r + j), h); j += 1 }
+      bands(b) = h
+      b += 1
+    }
+    new GenericArrayData(bands)
+  }
+
+  /** 64-bit SimHash over an array of element hashes (weight = array
+    * multiplicity). Bit j is set when the signed count of j-bits is
+    * non-negative. */
+  def simhash64(hashes: ArrayData): Long = {
+    val n = hashes.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var j = 0
+    while (j < 64) { if (counts(j) >= 0) sim |= (1L << j); j += 1 }
+    sim
+  }
+}
+
+/** Catalyst expression: array<long> of element hashes → array<long> of
+  * LSH band hashes (length nBands) from an nPerm MinHash signature.
+  * Codegen calls the primitive kernel directly — this is the custom-
+  * Expression escape hatch for the one hot loop the built-in
+  * higher-order functions evaluate interpreted (SURVEY.md §5). */
+case class MinhashBandHashes(child: Expression, nPerm: Int, nBands: Int)
+    extends UnaryExpression {
+  require(nPerm % nBands == 0, "nPerm must divide into nBands")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.minhashBands(input.asInstanceOf[ArrayData], nPerm, nBands)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SketchKernels.minhashBands($c, $nPerm, $nBands);")
+  override protected def withNewChildInternal(newChild: Expression): MinhashBandHashes =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_band_hashes"
+}
+
+/** Catalyst expression: array<long> of element hashes → 64-bit simhash. */
+case class Simhash64(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.simhash64(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SketchKernels.simhash64($c);")
+  override protected def withNewChildInternal(newChild: Expression): Simhash64 =
+    copy(child = newChild)
+  override def prettyName: String = "simhash64"
+}

@@ -31,12 +31,26 @@ object Dedup {
         sum(col("n_chars")).as("total_chars"))
 
   /** Distinct word-3-shingles of the text column, as one expression. */
-  private[operators] val shingles3: Column = {
+  val shingles3: Column = {
     val w = split(col("text"), " ")
     array_distinct(transform(
       sequence(lit(0), size(w) - 3),
       i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))
   }
+
+  /** Distinct 64-bit trigram hashes, built from per-word hashes —
+    * hash each word once, then combine triples with one more hash.
+    * Equality structure is identical to hashing the concatenated
+    * trigram string (modulo ~2^-64 collisions) at a fraction of the
+    * cost: no string building, and |w| hashes instead of 3|w|.
+    * The transform(array(..))[0] let-binding keeps the word-hash array
+    * from being inlined + re-evaluated inside the trigram loop. */
+  val triHash: Column = expr(
+    """transform(
+         array(transform(split(text, ' '), x -> xxhash64(x))),
+         hw -> array_distinct(transform(
+           sequence(0, size(hw) - 3),
+           i -> xxhash64(hw[i], hw[i+1], hw[i+2]))))[0]""")
 
   /** MinHash(128) + banded LSH near-dup detection:
     * shingle → 128-perm minhash signature (one nested-transform
@@ -48,29 +62,44 @@ object Dedup {
   def q21DedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     val nPerm = 128
     val bands = 32 // 4 rows per band: catches J>=~0.8 with p~1
-    val sig = expr(
-      s"""transform(sequence(0, ${nPerm - 1}),
-            k -> array_min(transform(shingles, s -> xxhash64(s, k))))""")
-    val withSig = docs(spark, dir)
-      .withColumn("shingles", shingles3)
-      .withColumn("sig", sig)
-      .select(col("doc_id"), col("shingles"), col("sig"))
-    val banded = withSig.select(
-      col("doc_id"), col("shingles"),
-      explode(expr(
-        s"""transform(sequence(0, ${bands - 1}),
-              b -> struct(b AS band, xxhash64(sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3]) AS bh))"""))
-        .as("bb"))
-      .select(col("doc_id"), col("shingles"), col("bb.band"), col("bb.bh"))
+    // Carter-Wegman permutation family: perm_k(s) = (h1 + k*h2) mod P.
+    // Two hash evaluations per shingle instead of 128 — the signature
+    // is then 128 cheap affine folds (~50x less hashing; at 100 TB the
+    // signature pass is the whole cost of minhash). The mod-P reduction
+    // is what makes the k permutations independent: without it the
+    // k*h2 term dominates for large k and every band collapses onto
+    // argmin(h2). Hashes are masked to 32 bits so k*h2 stays far from
+    // Long overflow (ANSI mode rejects wraparound).
+    // repartition straight off the scan — BEFORE any shingling — so
+    // the signature pass runs on all cores (the test file is a single
+    // parquet split; on a real many-file table the scan is already
+    // parallel and this is a no-op by partition count).
+    val withTri = docs(spark, dir)
+      .repartition(col("doc_id"))
+      .withColumn("shingles", triHash)
+      .select(col("doc_id"), col("shingles"))
+    // The signature fold (nPerm mins over every shingle) is the hot
+    // loop of minhash; as built-in higher-order functions it evaluates
+    // interpreted with per-element boxing. MinhashBandHashes is the
+    // custom codegen Expression running the same Carter-Wegman fold as
+    // a primitive-long kernel (~100x).
+    import org.apache.spark.sql.graftbridge.Bridge.{column => exprCol, expression}
+    val bandHashes = exprCol(graft.functions.MinhashBandHashes(
+      expression(col("shingles")), nPerm, bands))
+    // band rows carry only (doc_id, band, hash) — the shingle arrays
+    // stay out of the exploded/shuffled band table and are re-joined
+    // only for the (tiny) candidate set.
+    val banded = withTri
+      .select(col("doc_id"), posexplode(bandHashes).as(Seq("band", "bh")))
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.shingles").as("sh_a"), col("b.shingles").as("sh_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     cand
+      .join(withTri.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(withTri.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
@@ -84,14 +113,14 @@ object Dedup {
     * (hamming <= 3 guarantees one equal chunk), verified by exact
     * hamming distance. */
   def q22DedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val simhash = expr(
-      """aggregate(sequence(0, 63), 0L,
-           (acc, j) -> acc + IF(
-             aggregate(w, 0L,
-               (a, x) -> a + IF((shiftright(xxhash64(x), j) & 1) = 1, 1L, -1L)) >= 0,
-             shiftleft(1L, j), 0L))""")
+    // hash each token once, then fold the 64 bit-sums in the custom
+    // codegen expression (primitive kernel — the HOF formulation would
+    // evaluate 64*|w| interpreted lambdas per row).
+    import org.apache.spark.sql.graftbridge.Bridge.{column => exprCol, expression}
+    val simhash = exprCol(graft.functions.Simhash64(
+      expression(expr("transform(split(text, ' '), x -> xxhash64(x))"))))
     val withSig = docs(spark, dir)
-      .withColumn("w", split(col("text"), " "))
+      .repartition(col("doc_id")) // parallelize the signature pass
       .withColumn("simhash", simhash)
       .select(col("doc_id"), col("simhash"))
     val chunked = withSig.select(
@@ -117,18 +146,37 @@ object Dedup {
     * linear-ish in block sizes; at 100 TB blocks are the unit of
     * parallelism). */
   def q23NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // Postings-list formulation: |a ∩ b| is computed by joining the
+    // exploded (block, trigram, doc) postings with themselves and
+    // counting co-occurrences — hash joins + partial aggregation all
+    // the way (whole-stage codegen), no per-pair array intersection.
+    // |union| = |a|+|b|-|∩|. Pairs sharing zero trigrams never appear,
+    // which the >= threshold filter makes equivalent to the pairwise
+    // definition. Trigrams are 64-bit hashes (collision odds
+    // ~|tri|^2/2^64 — negligible); this is the shape that scales:
+    // shuffle volume is the postings table, never the pair matrix.
     val withTri = docs(spark, dir)
-      .withColumn("tri", shingles3)
+      .repartition(col("doc_id")) // parallelize shingling off the scan
+      .withColumn("tri", triHash)
       .select(col("doc_id"), col("lang"), col("source"), col("tri"))
-    withTri.as("a")
-      .join(withTri.as("b"),
+    val sizes = withTri.select(
+      col("doc_id"), col("lang"), col("source"), size(col("tri")).as("n"))
+    val post = withTri.select(
+      col("lang"), col("source"), col("doc_id"), explode(col("tri")).as("t"))
+    val inter = post.as("a")
+      .join(post.as("b"),
         col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(
+          col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(
         col("a.lang").as("lang"), col("a.source").as("source"),
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        (size(array_intersect(col("a.tri"), col("b.tri"))).cast("double") /
-          size(array_union(col("a.tri"), col("b.tri")))).as("jaccard"))
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("lang"), col("source"), col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .as("jaccard"))
       .filter(col("jaccard") >= 0.02)
   }
 
