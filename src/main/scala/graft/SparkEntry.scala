@@ -47,6 +47,7 @@ object SparkEntry {
     "q29_fingerprint"   -> Dedup.q29Fingerprint _,
     "q30_dedup_embedding" -> Ann.q30DedupEmbedding _,
     "q31_multimodal_features" -> Multimodal.q31MultimodalFeatures _,
+    "q32_kmeans"              -> Clustering.q32Kmeans _,
   )
 
   def oracleSql: Map[String, String] = Map(

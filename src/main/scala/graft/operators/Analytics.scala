@@ -100,6 +100,24 @@ object Analytics {
         coalesce(col("value_sum"), lit(0.0)).as("value_sum"))
   }
 
+  /** General date-interval generation — gen_date_intervals
+    * (biutils.py:117-141): [start, end] split into day/week/month
+    * intervals with inclusive interval bounds. The spine is a pure
+    * sequence() expression (a handful of rows regardless of fact-table
+    * size) and is meant to be broadcast against facts. */
+  def dateIntervals(spark: SparkSession, start: String, end: String,
+      step: String): DataFrame = {
+    require(Set("day", "week", "month").contains(step), s"bad step: $step")
+    val spine = spark.range(1).select(explode(
+      expr(s"sequence(date'$start', date'$end', interval 1 $step)"))
+      .as("interval_start"))
+    val w = Window.orderBy(col("interval_start"))
+    spine
+      .withColumn("interval_end",
+        coalesce(date_sub(lead(col("interval_start"), 1).over(w), 1),
+          lit(end).cast("date")))
+  }
+
   /** Threshold monitor — the reference's MonetizationMonitor
     * (tasks.py:2580-2607): windowed aggregate, then keep entities that
     * cross an activity threshold while failing a monetization

@@ -58,6 +58,19 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(byDay("2024-01-15") > 0)
   }
 
+  test("dateIntervals generates inclusive week/month interval bounds") {
+    val weeks = Analytics.dateIntervals(spark, "2024-01-01", "2024-01-31", "week")
+      .collect().map(r => (r.getAs[java.sql.Date]("interval_start").toString,
+        r.getAs[java.sql.Date]("interval_end").toString))
+    assert(weeks.head === ("2024-01-01", "2024-01-07"))
+    assert(weeks.last._2 === "2024-01-31") // clamped to range end
+    assert(weeks.length === 5)
+    val months = Analytics.dateIntervals(spark, "2024-01-15", "2024-04-10", "month")
+      .collect()
+    assert(months.length === 3)
+    assert(months(0).getAs[java.sql.Date]("interval_end").toString === "2024-02-14")
+  }
+
   test("q15 bins partition all orders exactly once") {
     val df = Analytics.q15BinHistogram(spark, sfDir).cache()
     val total = df.agg(sum("orders")).collect()(0).getLong(0)
