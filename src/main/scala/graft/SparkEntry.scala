@@ -48,6 +48,8 @@ object SparkEntry {
     "q30_dedup_embedding" -> Ann.q30DedupEmbedding _,
     "q31_multimodal_features" -> Multimodal.q31MultimodalFeatures _,
     "q32_kmeans"              -> Clustering.q32Kmeans _,
+    "q33_json_extract"        -> SemiStructured.q33JsonExtract _,
+    "q34_timezone"            -> SemiStructured.q34Timezone _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -459,6 +461,28 @@ object SparkEntry {
           i -> ascii(text[i:i]))) AS DOUBLE) / length(text) AS mean_byte,
         sha256(text) AS content_hash
       FROM documents
+    """,
+    "q33_json_extract" -> """
+      WITH e AS (
+        SELECT *, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events
+      )
+      SELECT k % 10 AS k_bucket,
+        COUNT(*) AS events,
+        COUNT(DISTINCT user_id) AS users,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+        MIN(k) AS min_k, MAX(k) AS max_k
+      FROM e GROUP BY 1
+    """,
+    "q34_timezone" -> """
+      WITH e AS (
+        SELECT user_id, timezone('America/New_York', timezone('UTC', ts)) AS ny_ts
+        FROM events
+      )
+      SELECT CAST(ny_ts AS DATE) AS ny_day,
+        COUNT(*) AS events,
+        COUNT(DISTINCT user_id) AS users,
+        strftime(MIN(ny_ts), '%Y-%m-%d %H:%M:%S') AS first_event_ny
+      FROM e GROUP BY 1
     """,
   )
 }

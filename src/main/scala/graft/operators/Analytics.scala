@@ -139,6 +139,16 @@ object Analytics {
     * expression: fixed bounds so the binning is a pure per-row codegen
     * expression (no global min/max pass needed at 100 TB when bounds
     * are configured, which is how the reference does it too). */
+  /** Signed binning (biutils.py:143-218 "signed" mode): symmetric
+    * width buckets around zero, clamped to [-maxBin-1, maxBin]. */
+  def signedBin(c: Column, width: Double, maxBin: Int): Column =
+    greatest(least(floor(c / width), lit(maxBin.toLong)), lit(-maxBin.toLong - 1))
+
+  /** Percent binning (biutils.py "percent" mode): a [0,1] ratio into
+    * nBins equal buckets, top-inclusive. */
+  def percentBin(c: Column, nBins: Int): Column =
+    least(floor(c * nBins), lit(nBins.toLong - 1))
+
   def q15BinHistogram(spark: SparkSession, dir: String): DataFrame = {
     val width = 50000.0
     val bin = least(floor(col("o_totalprice") / width), lit(9.0)).cast("long")
