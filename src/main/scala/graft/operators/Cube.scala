@@ -38,6 +38,9 @@ object Cube {
   final case class CountRows(name: String) extends Metric
   final case class CountDistinct(name: String, column: String) extends Metric
   final case class SumMetric(name: String, column: String) extends Metric
+  final case class AvgMetric(name: String, column: String) extends Metric
+  final case class MinMetric(name: String, column: String) extends Metric
+  final case class MaxMetric(name: String, column: String) extends Metric
 
   /** Array-typed dimension backed by parallel CSV (values, confs)
     * columns; exploded pairwise, kept where conf >= minConf. */
@@ -72,6 +75,10 @@ object Cube {
     case CountRows(n)          => count(lit(1)).as(n)
     case CountDistinct(n, c)   => countDistinct(col(c)).as(n)
     case SumMetric(n, c)       => dsum(col(c)).as(n)
+    // avg as exact decimal sum / count, partition-order independent
+    case AvgMetric(n, c)       => (dsum(col(c)) / count(col(c))).as(n)
+    case MinMetric(n, c)       => min(col(c)).as(n)
+    case MaxMetric(n, c)       => max(col(c)).as(n)
   }
 
   /** Compile + run a cube spec against a base DataFrame. */

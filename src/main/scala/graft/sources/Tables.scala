@@ -39,4 +39,16 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+
+  /** Date-partitioned parquet sink — the layout a 100 TB fact table
+    * needs: writes land under <path>/<partitionCol>=<value>/ so reads
+    * with a date predicate prune whole directories (verified by the
+    * PartitionFilters entry in the scan plan). */
+  def writePartitionedByDay(df: DataFrame, tsCol: String, path: String): Unit = {
+    import org.apache.spark.sql.functions.{col, to_date}
+    df.withColumn("p_day", to_date(col(tsCol)))
+      .write.mode("overwrite")
+      .partitionBy("p_day")
+      .parquet(path)
+  }
 }

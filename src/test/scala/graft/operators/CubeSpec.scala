@@ -61,6 +61,18 @@ class CubeSpec extends AnyFunSuite with SparkFixture {
     assert(out(1).getAs[String]("event_type") === "click")
   }
 
+  test("avg/min/max metrics aggregate exactly") {
+    val spec = Spec(
+      dims = Seq("event_type"),
+      metrics = Seq(AvgMetric("v_avg", "value"), MinMetric("v_min", "value"),
+        MaxMetric("v_max", "value")))
+    val out = Cube.run(base, spec).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Double]("v_avg"), r.getAs[Double]("v_min"), r.getAs[Double]("v_max"))).toMap
+    assert(out("click") === ((4.0, 3.0, 5.0)))
+    assert(out("view") === ((2.0, 2.0, 2.0)))
+  }
+
   test("q10 runs end-to-end on test data with all clauses") {
     val rows = Cube.q10DynamicCube(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -32,6 +32,19 @@ class InfraSpec extends AnyFunSuite with SparkFixture {
     assert(QueryCache.cacheKey("abc").length === 32)
   }
 
+  test("partitioned parquet sink prunes partitions on a date predicate") {
+    val dir = Files.createTempDirectory("graft-part").toString
+    val events = Tables.events(spark, sfDir)
+    Tables.writePartitionedByDay(events, "ts", s"$dir/events_by_day")
+    val back = spark.read.parquet(s"$dir/events_by_day")
+      .filter(col("p_day") === "2024-01-15")
+    // partition pruning shows up as PartitionFilters in the scan plan
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("p_day"))
+    val expected = events.filter(to_date(col("ts")) === "2024-01-15").count()
+    assert(back.count() === expected)
+  }
+
   test("csv ingest round-trips with explicit schema and normalization") {
     val dir = Files.createTempDirectory("graft-csv").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/in.csv"),
