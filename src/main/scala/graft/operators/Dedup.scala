@@ -91,6 +91,9 @@ object Dedup {
     // only for the (tiny) candidate set.
     val banded = withTri
       .select(col("doc_id"), posexplode(bandHashes).as(Seq("band", "bh")))
+      // shuffle on the join keys: the self-join's two sides then hit
+      // ReusedExchange, so scan+shingle+signature run ONCE, not twice
+      .repartition(col("band"), col("bh"))
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -130,6 +133,8 @@ object Dedup {
              c -> struct(c AS chunk_idx, (shiftright(simhash, 16*c) & 65535) AS chunk))"""))
         .as("cc"))
       .select(col("doc_id"), col("simhash"), col("cc.chunk_idx"), col("cc.chunk"))
+      // join-key shuffle -> ReusedExchange dedupes the signature pass
+      .repartition(col("chunk_idx"), col("chunk"))
     chunked.as("a")
       .join(chunked.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") && col("a.chunk") === col("b.chunk") &&
@@ -163,6 +168,8 @@ object Dedup {
       col("doc_id"), col("lang"), col("source"), size(col("tri")).as("n"))
     val post = withTri.select(
       col("lang"), col("source"), col("doc_id"), explode(col("tri")).as("t"))
+      // join-key shuffle -> ReusedExchange dedupes the postings build
+      .repartition(col("lang"), col("source"), col("t"))
     val inter = post.as("a")
       .join(post.as("b"),
         col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&

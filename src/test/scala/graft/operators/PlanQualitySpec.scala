@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+
+/** Plan-shape regression guards: these properties are what make the
+  * operators viable at 100 TB — losing one silently (an optimizer
+  * behavior change, a refactor breaking pushdown) matters more than a
+  * local perf delta, so they are asserted, not just audited. */
+class PlanQualitySpec extends AnyFunSuite with SparkFixture {
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("q01: date filter reaches the parquet scan; schema pruned") {
+    val p = plan("q01_agg_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(!p.contains("l_orderkey"), "unused columns must not be read")
+  }
+
+  test("q02: all four dimension joins broadcast; PROMO filter pushed") {
+    val p = plan("q02_star_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).length === 4)
+    assert(p.contains("EqualTo(p_type,PROMO)"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q03: global top-N compiles to TakeOrderedAndProject") {
+    val p = plan("q03_topn_order")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.matches("(?s).*\\bSort\\b.*")) // no global sort operator
+  }
+
+  test("q13: the date spine joins without shuffling the fact rollup twice") {
+    val p = plan("q13_date_intervals")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q21: self-join reuses the signature exchange; no cartesian") {
+    // AQE resolves exchange reuse at runtime: execute, then inspect
+    // the final adaptive plan
+    val df = graft.SparkEntry.queries("q21_dedup_minhash")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      "the band self-join must reuse the signature pipeline's exchange")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q24: probes broadcast against a single corpus scan") {
+    val p = plan("q24_ann_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+}
