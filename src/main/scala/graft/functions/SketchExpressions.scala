@@ -18,16 +18,15 @@ object SketchKernels {
     * perm_k(t) = (h1(t) + k*h2(t)) mod P over the element hashes,
     * folded into nBands band hashes (band = chained xxhash64 of its
     * rows). Returns one long per band. */
-  def minhashBands(tri: ArrayData, nPerm: Int, nBands: Int): ArrayData = {
-    val n = tri.numElements()
-    val r = nPerm / nBands
+  /** Raw nPerm-long minhash signature (exposed for estimation and
+    * property tests). */
+  def minhashSig(tri: Array[Long], nPerm: Int): Array[Long] = {
     val sig = new Array[Long](nPerm)
     java.util.Arrays.fill(sig, Long.MaxValue)
     var i = 0
-    while (i < n) {
-      val t = tri.getLong(i)
-      val h1 = XXH64.hashLong(t, 42L) & Mask
-      val h2 = XXH64.hashLong(t, 7L) & Mask
+    while (i < tri.length) {
+      val h1 = XXH64.hashLong(tri(i), 42L) & Mask
+      val h2 = XXH64.hashLong(tri(i), 7L) & Mask
       var k = 0
       while (k < nPerm) {
         val v = (h1 + k * h2) % Prime
@@ -36,6 +35,12 @@ object SketchKernels {
       }
       i += 1
     }
+    sig
+  }
+
+  def minhashBands(tri: ArrayData, nPerm: Int, nBands: Int): ArrayData = {
+    val r = nPerm / nBands
+    val sig = minhashSig(tri.toLongArray(), nPerm)
     val bands = new Array[Long](nBands)
     var b = 0
     while (b < nBands) {

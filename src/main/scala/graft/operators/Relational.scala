@@ -116,9 +116,14 @@ object Relational {
     */
   def q06Sessionize(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.Tables
+    sessionizeEvents(Tables.events(spark, dir))
+  }
+
+  /** Gap-based sessionization over any (user_id, event_id, ts) frame. */
+  def sessionizeEvents(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val gapMs = 30L * 60 * 1000
-    val withSession = Tables.events(spark, dir)
+    val withSession = events
       .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(byUser))
       .withColumn("is_new",
         when(col("prev_ms").isNull ||

@@ -1,0 +1,115 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.{AnchorCalendar, SketchKernels}
+import java.time.LocalDate
+
+/** Property-based correctness: pure kernels and calendar math against
+  * reference implementations / invariants over generated inputs
+  * (scalacheck Gen with fixed seeds — deterministic). */
+class PropertySpec extends AnyFunSuite with graft.SparkFixture {
+
+  private def samples[T](gen: Gen[T], n: Int): Seq[T] =
+    (1 to n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("minhash signature match rate estimates jaccard (128 perms)") {
+    val gen = for {
+      shared <- Gen.choose(0, 60)
+      aOnly <- Gen.choose(1, 40)
+      bOnly <- Gen.choose(1, 40)
+      seed <- Gen.choose(1L, Long.MaxValue / 2)
+    } yield (shared, aOnly, bOnly, seed)
+    samples(gen, 40).foreach { case (shared, aOnly, bOnly, seed) =>
+      val s = (1 to shared).map(i => seed + i).toArray
+      val a = s ++ (1 to aOnly).map(i => seed * 31 + 1000000L + i)
+      val b = s ++ (1 to bOnly).map(i => seed * 37 + 2000000L + i)
+      val exact = shared.toDouble / (shared + aOnly + bOnly)
+      val sa = SketchKernels.minhashSig(a, 128)
+      val sb = SketchKernels.minhashSig(b, 128)
+      val est = sa.zip(sb).count { case (x, y) => x == y } / 128.0
+      // 128 perms: standard error sqrt(J(1-J)/128) <= 0.044; ~5 sigma
+      assert(math.abs(est - exact) <= 0.25,
+        s"est=$est exact=$exact shared=$shared a=$aOnly b=$bOnly")
+    }
+  }
+
+  test("identical element sets give identical signatures regardless of order") {
+    samples(Gen.nonEmptyListOf(Gen.long), 20).foreach { xs =>
+      val arr = xs.distinct.toArray
+      val shuffled = new scala.util.Random(42).shuffle(arr.toList).toArray
+      assert(SketchKernels.minhashSig(arr, 64).sameElements(
+        SketchKernels.minhashSig(shuffled, 64)))
+    }
+  }
+
+  test("AnchorCalendar invariants hold for arbitrary dates") {
+    val dates = Gen.choose(0L, 365L * 80).map(d => LocalDate.ofEpochDay(d + 3000))
+    samples(dates, 100).foreach { d =>
+      val cal = AnchorCalendar(d)
+      assert(cal.latestCompleteMonthStart.getDayOfMonth === 1)
+      assert(!cal.latestCompleteMonthStart.isAfter(d))
+      assert(cal.latestCompleteMonthEnd === cal.latestCompleteMonthStart.plusMonths(1))
+      assert(cal.momMonthStart === cal.latestCompleteMonthStart.minusMonths(1))
+      assert(cal.yoyMonthStart.getMonth === cal.latestCompleteMonthStart.getMonth)
+      assert(cal.latestCompleteWeekStart.getDayOfWeek === java.time.DayOfWeek.MONDAY)
+      val daysBack = java.time.temporal.ChronoUnit.DAYS.between(cal.latestCompleteWeekStart, d)
+      assert(daysBack >= 7 && daysBack <= 13)
+    }
+  }
+
+  test("batch sessionization matches a reference implementation on random streams") {
+    import spark.implicits._
+    val gapMs = 30L * 60 * 1000
+    val gen = Gen.listOfN(60, for {
+      user <- Gen.choose(1L, 4L)
+      t <- Gen.choose(0L, 6L * 3600 * 1000)
+    } yield (user, t))
+    samples(gen, 5).foreach { events =>
+      val rows = events.zipWithIndex.map { case ((u, t), i) =>
+        (i.toLong, new java.sql.Timestamp(1700000000000L + t), u, "view", 1.0, "{}")
+      }
+      val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val got = graft.operators.Relational.sessionizeEvents(df).collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          (r.getAs[Long]("sessions"), r.getAs[Long]("total_events"), r.getAs[Long]("bounces")))
+        .toMap
+      // reference: per user, sort by (t, event_id), split on gap
+      val expected = rows.groupBy(_._3).map { case (u, evs) =>
+        val ts = evs.sortBy(e => (e._2.getTime, e._1)).map(_._2.getTime)
+        val sessions = ts.tail.foldLeft(List(List(ts.head))) { (acc, t) =>
+          if (t - acc.head.head <= gapMs) (t :: acc.head) :: acc.tail
+          else List(t) :: acc
+        }
+        u -> ((sessions.length.toLong, ts.length.toLong,
+          sessions.count(_.length == 1).toLong))
+      }
+      assert(got === expected)
+    }
+  }
+
+  test("streaming and batch sessionizers agree on random streams") {
+    import graft.streaming.StreamSessionize
+    val gen = Gen.listOfN(40, Gen.choose(0L, 4L * 3600 * 1000))
+    samples(gen, 10).foreach { times =>
+      val evs = times.sorted.zipWithIndex.map { case (t, i) =>
+        StreamSessionize.Event(1L, i.toLong, new java.sql.Timestamp(1700000000000L + t))
+      }
+      // batch reference on the same events
+      val gapMs = StreamSessionize.GapMs
+      val ts = evs.map(_.ts.getTime)
+      val ref = ts.tail.foldLeft(List(List(ts.head))) { (acc, t) =>
+        if (t - acc.head.head <= gapMs) (t :: acc.head) :: acc.tail
+        else List(t) :: acc
+      }
+      // streaming update fn, all events in one batch, then timeout
+      val state = new graft.streaming.TestGroupState[StreamSessionize.SessionState]
+      val open = StreamSessionize.updateSessions(1L, evs.iterator, state).toList
+      val total = open.length + state.value.size
+      assert(total === ref.length)
+      assert(open.map(_.hit_depth).sum + state.value.map(_.hits).getOrElse(0L)
+        === evs.length.toLong)
+    }
+  }
+}
