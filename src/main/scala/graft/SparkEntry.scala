@@ -50,6 +50,7 @@ object SparkEntry {
     "q32_kmeans"              -> Clustering.q32Kmeans _,
     "q33_json_extract"        -> SemiStructured.q33JsonExtract _,
     "q34_timezone"            -> SemiStructured.q34Timezone _,
+    "q35_percentiles"         -> Analytics.q35Percentiles _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -483,6 +484,14 @@ object SparkEntry {
         COUNT(DISTINCT user_id) AS users,
         strftime(MIN(ny_ts), '%Y-%m-%d %H:%M:%S') AS first_event_ny
       FROM e GROUP BY 1
+    """,
+    "q35_percentiles" -> """
+      SELECT event_type,
+        quantile_cont(value, 0.5) AS p50,
+        quantile_cont(value, 0.95) AS p95,
+        quantile_cont(value, 0.75) AS p75,
+        COUNT(*) AS events
+      FROM events GROUP BY 1
     """,
   )
 }

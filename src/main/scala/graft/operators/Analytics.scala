@@ -183,6 +183,21 @@ object Analytics {
       .otherwise(scaled(1L, ""))
   }
 
+  /** Exact interpolated percentiles per group — the distribution
+    * metrics dashboards put next to sums. `percentile` (exact,
+    * sort-based per group) matches DuckDB's quantile_cont definition;
+    * for 100 TB the one-pass sketch variant is approx_percentile with
+    * a bounded error knob — same API shape, no global sort either way. */
+  def q35Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.95)").as("p95"),
+        expr("percentile(value, array(0.25, 0.75))").getItem(1).as("p75"),
+        count(lit(1)).as("events"))
+  }
+
   def q16NumFormat(spark: SparkSession, dir: String): DataFrame = {
     Tables.orders(spark, dir)
       .groupBy(col("o_orderpriority"))
