@@ -51,6 +51,9 @@ object SparkEntry {
     "q33_json_extract"        -> SemiStructured.q33JsonExtract _,
     "q34_timezone"            -> SemiStructured.q34Timezone _,
     "q35_percentiles"         -> Analytics.q35Percentiles _,
+    "q36_rollup"              -> Olap.q36Rollup _,
+    "q37_running_window"      -> Olap.q37RunningWindow _,
+    "q38_asof_join"           -> Olap.q38AsofJoin _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -492,6 +495,56 @@ object SparkEntry {
         quantile_cont(value, 0.75) AS p75,
         COUNT(*) AS events
       FROM events GROUP BY 1
+    """,
+    "q36_rollup" -> """
+      SELECT r_name, n_name, COUNT(*) AS suppliers,
+        CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum,
+        GROUPING(r_name, n_name) AS gid
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP(r_name, n_name)
+    """,
+    "q37_running_window" -> """
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS events,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        FROM events GROUP BY 1, 2
+      )
+      SELECT *,
+        SUM(events) OVER (PARTITION BY event_type ORDER BY day
+          ROWS UNBOUNDED PRECEDING) AS events_running,
+        AVG(events) OVER (PARTITION BY event_type ORDER BY day
+          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS events_ma7
+      FROM daily
+    """,
+    "q38_asof_join" -> """
+      WITH u AS (
+        SELECT user_id AS k, ts AS t, event_id, event_type,
+          CAST(NULL AS BIGINT) AS o_orderkey, CAST(NULL AS DOUBLE) AS o_totalprice,
+          1 AS is_event
+        FROM events
+        UNION ALL
+        SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP), NULL, NULL,
+          o_orderkey, o_totalprice, 0
+        FROM orders
+      ),
+      w AS (
+        SELECT *,
+          last_value(o_orderkey IGNORE NULLS) OVER
+            (PARTITION BY k ORDER BY t, is_event, o_orderkey
+             ROWS UNBOUNDED PRECEDING) AS asof_orderkey,
+          last_value(o_totalprice IGNORE NULLS) OVER
+            (PARTITION BY k ORDER BY t, is_event, o_orderkey
+             ROWS UNBOUNDED PRECEDING) AS asof_totalprice
+        FROM u
+      )
+      SELECT event_type, COUNT(*) AS events,
+        COUNT(asof_orderkey) AS matched,
+        CAST(SUM(CAST(asof_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS asof_price_sum,
+        MIN(asof_orderkey) AS min_orderkey,
+        MAX(asof_orderkey) AS max_orderkey
+      FROM w WHERE is_event = 1 GROUP BY 1
     """,
   )
 }

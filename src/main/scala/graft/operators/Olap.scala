@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import Exprs._
+
+/** OLAP extensions beyond the cube DSL: hierarchical subtotals,
+  * running windows, and an as-of join (an operator Spark has no
+  * native node for — composed from a union + ignore-nulls window,
+  * the standard scalable formulation).
+  */
+object Olap {
+
+  /** ROLLUP subtotals — region → nation → grand total in one pass
+    * (the subtotal rows dashboards render as group footers). Spark
+    * plans rollup as a single Expand + aggregate: one shuffle for all
+    * grouping sets. */
+  def q36Rollup(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    s.join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("suppliers"),
+        dsum(col("s_acctbal")).as("acctbal_sum"),
+        grouping_id().as("gid"))
+  }
+
+  /** Running totals and 7-day moving average per event type — the
+    * trend-line shape of the reference's dashboards. One shuffle on
+    * the partition key; both windows reuse the same sort. */
+  def q37RunningWindow(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("events"), dsum(col("value")).as("value_sum"))
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily
+      .withColumn("events_running",
+        sum(col("events")).over(byType.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("events_ma7",
+        avg(col("events")).over(byType.rowsBetween(-6, 0)))
+  }
+
+  /** As-of join: attach to each event the most recent order (by
+    * o_orderdate <= event ts) of the matching customer. Spark has no
+    * ASOF JOIN node; the scalable composition is:
+    * union both sides tagged → one shuffle+sort on (key, time) →
+    * last non-null order attribute via an ignore-nulls window → keep
+    * event rows. No range explosion, no per-key collect. */
+  def asofJoin(events: DataFrame, orders: DataFrame): DataFrame = {
+    val evSide = events.select(
+      col("user_id").as("k"), col("ts").cast("timestamp").as("t"),
+      col("event_id"), col("event_type"),
+      lit(null).cast("long").as("o_orderkey"),
+      lit(null).cast("double").as("o_totalprice"),
+      lit(1).as("is_event"))
+    val ordSide = orders.select(
+      col("o_custkey").as("k"), col("o_orderdate").cast("timestamp").as("t"),
+      lit(null).cast("long").as("event_id"),
+      lit(null).cast("string").as("event_type"),
+      col("o_orderkey"), col("o_totalprice"),
+      lit(0).as("is_event"))
+    // orders sort before events at identical t (asof is inclusive)
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t"), col("is_event"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    evSide.unionByName(ordSide)
+      .withColumn("asof_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .withColumn("asof_totalprice", last(col("o_totalprice"), ignoreNulls = true).over(w))
+      .filter(col("is_event") === 1)
+      .select(col("event_id"), col("k").as("user_id"), col("t").as("ts"),
+        col("event_type"), col("asof_orderkey"), col("asof_totalprice"))
+  }
+
+  /** Oracle-checked as-of instance: events ⟕ most recent order of the
+    * same customer key. */
+  def q38AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    asofJoin(ev, ord)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("events"),
+        count(col("asof_orderkey")).as("matched"),
+        dsum(col("asof_totalprice")).as("asof_price_sum"),
+        min(col("asof_orderkey")).as("min_orderkey"),
+        max(col("asof_orderkey")).as("max_orderkey"))
+  }
+}

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkFixture
+import java.sql.Timestamp
+
+class OlapSpec extends AnyFunSuite with SparkFixture {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asof join picks the latest order at or before each event") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, 10L, ts("2024-01-10 12:00:00"), "view"),
+      (1L, 11L, ts("2024-01-20 12:00:00"), "click"),
+      (2L, 12L, ts("2024-01-05 00:00:00"), "view"), // before any order
+      (3L, 13L, ts("2024-01-15 00:00:00"), "view")) // exact-date match
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val orders = Seq(
+      (1L, 101L, ts("2024-01-08 00:00:00"), 10.0),
+      (1L, 102L, ts("2024-01-15 00:00:00"), 20.0),
+      (2L, 201L, ts("2024-02-01 00:00:00"), 30.0), // after the event
+      (3L, 301L, ts("2024-01-15 00:00:00"), 40.0),
+      (3L, 302L, ts("2024-01-15 00:00:00"), 50.0)) // same-date tie
+      .toDF("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    val out = Olap.asofJoin(events, orders).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("asof_orderkey")).map(_.toLong)).toMap
+    assert(out(10L) === Some(101L)) // only order 101 is <= Jan 10
+    assert(out(11L) === Some(102L)) // 102 supersedes 101 by Jan 20
+    assert(out(12L) === None)       // no order yet -> null
+    assert(out(13L) === Some(302L)) // inclusive same-instant; tie -> max orderkey
+  }
+
+  test("rollup emits detail, nation subtotal and grand total levels") {
+    val rows = Olap.q36Rollup(spark, sfDir).collect()
+    val gids = rows.map(_.getAs[Long]("gid")).toSet
+    assert(gids === Set(0L, 1L, 3L))
+    val grand = rows.filter(_.getAs[Long]("gid") == 3L)
+    assert(grand.length === 1)
+    val detailSum = rows.filter(_.getAs[Long]("gid") == 0L).map(_.getAs[Long]("suppliers")).sum
+    assert(grand(0).getAs[Long]("suppliers") === detailSum)
+  }
+
+  test("running window is monotone and ma7 bounded by window extremes") {
+    val rows = Olap.q37RunningWindow(spark, sfDir).collect()
+      .groupBy(_.getAs[String]("event_type"))
+    rows.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[java.sql.Date]("day").toString)
+      val running = sorted.map(_.getAs[Long]("events_running"))
+      assert(running.zip(running.tail).forall { case (a, b) => b >= a })
+      assert(running.last === sorted.map(_.getAs[Long]("events")).sum)
+    }
+  }
+}
