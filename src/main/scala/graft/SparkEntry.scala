@@ -54,6 +54,7 @@ object SparkEntry {
     "q36_rollup"              -> Olap.q36Rollup _,
     "q37_running_window"      -> Olap.q37RunningWindow _,
     "q38_asof_join"           -> Olap.q38AsofJoin _,
+    "q39_range_join"          -> Olap.q39RangeJoin _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -545,6 +546,19 @@ object SparkEntry {
         MIN(asof_orderkey) AS min_orderkey,
         MAX(asof_orderkey) AS max_orderkey
       FROM w WHERE is_event = 1 GROUP BY 1
+    """,
+    "q39_range_join" -> """
+      WITH per_purchase AS (
+        SELECT p.event_id, p.user_id,
+          COUNT(CASE WHEN c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+                     THEN 1 END) AS clicks_before
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON c.user_id = p.user_id
+        GROUP BY 1, 2
+      )
+      SELECT clicks_before, COUNT(*) AS purchases
+      FROM per_purchase GROUP BY 1
     """,
   )
 }

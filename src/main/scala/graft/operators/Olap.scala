@@ -76,6 +76,34 @@ object Olap {
         col("event_type"), col("asof_orderkey"), col("asof_totalprice"))
   }
 
+  /** Bucketed range join — the interval/attribution join Spark has no
+    * native node for. A naive formulation is an equi-join on user plus
+    * a range residual, which Spark can only execute as a per-key
+    * cross; bucketing time into interval-sized buckets and exploding
+    * the probe side to its 2 candidate buckets turns it into a pure
+    * equi-join on (key, bucket) with a cheap residual filter — each
+    * matching pair appears in exactly one bucket, so no dedup needed.
+    * Instance: clicks in the hour before each purchase (attribution
+    * window). */
+  def rangeJoinClicksBefore(events: DataFrame, windowMs: Long): DataFrame = {
+    val bucket = (c: org.apache.spark.sql.Column) => floor(unix_millis(c) / windowMs)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"), bucket(col("ts")).as("b"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts").as("p_ts"))
+      .withColumn("b", explode(array(bucket(col("p_ts")) - 1, bucket(col("p_ts")))))
+    purchases.join(clicks, Seq("user_id", "b"), "left")
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(count(when(
+        unix_millis(col("c_ts")) >= unix_millis(col("p_ts")) - windowMs &&
+          col("c_ts") < col("p_ts"), 1)).as("clicks_before"))
+  }
+
+  def q39RangeJoin(spark: SparkSession, dir: String): DataFrame =
+    rangeJoinClicksBefore(Tables.events(spark, dir), 3600L * 1000)
+      .groupBy(col("clicks_before"))
+      .agg(count(lit(1)).as("purchases"))
+
   /** Oracle-checked as-of instance: events ⟕ most recent order of the
     * same customer key. */
   def q38AsofJoin(spark: SparkSession, dir: String): DataFrame = {

@@ -104,7 +104,10 @@ object Similarity {
     */
   def cosineTopKDense(spark: SparkSession, dir: String, k: Int): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge.{column => exprCol, expression}
-    val post = postings(spark, dir)
+    // persisted: the vocab-discovery job and the scoring job both read
+    // the postings — cache it once (it is the classic signature-table
+    // cache candidate; size is |corpus terms|, far below the corpus)
+    val post = postings(spark, dir).persist()
     val vocab = post.select(col("word")).distinct()
       .orderBy(col("word")).collect().map(_.getString(0))
     val vocabArr = array(vocab.map(lit(_)): _*)

@@ -33,6 +33,23 @@ class OlapSpec extends AnyFunSuite with SparkFixture {
     assert(out(13L) === Some(302L)) // inclusive same-instant; tie -> max orderkey
   }
 
+  test("range join counts clicks strictly inside the hour before each purchase") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "click"),    // 30 min before: in
+      (1L, 2L, ts("2024-01-01 10:29:59"), "click"),    // 1 s before: in
+      (1L, 3L, ts("2024-01-01 09:30:00"), "click"),    // exactly 1h before: in (>= bound)
+      (1L, 4L, ts("2024-01-01 09:29:59"), "click"),    // 1h+1s before: out
+      (1L, 5L, ts("2024-01-01 10:30:00"), "click"),    // same instant: out (< bound)
+      (1L, 6L, ts("2024-01-01 10:30:00"), "purchase"),
+      (2L, 7L, ts("2024-01-01 12:00:00"), "purchase")) // no clicks at all
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = Olap.rangeJoinClicksBefore(events, 3600L * 1000).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("clicks_before")).toMap
+    assert(out(6L) === 3)
+    assert(out(7L) === 0)
+  }
+
   test("rollup emits detail, nation subtotal and grand total levels") {
     val rows = Olap.q36Rollup(spark, sfDir).collect()
     val gids = rows.map(_.getAs[Long]("gid")).toSet
