@@ -55,6 +55,8 @@ object SparkEntry {
     "q37_running_window"      -> Olap.q37RunningWindow _,
     "q38_asof_join"           -> Olap.q38AsofJoin _,
     "q39_range_join"          -> Olap.q39RangeJoin _,
+    "q40_hash_split"          -> Pipeline.q40HashSplit _,
+    "q41_dedup_pipeline"      -> Pipeline.q41DedupPipeline _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -559,6 +561,18 @@ object SparkEntry {
       )
       SELECT clicks_before, COUNT(*) AS purchases
       FROM per_purchase GROUP BY 1
+    """,
+    "q40_hash_split" -> """
+      WITH s AS (
+        SELECT *, CASE
+          WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+          WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'validation'
+          ELSE 'test' END AS split
+        FROM documents
+      )
+      SELECT split, lang, COUNT(*) AS docs, SUM(n_chars) AS chars,
+        MIN(doc_id) AS min_doc_id
+      FROM s GROUP BY 1, 2
     """,
   )
 }
