@@ -57,6 +57,7 @@ object SparkEntry {
     "q39_range_join"          -> Olap.q39RangeJoin _,
     "q40_hash_split"          -> Pipeline.q40HashSplit _,
     "q41_dedup_pipeline"      -> Pipeline.q41DedupPipeline _,
+    "q42_approx_distinct"     -> Analytics.q42ApproxDistinct _,
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -79,6 +79,13 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(bins.forall(b => b >= 0 && b <= 9))
   }
 
+  test("q42 HLL approximate distinct stays within its error bound") {
+    val rows = Analytics.q42ApproxDistinct(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // rsd=0.01 → relative error reliably under ~5%
+    assert(rows.forall(_.getAs[Double]("rel_error") < 0.05))
+  }
+
   test("q12 calendar window computes MoM/YoY pct from the three anchor months") {
     val r = Analytics.q12CalendarWindow(spark, sfDir).collect()(0)
     val rev = r.getAs[Double]("revenue")

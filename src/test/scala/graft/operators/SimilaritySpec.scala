@@ -38,6 +38,16 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(got.getAs[Long]("n_features") === counts.size)
   }
 
+  test("dense fast path and postings join produce identical rankings and scores") {
+    val dense = Similarity.cosineTopKDense(spark, sfDir, 5).collect()
+      .map(r => (r.getAs[Long]("probe_doc"), r.getAs[Long]("neighbor_doc"),
+        r.getAs[Int]("rank"), r.getAs[Double]("cosine"))).toSet
+    val postings = Similarity.cosineTopK(spark, sfDir, 5).collect()
+      .map(r => (r.getAs[Long]("probe_doc"), r.getAs[Long]("neighbor_doc"),
+        r.getAs[Int]("rank"), r.getAs[Double]("cosine"))).toSet
+    assert(dense === postings) // bit-identical scores, same tie-breaks
+  }
+
   test("q18 blended score combines cosine and popularity with 0.7/0.3") {
     val rows = Similarity.q18WeightedRecs(spark, sfDir).collect()
     assert(rows.nonEmpty)
