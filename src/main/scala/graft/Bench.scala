@@ -2,13 +2,21 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR and prints one JSON line of per-query seconds.
-  * A warmup query (not reported) absorbs JVM/codegen/session startup
-  * so per-query numbers measure the plans, not the first-call tax. */
+  * SPARK_GRAFT_SF_DIR and emits one JSON line of per-query seconds.
+  *
+  * Robustness: each query is timed 3 times and the MEDIAN reported, so
+  * a single cold-run (first-touch JIT/IO) sample can't dominate the
+  * recorded number. The JSON line goes to stdout AND to a file
+  * (bench.json, or $SPARK_GRAFT_BENCH_OUT) because sbt prefixes stdout
+  * with "[info] ", which broke driver-side parsing in round 1. A query
+  * that throws is reported with "failed":[names] and a non-zero exit —
+  * never silently counted as a healthy time. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -24,14 +32,28 @@ object Bench {
     } catch { case _: Throwable => }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val runs = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case e: Throwable =>
+                   System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
+                   false }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      val sorted = runs.map(_._1).sorted
+      val median = sorted(sorted.length / 2)
+      (name, median, runs.forall(_._2))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failed = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"sf":"$sfDir"}"""
+    println(line)
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (line + "\n").getBytes("UTF-8"))
     spark.stop()
+    if (results.exists(!_._3)) sys.exit(1)
   }
 }

@@ -132,9 +132,9 @@ object SparkEntry {
       )
       SELECT user_id,
         COUNT(*) AS sessions,
-        SUM(hit_depth) AS total_events,
-        SUM(duration_ms) AS total_duration_ms,
-        SUM(CASE WHEN hit_depth = 1 THEN 1 ELSE 0 END) AS bounces
+        CAST(SUM(hit_depth) AS BIGINT) AS total_events,
+        CAST(SUM(duration_ms) AS BIGINT) AS total_duration_ms,
+        CAST(SUM(CASE WHEN hit_depth = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bounces
       FROM per_session GROUP BY user_id
     """,
     "q07_trending" -> """
@@ -177,7 +177,7 @@ object SparkEntry {
       )
       SELECT value, COUNT(*) AS docs,
         CAST(SUM(CAST(conf AS DECIMAL(18,1))) AS DOUBLE) AS conf_sum,
-        SUM(n_chars) AS chars
+        CAST(SUM(n_chars) AS BIGINT) AS chars
       FROM tax WHERE conf >= 0.5 GROUP BY value
     """,
     "q10_dynamic_cube" -> """
@@ -370,7 +370,7 @@ object SparkEntry {
     """,
     "q20_dedup_exact" -> """
       SELECT sha256(text) AS text_hash, MIN(doc_id) AS keep_doc_id,
-        COUNT(*) AS dup_count, SUM(n_chars) AS total_chars
+        COUNT(*) AS dup_count, CAST(SUM(n_chars) AS BIGINT) AS total_chars
       FROM documents GROUP BY 1
     """,
     "q23_ngram_jaccard" -> """
@@ -516,8 +516,8 @@ object SparkEntry {
         FROM events GROUP BY 1, 2
       )
       SELECT *,
-        SUM(events) OVER (PARTITION BY event_type ORDER BY day
-          ROWS UNBOUNDED PRECEDING) AS events_running,
+        CAST(SUM(events) OVER (PARTITION BY event_type ORDER BY day
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS events_running,
         AVG(events) OVER (PARTITION BY event_type ORDER BY day
           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS events_ma7
       FROM daily
@@ -571,7 +571,7 @@ object SparkEntry {
           ELSE 'test' END AS split
         FROM documents
       )
-      SELECT split, lang, COUNT(*) AS docs, SUM(n_chars) AS chars,
+      SELECT split, lang, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars,
         MIN(doc_id) AS min_doc_id
       FROM s GROUP BY 1, 2
     """,

@@ -32,8 +32,12 @@ object VectorKernels {
 
   /** Random-hyperplane LSH bucket per table: bit j of table t is the
     * sign of the projection onto a pseudo-hyperplane whose component i
-    * has sign xxhash64(t*bits*64 + j*64 + i) & 1. Deterministic, no
-    * stored model. Returns one bucket code per table. */
+    * has sign xxhash64(((t*bitsPerTable + j) << 32) | i) & 1 — the
+    * (table, bit) pair in the high word and the dimension in the low
+    * word, so seeds are collision-free for any bitsPerTable and any
+    * dim < 2^32 (a flat stride like t*512+j*64+i silently reuses
+    * hyperplanes once bits>8 or dim>64, correlating the LSH tables).
+    * Deterministic, no stored model. One bucket code per table. */
   def hyperplaneBuckets(v: ArrayData, nTables: Int, bitsPerTable: Int): ArrayData = {
     val dim = v.numElements()
     val out = new Array[Long](nTables)
@@ -42,10 +46,11 @@ object VectorKernels {
       var bucket = 0L
       var j = 0
       while (j < bitsPerTable) {
+        val planeSeed = (t.toLong * bitsPerTable + j) << 32
         var s = 0.0
         var i = 0
         while (i < dim) {
-          val sign = if ((XXH64.hashLong(t * 512L + j * 64L + i, 42L) & 1L) == 1L) 1.0 else -1.0
+          val sign = if ((XXH64.hashLong(planeSeed | i, 42L) & 1L) == 1L) 1.0 else -1.0
           s += v.getFloat(i).toDouble * sign
           i += 1
         }

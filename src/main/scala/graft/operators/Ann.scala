@@ -74,19 +74,49 @@ object Ann {
       .select(col("probe_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
-  /** Embedding-cosine near-duplicate pairs above a threshold, blocked
-    * by label (the blocking key bounds pair generation; the unblocked
-    * scale path is the LSH bucketing of q25). */
-  def q30DedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+  /** Embedding-cosine near-duplicate pairs above a threshold.
+    * Candidates come from random-hyperplane LSH bucket collisions
+    * (HyperplaneBuckets — the q25 machinery), verified by exact
+    * cosine, so precision is 1.0 by construction and neither the
+    * corpus×corpus cartesian nor a per-label quadratic block join
+    * ever forms: pair generation is bounded by bucket sizes, and
+    * recall is an explicit (bitsPerTable, nTables) knob — the
+    * standard contract of embedding dedup at scale (candidate
+    * recall traded for pruning, cf. SNIPPETS.md MinHashLSH).
+    *
+    * Parameter regime — measured, not assumed: the test embeddings
+    * hold NO high-cosine planted pairs (max pairwise cosine ~0.51;
+    * the 0.3 threshold sits just above the random-pair background of
+    * |cos|~0.12 for 64-d). Near the background there is no gap for
+    * ANY exact pruning scheme (prefix-filter bounds degenerate: a
+    * 0.3-suffix-norm prefix covers ~59/64 dims), so parameters here
+    * favor recall: b=4 bits, L=32 tables gives per-pair recall
+    * 1-(1-p^4)^32 with p = 1-acos(cos)/pi, ~0.99 at the 0.3 boundary.
+    * A production near-dup corpus (threshold >= 0.9) wants b=8, L=16:
+    * recall 0.996 with real pruning (random-pair collision 0.5^8/table). */
+  def q30DedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    dedupEmbedding(spark, dir, threshold = 0.3, nTables = 32, bitsPerTable = 4)
+
+  def dedupEmbedding(spark: SparkSession, dir: String, threshold: Double,
+      nTables: Int, bitsPerTable: Int): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), col("embedding"))
-    emb.as("a")
+      .repartition(col("vec_id")) // parallelize bucket computation
+      .select(col("vec_id"), col("embedding"),
+        posexplode(exprCol(HyperplaneBuckets(
+          expression(col("embedding")), nTables, bitsPerTable))).as(Seq("tbl", "bucket")))
+      // join-key shuffle -> ReusedExchange: the signature pass runs once
+      .repartition(col("tbl"), col("bucket"))
+    val cand = emb.as("a")
       .join(emb.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
       .select(
-        col("a.label").as("label"),
         col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        cosine(col("a.embedding"), col("b.embedding")).as("cosine"))
-      .filter(col("cosine") >= 0.3)
+        col("a.embedding").as("emb_a"), col("b.embedding").as("emb_b"))
+      .dropDuplicates("vec_a", "vec_b")
+    cand
+      .select(col("vec_a"), col("vec_b"),
+        cosine(col("emb_a"), col("emb_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
   }
 }

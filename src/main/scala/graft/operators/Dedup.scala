@@ -30,12 +30,18 @@ object Dedup {
         count(lit(1)).as("dup_count"),
         sum(col("n_chars")).as("total_chars"))
 
-  /** Distinct word-3-shingles of the text column, as one expression. */
+  /** Distinct word-3-shingles of the text column, as one expression.
+    * Docs with <3 words have no 3-shingles: guarded to an empty array,
+    * because sequence(0, negative) counts DOWN and the resulting
+    * negative indices throw under ANSI mode (the DuckDB oracle's
+    * range() is simply empty for the same input). */
   val shingles3: Column = {
     val w = split(col("text"), " ")
-    array_distinct(transform(
-      sequence(lit(0), size(w) - 3),
-      i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))
+    when(size(w) >= 3,
+      array_distinct(transform(
+        sequence(lit(0), size(w) - 3),
+        i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3)))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Distinct 64-bit trigram hashes, built from per-word hashes —
@@ -44,13 +50,16 @@ object Dedup {
     * trigram string (modulo ~2^-64 collisions) at a fraction of the
     * cost: no string building, and |w| hashes instead of 3|w|.
     * The transform(array(..))[0] let-binding keeps the word-hash array
-    * from being inlined + re-evaluated inside the trigram loop. */
+    * from being inlined + re-evaluated inside the trigram loop.
+    * Docs with <3 words yield an empty trigram set (sequence with a
+    * negative stop counts down — negative indices throw under ANSI). */
   val triHash: Column = expr(
     """transform(
          array(transform(split(text, ' '), x -> xxhash64(x))),
-         hw -> array_distinct(transform(
+         hw -> CASE WHEN size(hw) >= 3 THEN array_distinct(transform(
            sequence(0, size(hw) - 3),
-           i -> xxhash64(hw[i], hw[i+1], hw[i+2]))))[0]""")
+           i -> xxhash64(hw[i], hw[i+1], hw[i+2])))
+           ELSE CAST(array() AS array<bigint>) END)[0]""")
 
   /** MinHash(128) + banded LSH near-dup detection:
     * shingle → 128-perm minhash signature (one nested-transform
@@ -77,6 +86,11 @@ object Dedup {
     val withTri = docs(spark, dir)
       .repartition(col("doc_id"))
       .withColumn("shingles", triHash)
+      // <3-word docs have no shingles and no defined Jaccard; without
+      // this filter every shingle-less doc collides in every band
+      // (identical all-empty signatures) — a quadratic candidate bomb
+      // at scale for zero true pairs.
+      .filter(size(col("shingles")) > 0)
       .select(col("doc_id"), col("shingles"))
     // The signature fold (nPerm mins over every shingle) is the hot
     // loop of minhash; as built-in higher-order functions it evaluates
@@ -192,17 +206,22 @@ object Dedup {
     * window minimum (winnowing). One codegen'd expression per row; the
     * fingerprint is stable under small edits away from the minimal
     * window — the property dedup-by-fingerprint relies on. */
-  def q29Fingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val fp = expr(
-      """array_min(transform(
-           sequence(0, size(w) - 8),
-           i -> aggregate(
-             sequence(0, 7), 0L,
-             (acc, k) -> acc * 31 + (length(element_at(w, i + k + 1)) * 131
-                                     + ascii(element_at(w, i + k + 1))))))""")
+  /** Min 8-word-window rolling hash over a `w` token-array column;
+    * NULL for docs with <8 words (no window exists — matches the
+    * oracle, where DuckDB's list comprehension is empty and
+    * list_min(()) is NULL; the unguarded sequence(0, negative)
+    * throws under ANSI). */
+  val fingerprint8: Column = when(size(col("w")) >= 8, expr(
+    """array_min(transform(
+         sequence(0, size(w) - 8),
+         i -> aggregate(
+           sequence(0, 7), 0L,
+           (acc, k) -> acc * 31 + (length(element_at(w, i + k + 1)) * 131
+                                   + ascii(element_at(w, i + k + 1))))))"""))
+
+  def q29Fingerprint(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .withColumn("w", split(col("text"), " "))
-      .withColumn("fingerprint", fp)
+      .withColumn("fingerprint", fingerprint8)
       .select(col("doc_id"), col("fingerprint"), size(col("w")).as("n_words"))
-  }
 }

@@ -31,11 +31,48 @@ object Pipeline {
         min(col("doc_id")).as("min_doc_id"))
   }
 
+  /** Min-label propagation with pointer jumping over undirected edges.
+    * Each round: (1) take the min over own + neighbors' labels (one
+    * hop), then (2) short-circuit rep -> rep(rep) (pointer jump),
+    * which doubles the effective propagation distance — `rounds`
+    * rounds close components of diameter ~2^rounds (the plain one-hop
+    * loop only closes diameter `rounds`). Rounds are materialized via
+    * localCheckpoint so the plan stays flat instead of growing 3^r
+    * self-references — the standard Spark iterative-algorithm shape
+    * (a durable checkpoint dir replaces localCheckpoint on a real
+    * cluster where executor loss matters).
+    *
+    * `initial`: (doc_id, rep) starting labels. `edges`: (src, dst)
+    * pairs, treated as undirected. */
+  def labelPropagate(initial: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
+    val undirected = edges
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint() // edge derivation (e.g. minhash) runs once, not per round
+    var labels = initial.localCheckpoint()
+    var i = 0
+    while (i < rounds) {
+      val neighborMin = undirected.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("rep")).as("neighbor_rep"))
+      val hop = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("rep"), coalesce(col("neighbor_rep"), col("rep"))).as("rep"))
+      val jump = hop.as("l")
+        .join(hop.select(col("doc_id").as("r_id"), col("rep").as("r_rep")).as("r"),
+          col("l.rep") === col("r.r_id"), "left")
+        .select(col("l.doc_id").as("doc_id"),
+          least(col("l.rep"), coalesce(col("r.r_rep"), col("l.rep"))).as("rep"))
+      labels = jump.localCheckpoint()
+      i += 1
+    }
+    labels
+  }
+
   /** Full dedup pass: exact dups collapse by content hash; near-dup
     * pairs (minhash, J >= 0.5) collapse to their cluster's minimum
-    * doc_id via iterative min-label propagation (3 rounds closes
-    * chains of length 2^3 — far beyond observed cluster diameters;
-    * the general connected-components loop iterates to fixpoint).
+    * doc_id via min-label propagation with pointer jumping (see
+    * labelPropagate — 3 rounds close diameter ~8 components; raise
+    * `rounds` or loop to fixpoint for adversarially long chains).
     * Output: one row per doc with its representative and kept flag —
     * the projection `filter(kept)` IS the deduplicated corpus. */
   def dedupCorpus(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
@@ -47,21 +84,9 @@ object Pipeline {
       .select(explode(col("members")).as("doc_id"), col("exact_rep"))
     // near-dup edges between exact representatives
     val pairs = Dedup.q21DedupMinhash(spark, dir)
-      .select(col("doc_a"), col("doc_b"))
-    // undirected edges, then propagate the min label `rounds` times
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    var labels = exactRep.select(col("doc_id"), col("exact_rep").as("rep"))
-    var i = 0
-    while (i < rounds) {
-      val neighborMin = edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
-        .groupBy(col("src").as("doc_id"))
-        .agg(min(col("rep")).as("neighbor_rep"))
-      labels = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("rep"), coalesce(col("neighbor_rep"), col("rep"))).as("rep"))
-      i += 1
-    }
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val labels = labelPropagate(
+      exactRep.select(col("doc_id"), col("exact_rep").as("rep")), pairs, rounds)
     labels.withColumn("kept", col("rep") === col("doc_id"))
   }
 

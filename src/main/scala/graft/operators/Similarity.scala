@@ -102,14 +102,22 @@ object Similarity {
     * the general path when the dictionary doesn't fit; same contract,
     * bit-identical scores (integer-valued counts are exact in double).
     */
-  def cosineTopKDense(spark: SparkSession, dir: String, k: Int): DataFrame = {
+  def cosineTopKDense(spark: SparkSession, dir: String, k: Int,
+      maxVocab: Int = 65536): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge.{column => exprCol, expression}
-    // persisted: the vocab-discovery job and the scoring job both read
-    // the postings — cache it once (it is the classic signature-table
-    // cache candidate; size is |corpus terms|, far below the corpus)
-    val post = postings(spark, dir).persist()
+    val post = postings(spark, dir)
+    // Vocab-size gate: this path collects the dictionary to the driver
+    // and densifies every row over it — only valid for broadcast-sized
+    // dictionaries. limit(maxVocab+1) bounds what the driver can ever
+    // hold, so an over-limit corpus fails loudly here instead of
+    // OOMing; use cosineTopK (the postings join) for general corpora.
+    // (Not persisted: vocab discovery and scoring each scan once —
+    // two scans beat an immortal cache entry.)
     val vocab = post.select(col("word")).distinct()
-      .orderBy(col("word")).collect().map(_.getString(0))
+      .orderBy(col("word")).limit(maxVocab + 1).collect().map(_.getString(0))
+    require(vocab.length <= maxVocab,
+      s"dense cosine path requires a dictionary <= $maxVocab terms " +
+        s"(got more); use cosineTopK, the postings-join general path")
     val vocabArr = array(vocab.map(lit(_)): _*)
     val vecs = post.groupBy(col("doc_id"))
       .agg(map_from_entries(collect_list(struct(col("word"), col("cnt")))).as("m"))
@@ -134,8 +142,14 @@ object Similarity {
       .select(col("probe_doc"), col("neighbor_doc"), col("rank"), col("cosine"))
   }
 
+  /** q17 runs the postings join — the formulation that holds at scale:
+    * candidate pairs come only from shared terms, the shuffle is
+    * bounded by the postings table, and nothing corpus-sized ever
+    * reaches the driver. cosineTopKDense stays as an explicit opt-in
+    * for broadcast-sized dictionaries (bit-identical scores — see the
+    * SimilaritySpec agreement test). */
   def q17CosineTopK(spark: SparkSession, dir: String): DataFrame =
-    cosineTopKDense(spark, dir, 5)
+    cosineTopK(spark, dir, 5)
 
   /** Blended recommendations: alpha * cosine + (1-alpha) * min-max
     * normalized popularity, top-n (tasks.py:480-538). Popularity =
@@ -153,7 +167,7 @@ object Similarity {
       .select(col("neighbor_doc"),
         ((col("n_chars") - col("min_chars")).cast("double") /
           (col("max_chars") - col("min_chars"))).as("pop_norm"))
-    val sim = cosineTopKDense(spark, dir, 20)
+    val sim = cosineTopK(spark, dir, 20)
     val blended = sim.join(pop, "neighbor_doc")
       .withColumn("blended", lit(alpha) * col("cosine") + lit(beta) * col("pop_norm"))
     val w = Window.partitionBy(col("probe_doc"))

@@ -49,9 +49,33 @@ class AnnSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
-  test("q30 near-dup pairs respect the threshold and the label block") {
+  test("q30 LSH near-dup: precision 1.0, recall >= 0.95 vs exact ground truth") {
+    // exact all-pairs ground truth computed locally (500 x 64 floats —
+    // collect is metadata-sized for the spec corpus). The corpus holds
+    // no high-cosine planted pairs (max ~0.51), so threshold 0.3 sits
+    // near the random background — the hardest recall regime for LSH;
+    // the b=4/L=32 parameters are chosen for it (see Ann.scaladoc).
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Seq[Float]]("embedding").toArray)
+      .toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val ids = emb.keys.toArray.sorted
+    val gt = (for {
+      ai <- ids.indices.iterator; bi <- (ai + 1 until ids.length).iterator
+      if cos(emb(ids(ai)), emb(ids(bi))) >= 0.3
+    } yield (ids(ai), ids(bi))).toSet
     val rows = Ann.q30DedupEmbedding(spark, sfDir).collect()
     assert(rows.forall(_.getAs[Double]("cosine") >= 0.3))
     assert(rows.forall(r => r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b")))
+    val got = rows.map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    assert(got.subsetOf(gt), "exact verify must make precision 1.0")
+    val recall = got.size.toDouble / gt.size
+    assert(recall >= 0.95, s"recall $recall below floor (${got.size}/${gt.size})")
   }
 }

@@ -61,6 +61,29 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     })
   }
 
+  test("short documents (<3 / <8 words) yield empty shingles and NULL fingerprints, not ANSI crashes") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ""), (2L, "one"), (3L, "one two"), (4L, "a b c"),
+      (5L, "a b c d e f g"), (6L, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+      .withColumn("s3", Dedup.shingles3)
+      .withColumn("th", Dedup.triHash)
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("fp", Dedup.fingerprint8)
+    val rows = df.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // "" splits to [""] (1 token); 1-2 word docs have no 3-shingles
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(rows(id).getAs[scala.collection.Seq[String]]("s3").isEmpty)
+      assert(rows(id).getAs[scala.collection.Seq[Long]]("th").isEmpty)
+    }
+    assert(rows(4L).getAs[scala.collection.Seq[String]]("s3").length === 1)
+    assert(rows(4L).getAs[scala.collection.Seq[Long]]("th").length === 1)
+    // <8 words -> NULL fingerprint; 8 words -> exactly one window
+    Seq(1L, 2L, 3L, 4L, 5L).foreach(id => assert(rows(id).isNullAt(rows(id).fieldIndex("fp"))))
+    assert(!rows(6L).isNullAt(rows(6L).fieldIndex("fp")))
+  }
+
   test("q29 fingerprint is deterministic and shift-stable on a tail edit") {
     import spark.implicits._
     val words = (1 to 20).map(i => s"w$i").mkString(" ")

@@ -53,4 +53,20 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("BroadcastNestedLoopJoin"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q17: postings join by default — no all-pairs scoring, no vocab collect") {
+    val p = plan("q17_cosine_topk")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "q17 must not score all probe x doc pairs")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q30: LSH bucket-join candidates reuse the signature exchange; no label block") {
+    val df = graft.SparkEntry.queries("q30_dedup_embedding")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      "the bucket self-join must reuse the signature pipeline's exchange")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }

@@ -26,6 +26,39 @@ class InfraSpec extends AnyFunSuite with SparkFixture {
     assert(builds === 3)
   }
 
+  test("query cache TTL: hit within ttl, recompute after expiry") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-ttl").toString
+    var builds = 0
+    def build = { builds += 1; Seq(1, 2, 3).toDF("x") }
+    val cfg = """{"q":"ttl"}"""
+    QueryCache.cached(spark, dir, cfg)(build)
+    assert(builds === 1)
+    QueryCache.cached(spark, dir, cfg, ttlMillis = 60000)(build)
+    assert(builds === 1) // young entry: served
+    Thread.sleep(25)
+    QueryCache.cached(spark, dir, cfg, ttlMillis = 10)(build)
+    assert(builds === 2) // expired: recomputed + republished
+    QueryCache.cached(spark, dir, cfg, ttlMillis = 60000)(build)
+    assert(builds === 2) // the republished version is fresh again
+  }
+
+  test("query cache treats a damaged current version as a miss, not an error") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dmg").toString
+    var builds = 0
+    def build = { builds += 1; Seq(1).toDF("x") }
+    val cfg = "dmg"
+    QueryCache.cached(spark, dir, cfg)(build)
+    assert(builds === 1)
+    // simulate a crashed writer: the live version loses its _SUCCESS
+    val entry = java.nio.file.Paths.get(dir, QueryCache.cacheKey(cfg))
+    val current = new String(Files.readAllBytes(entry.resolve("CURRENT")), "UTF-8").trim
+    Files.delete(entry.resolve(current).resolve("_SUCCESS"))
+    val back = QueryCache.cached(spark, dir, cfg)(build)
+    assert(builds === 2 && back.count() === 1)
+  }
+
   test("cache key is deterministic and config-sensitive") {
     assert(QueryCache.cacheKey("abc") === QueryCache.cacheKey("abc"))
     assert(QueryCache.cacheKey("abc") !== QueryCache.cacheKey("abd"))
