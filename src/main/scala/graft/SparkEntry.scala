@@ -346,16 +346,22 @@ object SparkEntry {
       ),
       mm AS (SELECT MIN(n_chars) AS mn, MAX(n_chars) AS mx FROM documents),
       pop AS (
-        SELECT doc_id AS neighbor_doc,
+        SELECT doc_id AS neighbor_doc, lang, source, n_chars,
           CAST(n_chars - mn AS DOUBLE)/(mx - mn) AS pop_norm
         FROM documents, mm
       )
-      SELECT probe_doc, neighbor_doc, rec_rank, blended FROM (
-        SELECT s.probe_doc, s.neighbor_doc,
-          0.7 * s.cosine + 0.3 * p.pop_norm AS blended,
+      SELECT probe_doc, neighbor_doc, lang, source, n_chars,
+        similarity_score, popularity_score, combined_score, rec_rank
+      FROM (
+        SELECT s.probe_doc, s.neighbor_doc, p.lang, p.source, p.n_chars,
+          0.7 * s.cosine AS similarity_score,
+          0.3 * p.pop_norm AS popularity_score,
+          0.7 * s.cosine + 0.3 * p.pop_norm AS combined_score,
           ROW_NUMBER() OVER (PARTITION BY s.probe_doc
-            ORDER BY 0.7 * s.cosine + 0.3 * p.pop_norm DESC, s.neighbor_doc ASC) AS rec_rank
+            ORDER BY 0.7 * s.cosine + 0.3 * p.pop_norm DESC, p.n_chars DESC,
+                     s.neighbor_doc ASC) AS rec_rank
         FROM sim s JOIN pop p USING (neighbor_doc)
+        WHERE p.n_chars > 0
       ) WHERE rec_rank <= 5
     """,
     "q19_feature_matrix" -> """

@@ -9,11 +9,18 @@ import org.apache.spark.sql.types._
 
 object ClusterKernels {
   /** Nearest centroid by squared euclidean distance; ties go to the
-    * lower cluster id. Returns (cluster, sqDist). */
+    * lower cluster id. Returns (cluster, sqDist, sqDist2) where
+    * sqDist2 is the distance to the SECOND-nearest centroid — the
+    * `b` term of the simplified silhouette (distance-to-own vs
+    * nearest-other-centroid), which replaces sklearn's O(N^2)
+    * silhouette_score with an O(N*k) quantity a cluster can compute
+    * (the same substitution Spark ML's ClusteringEvaluator makes).
+    * For k == 1 sqDist2 is NaN (silhouette undefined). */
   def nearest(v: ArrayData, centroids: Array[Array[Double]]): InternalRow = {
     val dim = v.numElements()
     var best = -1
     var bestD = Double.MaxValue
+    var secondD = Double.MaxValue
     var c = 0
     while (c < centroids.length) {
       val cent = centroids(c)
@@ -24,10 +31,12 @@ object ClusterKernels {
         d += diff * diff
         i += 1
       }
-      if (d < bestD) { bestD = d; best = c }
+      if (d < bestD) { secondD = bestD; bestD = d; best = c }
+      else if (d < secondD) { secondD = d }
       c += 1
     }
-    new GenericInternalRow(Array[Any](best, bestD))
+    if (centroids.length < 2) secondD = Double.NaN
+    new GenericInternalRow(Array[Any](best, bestD, secondD))
   }
 }
 
@@ -38,7 +47,8 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
     extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
     StructField("cluster", IntegerType, nullable = false),
-    StructField("sq_dist", DoubleType, nullable = false)))
+    StructField("sq_dist", DoubleType, nullable = false),
+    StructField("sq_dist2", DoubleType, nullable = false)))
   override def nullSafeEval(input: Any): Any =
     ClusterKernels.nearest(input.asInstanceOf[ArrayData], centroids)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {

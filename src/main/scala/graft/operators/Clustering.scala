@@ -17,18 +17,25 @@ import graft.sources.Tables
   */
 object Clustering {
 
-  /** One Lloyd's assignment pass against the given centroids. */
+  /** One Lloyd's assignment pass against the given centroids. Carries
+    * sq_dist2 (second-nearest centroid) for the silhouette term. */
   def assign(vecs: DataFrame, centroids: Array[Array[Double]]): DataFrame =
     vecs.withColumn("asg",
       exprCol(NearestCentroid(expression(col("embedding")), centroids)))
       .select(col("vec_id"), col("embedding"),
-        col("asg.cluster").as("cluster"), col("asg.sq_dist").as("sq_dist"))
+        col("asg.cluster").as("cluster"), col("asg.sq_dist").as("sq_dist"),
+        col("asg.sq_dist2").as("sq_dist2"))
 
-  /** Full KMeans: returns the final assignment frame. */
+  /** Full KMeans: returns the final assignment frame. The vector frame
+    * is persisted across the `iters` jobs (each iteration is its own
+    * action; without the cache every round rescans + re-repartitions
+    * the source) and unpersisted once the final assignment is
+    * materialized. */
   def kmeans(spark: SparkSession, dir: String, k: Int, iters: Int): DataFrame = {
     val vecs = Tables.embeddings(spark, dir)
       .repartition(col("vec_id")) // parallelize off the single-split scan
       .select(col("vec_id"), col("embedding"))
+      .persist()
     // deterministic init: the k lowest vec_ids
     var centroids: Array[Array[Double]] = vecs
       .orderBy(col("vec_id")).limit(k).collect()
@@ -51,14 +58,26 @@ object Clustering {
       centroids = next
       it += 1
     }
-    assign(vecs, centroids)
+    // materialize the final assignment, then release the iteration cache
+    val result = assign(vecs, centroids).localCheckpoint()
+    vecs.unpersist(blocking = false)
+    result
   }
 
-  /** Cluster summary — sizes and mean within-cluster distance. */
-  def q32Kmeans(spark: SparkSession, dir: String): DataFrame =
+  /** Cluster summary — sizes, mean within-cluster distance, and mean
+    * simplified silhouette (b - a)/max(a, b) with a = distance to own
+    * centroid, b = distance to nearest OTHER centroid — the
+    * distributed stand-in for the reference's silhouette_score
+    * (tasks.py:477-478); exact silhouette is O(N^2) and driver-bound. */
+  def q32Kmeans(spark: SparkSession, dir: String): DataFrame = {
+    val a = sqrt(col("sq_dist"))
+    val b = sqrt(col("sq_dist2"))
     kmeans(spark, dir, k = 10, iters = 5)
+      .withColumn("sil", (b - a) / greatest(a, b))
       .groupBy(col("cluster"))
       .agg(
         count(lit(1)).as("n"),
-        sqrt(avg(col("sq_dist"))).as("rms_dist"))
+        sqrt(avg(col("sq_dist"))).as("rms_dist"),
+        avg(col("sil")).as("silhouette"))
+  }
 }

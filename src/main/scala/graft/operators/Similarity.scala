@@ -151,10 +151,15 @@ object Similarity {
   def q17CosineTopK(spark: SparkSession, dir: String): DataFrame =
     cosineTopK(spark, dir, 5)
 
-  /** Blended recommendations: alpha * cosine + (1-alpha) * min-max
-    * normalized popularity, top-n (tasks.py:480-538). Popularity =
-    * document length; global min/max is a 1-row aggregate broadcast
-    * into the score expression. */
+  /** Blended recommendations with the reference's full output shape
+    * (get_similar_content, tasks.py:480-538): separate similarity /
+    * popularity / combined score columns (alpha*cos, (1-alpha)*minmax
+    * popularity), display-metadata join (lang/source — the wiki name /
+    * vertical analogs), the `users > 0` junk filter (n_chars > 0
+    * here), and the (combined DESC, users DESC) tie order with a
+    * final id tiebreak for total determinism. Popularity = document
+    * length; global min/max is a 1-row aggregate broadcast into the
+    * score expression. */
   def q18WeightedRecs(spark: SparkSession, dir: String): DataFrame = {
     val alpha = 0.7
     val beta = 0.3 // NOT 1 - alpha: 1.0 - 0.7 is 0.30000000000000004 in
@@ -162,19 +167,25 @@ object Similarity {
     val docs = Tables.documents(spark, dir)
     val minMax = docs.agg(
       min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
-    val pop = docs.select(col("doc_id").as("neighbor_doc"), col("n_chars"))
+    val pop = docs
+      .select(col("doc_id").as("neighbor_doc"), col("lang"), col("source"), col("n_chars"))
       .crossJoin(broadcast(minMax))
-      .select(col("neighbor_doc"),
+      .select(col("neighbor_doc"), col("lang"), col("source"), col("n_chars"),
         ((col("n_chars") - col("min_chars")).cast("double") /
           (col("max_chars") - col("min_chars"))).as("pop_norm"))
     val sim = cosineTopK(spark, dir, 20)
-    val blended = sim.join(pop, "neighbor_doc")
-      .withColumn("blended", lit(alpha) * col("cosine") + lit(beta) * col("pop_norm"))
+    val scored = sim.join(pop, "neighbor_doc")
+      .filter(col("n_chars") > 0) // reference: users > 0
+      .withColumn("similarity_score", lit(alpha) * col("cosine"))
+      .withColumn("popularity_score", lit(beta) * col("pop_norm"))
+      .withColumn("combined_score", col("similarity_score") + col("popularity_score"))
     val w = Window.partitionBy(col("probe_doc"))
-      .orderBy(col("blended").desc, col("neighbor_doc").asc)
-    blended
+      .orderBy(col("combined_score").desc, col("n_chars").desc, col("neighbor_doc").asc)
+    scored
       .withColumn("rec_rank", row_number().over(w))
       .filter(col("rec_rank") <= 5)
-      .select(col("probe_doc"), col("neighbor_doc"), col("rec_rank"), col("blended"))
+      .select(col("probe_doc"), col("neighbor_doc"), col("lang"), col("source"),
+        col("n_chars"), col("similarity_score"), col("popularity_score"),
+        col("combined_score"), col("rec_rank"))
   }
 }

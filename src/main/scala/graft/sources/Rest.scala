@@ -1,0 +1,94 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+import java.net.HttpURLConnection
+import scala.io.Source
+
+/** REST API → DataFrame source — graft's re-expression of the
+  * reference's ApiData connector (connectors.py:152-179) and the
+  * paginated pull loop in SearchData (connectors.py:502-534: request,
+  * append page, advance, stop on empty).
+  *
+  * Two shapes, by pagination contract:
+  *
+  *  - `readPaged`: cursor/link pagination is inherently sequential, so
+  *    the DRIVER walks pages (exactly the reference's while-loop) —
+  *    but rows are parsed on EXECUTORS from the raw page bodies with
+  *    an explicit schema (no inference pass, no driver-side JSON
+  *    decode of the payload).
+  *  - `readPagedParallel`: offset/page-number pagination has no
+  *    sequential dependency, so page FETCHES are distributed to
+  *    executors in waves — ingest bandwidth scales with the cluster
+  *    instead of one driver connection, which is what matters when an
+  *    API backfill is the entry point of a pipeline. A wave containing
+  *    an empty page ends the scan.
+  *
+  * Both land `DataFrame`s via spark.read.json over the body dataset,
+  * schema explicit and mandatory.
+  */
+object Rest {
+
+  /** GET a URL → body string. Executor-safe: no session references. */
+  def get(url: String, timeoutMs: Int = 10000): String = {
+    val conn = java.net.URI.create(url).toURL
+      .openConnection().asInstanceOf[HttpURLConnection]
+    conn.setConnectTimeout(timeoutMs)
+    conn.setReadTimeout(timeoutMs)
+    conn.setRequestProperty("Accept", "application/json")
+    try {
+      val is = conn.getInputStream
+      try Source.fromInputStream(is, "UTF-8").mkString
+      finally is.close()
+    } finally conn.disconnect()
+  }
+
+  /** Sequential (cursor) pagination: fetch `firstUrl`, then follow
+    * `nextUrl(currentUrl, body)` until it returns None (or maxPages —
+    * a runaway-API backstop). Bodies accumulate on the driver (one
+    * page at a time, the reference's own memory profile); parsing into
+    * rows happens on executors against the explicit schema. */
+  def readPaged(spark: SparkSession, firstUrl: String, schema: StructType,
+      nextUrl: (String, String) => Option[String],
+      maxPages: Int = 10000): DataFrame = {
+    import spark.implicits._
+    val bodies = scala.collection.mutable.ArrayBuffer[String]()
+    var current = Option(firstUrl)
+    while (current.isDefined && bodies.length < maxPages) {
+      val body = get(current.get)
+      bodies += body
+      current = nextUrl(current.get, body)
+    }
+    spark.read.schema(schema).json(spark.createDataset(bodies.toSeq))
+  }
+
+  /** Parallel (offset) pagination: executors fetch `wave` pages at a
+    * time via `urlForPage`; the driver only advances wave boundaries
+    * and stops when a wave contains a page `isEmptyPage` accepts
+    * (default: an empty JSON array). Page bodies transit the driver
+    * between waves — bounded by wave * page size; at cluster scale
+    * raise `wave` to the executor count. */
+  def readPagedParallel(spark: SparkSession, urlForPage: Int => String,
+      schema: StructType, wave: Int = 8, maxPages: Int = 10000,
+      isEmptyPage: String => Boolean = b => {
+        val t = b.trim; t.isEmpty || t == "[]" || t == "{}"
+      }): DataFrame = {
+    import spark.implicits._
+    val all = scala.collection.mutable.ArrayBuffer[String]()
+    var page = 0
+    var done = false
+    while (!done && page < maxPages) {
+      val n = math.min(wave, maxPages - page)
+      val urls = (page until page + n).map(urlForPage)
+      val bodies = spark.sparkContext
+        .parallelize(urls, n)
+        .map(u => get(u))
+        .collect()
+      val nonEmpty = bodies.takeWhile(!isEmptyPage(_))
+      all ++= nonEmpty
+      done = nonEmpty.length < bodies.length
+      page += n
+    }
+    spark.read.schema(schema).json(spark.createDataset(all.toSeq))
+  }
+}

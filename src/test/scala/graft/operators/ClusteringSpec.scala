@@ -24,12 +24,31 @@ class ClusteringSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
-  test("q32 produces k clusters partitioning the corpus") {
+  test("q32 produces k clusters partitioning the corpus, with silhouette in [-1,1]") {
     val out = Clustering.q32Kmeans(spark, sfDir).collect()
     assert(out.length <= 10 && out.nonEmpty)
     val total = out.map(_.getAs[Long]("n")).sum
     assert(total === spark.read.parquet(s"$sfDir/embeddings.parquet").count())
     assert(out.forall(_.getAs[Double]("rms_dist") >= 0.0))
+    out.foreach { r =>
+      val s = r.getAs[Double]("silhouette")
+      assert(!s.isNaN && s >= -1.0 && s <= 1.0, s"silhouette $s out of range")
+    }
+  }
+
+  test("assignment silhouette term: clear blob points score near 1") {
+    import spark.implicits._
+    val rows = Seq((0L, Array.fill(8)(10f)), (1L, Array.fill(8)(-10f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val centroids = Array(Array.fill(8)(10.0), Array.fill(8)(-10.0))
+    val out = Clustering.assign(df, centroids).collect()
+    out.foreach { r =>
+      val a = math.sqrt(r.getAs[Double]("sq_dist"))
+      val b = math.sqrt(r.getAs[Double]("sq_dist2"))
+      assert(a === 0.0) // sits on its centroid
+      assert(b > 0.0)
+      assert((b - a) / math.max(a, b) === 1.0)
+    }
   }
 
   test("kmeans is deterministic across runs") {

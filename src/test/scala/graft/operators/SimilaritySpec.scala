@@ -48,11 +48,25 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(dense === postings) // bit-identical scores, same tie-breaks
   }
 
-  test("q18 blended score combines cosine and popularity with 0.7/0.3") {
+  test("q18 combined score = similarity + popularity parts; junk filter holds") {
     val rows = Similarity.q18WeightedRecs(spark, sfDir).collect()
     assert(rows.nonEmpty)
-    assert(rows.forall { r =>
-      val b = r.getAs[Double]("blended"); b >= 0.0 && b <= 1.0 + 1e-12
-    })
+    rows.foreach { r =>
+      val s = r.getAs[Double]("similarity_score")
+      val p = r.getAs[Double]("popularity_score")
+      val c = r.getAs[Double]("combined_score")
+      assert(c === s + p)
+      assert(c >= 0.0 && c <= 1.0 + 1e-12)
+      assert(r.getAs[Long]("n_chars") > 0) // reference: users > 0
+      assert(r.getAs[String]("lang") != null && r.getAs[String]("source") != null)
+    }
+    // tie order: within a probe, combined desc then n_chars desc
+    rows.groupBy(_.getAs[Long]("probe_doc")).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("rec_rank"))
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        val (ca, cb) = (a.getAs[Double]("combined_score"), b.getAs[Double]("combined_score"))
+        assert(ca > cb || (ca == cb && a.getAs[Long]("n_chars") >= b.getAs[Long]("n_chars")))
+      }
+    }
   }
 }

@@ -65,6 +65,77 @@ class InfraSpec extends AnyFunSuite with SparkFixture {
     assert(QueryCache.cacheKey("abc").length === 32)
   }
 
+  test("jdbc source round-trips via embedded Derby with predicate pushdown and striped reads") {
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE metrics (id BIGINT NOT NULL, name VARCHAR(32), val DOUBLE)")
+      val ins = conn.prepareStatement("INSERT INTO metrics VALUES (?, ?, ?)")
+      (1 to 100).foreach { i =>
+        ins.setLong(1, i); ins.setString(2, s"m$i"); ins.setDouble(3, i * 1.5)
+        ins.executeUpdate()
+      }
+      // whole-table read
+      val df = Jdbc.read(spark, url, "metrics")
+      assert(df.count() === 100)
+      // filters must reach the remote engine (PushedFilters in the scan)
+      val filtered = df.filter(col("id") > 90)
+      assert(filtered.count() === 10)
+      val plan = filtered.queryExecution.executedPlan.toString
+      // Derby upper-cases identifiers: the pushed filter reads GreaterThan(ID,90)
+      assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(ID,90)"),
+        s"filter must push to the JDBC source, got:\n$plan")
+      // striped parallel read: one range scan per partition
+      val striped = Jdbc.readPartitioned(spark, url, "metrics", "id", 1L, 100L, 4)
+      assert(striped.rdd.getNumPartitions === 4)
+      assert(striped.count() === 100)
+      assert(striped.agg(sum("id")).collect()(0).getLong(0) === 5050L)
+      // pushed query: only the result set crosses the wire
+      val q = Jdbc.readQuery(spark, url,
+        "SELECT name, val FROM metrics WHERE id <= 3")
+      assert(q.collect().map(_.getAs[String]("NAME")).sorted === Array("m1", "m2", "m3"))
+    } finally conn.close()
+  }
+
+  test("rest source: sequential cursor pagination stops on the last page") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    try {
+      server.createContext("/items", { exchange =>
+        val q = Option(exchange.getRequestURI.getQuery).getOrElse("")
+        val page = q.split("=").lift(1).map(_.toInt).getOrElse(0)
+        val body =
+          if (page >= 3) "[]"
+          else (page * 10 until page * 10 + 10)
+            .map(i => s"""{"id":$i,"name":"item$i"}""").mkString("[", ",", "]")
+        val bytes = body.getBytes("UTF-8")
+        exchange.getResponseHeaders.set("Content-Type", "application/json")
+        exchange.sendResponseHeaders(200, bytes.length)
+        exchange.getResponseBody.write(bytes)
+        exchange.close()
+      })
+      server.start()
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}/items"
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("name", StringType)))
+      // cursor walk: next page until the API returns an empty array
+      val df = Rest.readPaged(spark, s"$base?page=0", schema,
+        nextUrl = (url, body) =>
+          if (body.trim == "[]") None
+          else {
+            val p = url.split("page=")(1).toInt
+            Some(s"$base?page=${p + 1}")
+          })
+      assert(df.count() === 30)
+      assert(df.agg(min("id"), max("id")).collect()(0).toSeq === Seq(0L, 29L))
+      // parallel offset walk: executor-side fetches, same rows
+      val par = Rest.readPagedParallel(spark, p => s"$base?page=$p", schema, wave = 2)
+      assert(par.count() === 30)
+      assert(par.select("id").distinct().count() === 30)
+    } finally server.stop(0)
+  }
+
   test("partitioned parquet sink prunes partitions on a date predicate") {
     val dir = Files.createTempDirectory("graft-part").toString
     val events = Tables.events(spark, sfDir)
