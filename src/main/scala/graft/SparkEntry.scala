@@ -58,6 +58,9 @@ object SparkEntry {
     "q40_hash_split"          -> Pipeline.q40HashSplit _,
     "q41_dedup_pipeline"      -> Pipeline.q41DedupPipeline _,
     "q42_approx_distinct"     -> Analytics.q42ApproxDistinct _,
+    "q43_stratified_sample"   -> Pipeline.q43StratifiedSample _,
+    "q44_contamination"       -> Pipeline.q44Contamination _,
+    "q45_ann_ivf"             -> Ann.q45AnnIvf _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -580,6 +583,38 @@ object SparkEntry {
       SELECT split, lang, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars,
         MIN(doc_id) AS min_doc_id
       FROM s GROUP BY 1, 2
+    """,
+    "q43_stratified_sample" -> """
+      WITH s AS (
+        SELECT *,
+          CASE WHEN lang = 'en' THEN 500 WHEN lang = 'de' THEN 350
+               WHEN lang = 'fr' THEN 250 WHEN lang = 'es' THEN 200
+               ELSE 100 END AS permille,
+          (doc_id * 2654435761) % 4294967296 % 1000 AS h
+        FROM documents
+      ),
+      k AS (SELECT *, h < permille AS kept FROM s)
+      SELECT lang, COUNT(*) AS docs,
+        CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+        CAST(SUM(CASE WHEN kept THEN n_chars END) AS BIGINT) AS kept_chars,
+        MIN(CASE WHEN kept THEN doc_id END) AS min_kept_doc_id,
+        CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS achieved_rate
+      FROM k GROUP BY lang
+    """,
+    "q44_contamination" -> """
+      WITH t AS (
+        SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                       for i in range(1, len(w) - 1)]) AS tri
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      ),
+      p AS (SELECT doc_id, unnest(tri) AS tri FROM t),
+      b AS (SELECT doc_id AS bdoc, tri FROM p WHERE doc_id % 97 = 0),
+      c AS (SELECT doc_id, tri FROM p WHERE doc_id % 97 <> 0)
+      SELECT c.doc_id,
+        COUNT(DISTINCT c.tri) AS shared_trigrams,
+        COUNT(DISTINCT b.bdoc) AS benchmark_docs
+      FROM c JOIN b ON c.tri = b.tri
+      GROUP BY 1
     """,
   )
 }

@@ -38,6 +38,46 @@ object ClusterKernels {
     if (centroids.length < 2) secondD = Double.NaN
     new GenericInternalRow(Array[Any](best, bestD, secondD))
   }
+
+  /** The `p` nearest centroid ids, ascending by squared euclidean
+    * distance (ties → lower id) — the multi-probe cell list of an IVF
+    * index. Selection sort over k entries: k is tens-to-thousands, so
+    * O(k*p) per row beats building a heap. */
+  def nearestCells(v: ArrayData, centroids: Array[Array[Double]], p: Int): ArrayData = {
+    val dim = v.numElements()
+    val k = centroids.length
+    val dists = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cent = centroids(c)
+      var d = 0.0
+      var i = 0
+      while (i < dim) {
+        val diff = v.getFloat(i).toDouble - cent(i)
+        d += diff * diff
+        i += 1
+      }
+      dists(c) = d
+      c += 1
+    }
+    val n = math.min(p, k)
+    val out = new Array[Int](n)
+    val taken = new Array[Boolean](k)
+    var j = 0
+    while (j < n) {
+      var best = -1
+      var bestD = Double.MaxValue
+      var c2 = 0
+      while (c2 < k) {
+        if (!taken(c2) && dists(c2) < bestD) { bestD = dists(c2); best = c2 }
+        c2 += 1
+      }
+      taken(best) = true
+      out(j) = best
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** Assign a float vector to its nearest centroid — the per-row half of
@@ -59,4 +99,21 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
   override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
     copy(child = newChild)
   override def prettyName: String = "nearest_centroid"
+}
+
+/** The p nearest centroid ids for a float vector — IVF cell probes. */
+case class NearestCells(child: Expression, centroids: Array[Array[Double]], p: Int)
+    extends UnaryExpression {
+  require(p >= 1, "need at least one probe cell")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    ClusterKernels.nearestCells(input.asInstanceOf[ArrayData], centroids, p)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ClusterKernels.nearestCells($c, $ref, $p);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCells =
+    copy(child = newChild)
+  override def prettyName: String = "nearest_cells"
 }

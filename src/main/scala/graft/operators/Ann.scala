@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.Bridge.{column => exprCol, expression}
-import graft.functions.{FloatVecCosine, HyperplaneBuckets}
+import graft.functions.{FloatVecCosine, HyperplaneBuckets, NearestCells}
 import graft.sources.Tables
 
 /** Approximate-nearest-neighbor search over the dense embedding column
@@ -74,6 +74,44 @@ object Ann {
       .select(col("probe_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** IVF (inverted-file) ANN: the corpus is partitioned into kmeans
+    * cells (assignment = nearest centroid, one codegen pass); each
+    * probe searches its `probeCells` nearest cells with exact cosine.
+    * Complements q25's LSH: IVF cells ADAPT to the data distribution
+    * (tighter candidate sets on clustered data; k grows with N to
+    * bound cell size), while LSH is data-oblivious. The trained
+    * "model" is k*dim doubles — broadcast-sized by construction, so
+    * the index adds no join: cell ids ride along as columns and
+    * candidates come from a cell-equality join. */
+  def q45AnnIvf(spark: SparkSession, dir: String): DataFrame =
+    annIvf(spark, dir, k = 16, iters = 5, probeCells = 6, topK = 5)
+
+  def annIvf(spark: SparkSession, dir: String, k: Int, iters: Int,
+      probeCells: Int, topK: Int): DataFrame = {
+    val cents = Clustering.centroids(spark, dir, k, iters)
+    val emb = Tables.embeddings(spark, dir)
+      .repartition(col("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+    // corpus side: each vector lives in exactly its nearest cell
+    val corpus = emb.select(
+      col("vec_id").as("neighbor_id"), col("embedding"),
+      exprCol(NearestCells(expression(col("embedding")), cents, 1))(0).as("cell"))
+    // probe side: fan out to the probeCells nearest cells
+    val probes = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        explode(exprCol(NearestCells(expression(col("embedding")), cents, probeCells)))
+          .as("cell"))
+    val scored = probes.join(corpus, "cell")
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("p_emb"), col("embedding")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("probe_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold.
     * Candidates come from random-hyperplane LSH bucket collisions
     * (HyperplaneBuckets — the q25 machinery), verified by exact
@@ -99,22 +137,28 @@ object Ann {
 
   def dedupEmbedding(spark: SparkSession, dir: String, threshold: Double,
       nTables: Int, bitsPerTable: Int): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
+    val vecs = Tables.embeddings(spark, dir)
       .repartition(col("vec_id")) // parallelize bucket computation
-      .select(col("vec_id"), col("embedding"),
+      .select(col("vec_id"), col("embedding"))
+    // band rows carry only (vec_id, tbl, bucket): the 64-float vectors
+    // stay out of the exploded bucket table and its self-join, exactly
+    // like q21's band table — candidates are bare id pairs until the
+    // (much smaller, post-dedup) verify join fetches vectors back.
+    val banded = vecs
+      .select(col("vec_id"),
         posexplode(exprCol(HyperplaneBuckets(
           expression(col("embedding")), nTables, bitsPerTable))).as(Seq("tbl", "bucket")))
       // join-key shuffle -> ReusedExchange: the signature pass runs once
       .repartition(col("tbl"), col("bucket"))
-    val cand = emb.as("a")
-      .join(emb.as("b"),
+    val cand = banded.as("a")
+      .join(banded.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(
-        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.embedding").as("emb_a"), col("b.embedding").as("emb_b"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .dropDuplicates("vec_a", "vec_b")
     cand
+      .join(vecs.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
+      .join(vecs.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")
       .select(col("vec_a"), col("vec_b"),
         cosine(col("emb_a"), col("emb_b")).as("cosine"))
       .filter(col("cosine") >= threshold)

@@ -36,6 +36,27 @@ object Clustering {
       .repartition(col("vec_id")) // parallelize off the single-split scan
       .select(col("vec_id"), col("embedding"))
       .persist()
+    val cents = centroidsOf(vecs, k, iters)
+    // materialize the final assignment, then release the iteration cache
+    val result = assign(vecs, cents).localCheckpoint()
+    vecs.unpersist(blocking = false)
+    result
+  }
+
+  /** Just the trained centroid matrix (k*dim doubles — broadcast-sized
+    * by construction); the "model" an IVF index probes against. */
+  def centroids(spark: SparkSession, dir: String, k: Int, iters: Int): Array[Array[Double]] = {
+    val vecs = Tables.embeddings(spark, dir)
+      .repartition(col("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+      .persist()
+    val cents = centroidsOf(vecs, k, iters)
+    vecs.unpersist(blocking = false)
+    cents
+  }
+
+  /** Lloyd's iterations over a persisted (vec_id, embedding) frame. */
+  private def centroidsOf(vecs: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
     // deterministic init: the k lowest vec_ids
     var centroids: Array[Array[Double]] = vecs
       .orderBy(col("vec_id")).limit(k).collect()
@@ -58,10 +79,7 @@ object Clustering {
       centroids = next
       it += 1
     }
-    // materialize the final assignment, then release the iteration cache
-    val result = assign(vecs, centroids).localCheckpoint()
-    vecs.unpersist(blocking = false)
-    result
+    centroids
   }
 
   /** Cluster summary — sizes, mean within-cluster distance, and mean

@@ -90,6 +90,54 @@ object Pipeline {
     labels.withColumn("kept", col("rep") === col("doc_id"))
   }
 
+  /** Deterministic stratified sampling — the data-mixing op of a
+    * training pipeline (per-source/per-language up/down-weighting into
+    * a target mix). Same engine-neutral multiplicative hash as q40, so
+    * any engine reproduces the identical sample: no RNG, no seed
+    * shipping, and re-runs are idempotent (a doc's fate depends only
+    * on its id). Per-stratum keep thresholds are integer per-mille
+    * values — no float-rate arithmetic to diverge between engines.
+    * One scan, map-side combinable aggregate: scan-speed at any scale. */
+  def q43StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val permille = when(col("lang") === "en", 500)
+      .when(col("lang") === "de", 350)
+      .when(col("lang") === "fr", 250)
+      .when(col("lang") === "es", 200)
+      .otherwise(100)
+    val h = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)) % 1000
+    Tables.documents(spark, dir)
+      .withColumn("kept", h < permille)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("kept_docs"),
+        sum(when(col("kept"), col("n_chars"))).as("kept_chars"),
+        min(when(col("kept"), col("doc_id"))).as("min_kept_doc_id"))
+      .withColumn("achieved_rate",
+        col("kept_docs").cast("double") / col("docs"))
+  }
+
+  /** Benchmark-contamination check: which corpus docs share word
+    * trigrams with a benchmark set (decontaminating training data
+    * against eval benchmarks — the n-gram-overlap method). Postings-
+    * join formulation: the benchmark postings table (small by nature —
+    * benchmarks are thousands of docs, not billions) broadcasts, the
+    * corpus streams past it once, and the corpus×benchmark matrix
+    * never forms. Benchmark stand-in here: doc_id % 97 == 0. */
+  def q44Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val post = Tables.documents(spark, dir)
+      .repartition(col("doc_id")) // parallelize shingling off the scan
+      .select(col("doc_id"), explode(Dedup.shingles3).as("tri"))
+    val bench = post.filter(col("doc_id") % 97 === 0)
+      .select(col("tri"), col("doc_id").as("bdoc"))
+    post.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), "tri")
+      .groupBy(col("doc_id"))
+      .agg(
+        countDistinct(col("tri")).as("shared_trigrams"),
+        countDistinct(col("bdoc")).as("benchmark_docs"))
+  }
+
   /** Summary for the gate: corpus size, kept docs, dup docs removed. */
   def q41DedupPipeline(spark: SparkSession, dir: String): DataFrame =
     dedupCorpus(spark, dir)

@@ -49,6 +49,24 @@ class AnnSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q45 IVF ANN: recall@5 vs exact brute force, descending within probe") {
+    val exact = Ann.q24AnnBruteforce(spark, sfDir)
+      .filter(col("rank") <= 5).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = Ann.q45AnnIvf(spark, sfDir).collect()
+    ivf.groupBy(_.getAs[Long]("probe_id")).values.foreach { rs =>
+      val cos = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+    val found = ivf.map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // measured 0.82 on this (deterministic) corpus probing 6/16 cells —
+    // near-random embeddings are ANN's hardest regime; clustered data
+    // does far better for the same probe fraction
+    val recall = (found & exact).size.toDouble / exact.size
+    info(s"IVF recall@5 = $recall (${(found & exact).size}/${exact.size})")
+    assert(recall >= 0.75, s"recall $recall")
+  }
+
   test("q30 LSH near-dup: precision 1.0, recall >= 0.95 vs exact ground truth") {
     // exact all-pairs ground truth computed locally (500 x 64 floats —
     // collect is metadata-sized for the spec corpus). The corpus holds

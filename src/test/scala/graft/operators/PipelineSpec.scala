@@ -17,6 +17,49 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(bySplit("test").toDouble / total < 0.2)
   }
 
+  test("q43 stratified sample: rates land near targets, totals partition the corpus") {
+    val out = Pipeline.q43StratifiedSample(spark, sfDir).collect()
+    val targets = Map("en" -> 0.5, "de" -> 0.35, "fr" -> 0.25, "es" -> 0.2)
+    out.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val rate = r.getAs[Double]("achieved_rate")
+      val t = targets.getOrElse(lang, 0.1)
+      // ~100 docs per stratum: hash-sampling noise is a few percent
+      assert(math.abs(rate - t) < 0.15, s"$lang achieved $rate vs target $t")
+      assert(rate === r.getAs[Long]("kept_docs").toDouble / r.getAs[Long]("docs"))
+      assert(r.getAs[Long]("kept_docs") <= r.getAs[Long]("docs"))
+    }
+    val total = out.map(_.getAs[Long]("docs")).sum
+    assert(total === spark.read.parquet(s"$sfDir/documents.parquet").count())
+  }
+
+  test("q44 contamination matches a local trigram-overlap computation exactly") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def tris(t: String): Set[String] = {
+      val w = t.split(" ")
+      if (w.length < 3) Set.empty
+      else (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
+    }
+    val bench = docs.filter(_._1 % 97 == 0).map { case (id, t) => id -> tris(t) }
+    val benchTris = bench.values.flatten.toSet
+    val expected = docs.filter(_._1 % 97 != 0).flatMap { case (id, t) =>
+      val mine = tris(t)
+      val shared = mine & benchTris
+      if (shared.isEmpty) None
+      else {
+        val hitDocs = bench.count(_._2.exists(shared.contains))
+        Some(id -> ((shared.size.toLong, hitDocs.toLong)))
+      }
+    }
+    val got = Pipeline.q44Contamination(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("shared_trigrams"), r.getAs[Long]("benchmark_docs")))).toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("dedup pipeline: representatives are cluster minima; kept = distinct reps") {
     val labels = Pipeline.dedupCorpus(spark, sfDir).cache()
     // every rep is itself kept, and rep <= doc_id
