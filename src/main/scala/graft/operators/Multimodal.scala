@@ -68,6 +68,39 @@ object Multimodal {
     }.toDF("doc_id", "frame_idx", "frame")
   }
 
+  /** Resize stub: nearest-neighbor subsample of the payload viewed as
+    * a square-ish byte grid, down to (targetW x targetH). The index
+    * arithmetic (source-grid inference, nearest-neighbor mapping,
+    * bounds handling) is the real resize logic — bytes stand in for
+    * pixels; a real implementation swaps the grid for decoded planes.
+    * Partition-wise like decodeFeatures, so a native resizer amortizes
+    * its init. */
+  def resize(media: Dataset[MediaRow], targetW: Int, targetH: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    require(targetW > 0 && targetH > 0, "target dims must be positive")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val len = r.content.length
+        val w = math.max(1, math.ceil(math.sqrt(len.toDouble)).toInt)
+        val h = math.max(1, (len + w - 1) / w)
+        val out = new Array[Byte](targetW * targetH)
+        var ty = 0
+        while (ty < targetH) {
+          val sy = ty * h / targetH
+          var tx = 0
+          while (tx < targetW) {
+            val sx = tx * w / targetW
+            val idx = sy * w + sx
+            out(ty * targetW + tx) = if (idx < len) r.content(idx) else 0
+            tx += 1
+          }
+          ty += 1
+        }
+        (r.doc_id, targetW, targetH, out)
+      }
+    }.toDF("doc_id", "width", "height", "pixels")
+  }
+
   /** Oracle-checkable projection: binary length, hex content hash, and
     * the deterministic fake-decode features. */
   def q31MultimodalFeatures(spark: SparkSession, dir: String): DataFrame = {

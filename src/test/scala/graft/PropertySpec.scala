@@ -3,7 +3,8 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
-import graft.functions.{AnchorCalendar, SketchKernels}
+import graft.functions.{AnchorCalendar, ClusterKernels, SketchKernels, VectorKernels}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import java.time.LocalDate
 
 /** Property-based correctness: pure kernels and calendar math against
@@ -56,6 +57,49 @@ class PropertySpec extends AnyFunSuite with graft.SparkFixture {
       assert(cal.latestCompleteWeekStart.getDayOfWeek === java.time.DayOfWeek.MONDAY)
       val daysBack = java.time.temporal.ChronoUnit.DAYS.between(cal.latestCompleteWeekStart, d)
       assert(daysBack >= 7 && daysBack <= 13)
+    }
+  }
+
+  private def floatArray(xs: Seq[Float]): GenericArrayData =
+    new GenericArrayData(xs.map(x => x: Any).toArray)
+
+  test("IVF cells: head equals nearest centroid, distances ascend, ids distinct") {
+    val gen = for {
+      k <- Gen.choose(2, 6)
+      dim <- Gen.choose(2, 12)
+      cents <- Gen.listOfN(k, Gen.listOfN(dim, Gen.choose(-5.0, 5.0)))
+      v <- Gen.listOfN(dim, Gen.choose(-5f, 5f))
+    } yield (cents.map(_.toArray).toArray, v)
+    samples(gen, 50).foreach { case (cents, v) =>
+      val arr = floatArray(v)
+      val near = ClusterKernels.nearest(arr, cents)
+      val cells = ClusterKernels.nearestCells(arr, cents, cents.length).toIntArray()
+      assert(cells(0) === near.getInt(0)) // p=1 == argmin
+      assert(cells.distinct.length === cells.length) // each cell once
+      def d(c: Int): Double = cents(c).zip(v).map { case (a, b) =>
+        (b.toDouble - a) * (b.toDouble - a)
+      }.sum
+      val dists = cells.map(d)
+      assert(dists.zip(dists.tail).forall { case (a, b) => a <= b })
+      assert(math.abs(dists(0) - near.getDouble(1)) < 1e-9)
+    }
+  }
+
+  test("hyperplane seeds are collision-free across (table, bit) pairs") {
+    // regression for the flat-stride seeding (t*512 + j*64 + i), where
+    // bitsPerTable=16 made table 0 / bit 8 reuse table 1 / bit 0's
+    // hyperplane: with independent planes the two bits must disagree
+    // on some vector (P(all 50 agree) ~ 2^-50).
+    val vecs = samples(Gen.listOfN(32, Gen.choose(-1f, 1f)), 50)
+    def bit(v: Seq[Float], table: Int, j: Int): Long = {
+      val b = VectorKernels.hyperplaneBuckets(floatArray(v), 2, 16).toLongArray()
+      (b(table) >> j) & 1L
+    }
+    assert(vecs.exists(v => bit(v, 0, 8) != bit(v, 1, 0)))
+    // and determinism: same vector, same buckets
+    vecs.take(5).foreach { v =>
+      assert(VectorKernels.hyperplaneBuckets(floatArray(v), 4, 8).toLongArray()
+        .sameElements(VectorKernels.hyperplaneBuckets(floatArray(v), 4, 8).toLongArray()))
     }
   }
 

@@ -29,6 +29,22 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(frames(1)._2.sameElements(Array[Byte](8, 9)))
   }
 
+  test("resize emits fixed-size grids via nearest-neighbor index math") {
+    import spark.implicits._
+    // 16 bytes -> inferred 4x4 grid; resize to 2x2 picks (0,0),(0,2),(2,0),(2,2)
+    val grid = Array.tabulate[Byte](16)(_.toByte)
+    val ds = Seq(
+      Multimodal.MediaRow(1L, "image", grid),
+      Multimodal.MediaRow(2L, "image", Array.fill[Byte](100)(7)),
+      Multimodal.MediaRow(3L, "image", Array.empty[Byte])).toDS()
+    val out = Multimodal.resize(ds, 2, 2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("pixels")).toMap
+    assert(out.values.forall(_.length === 4)) // every output is 2x2
+    assert(out(1L).sameElements(Array[Byte](0, 2, 8, 10)))
+    assert(out(2L).forall(_ === 7.toByte)) // constant image stays constant
+    assert(out(3L).forall(_ === 0.toByte)) // empty payload -> zero pixels
+  }
+
   test("media type split is deterministic by doc_id parity") {
     val rows = Multimodal.q31MultimodalFeatures(spark, sfDir).collect()
     rows.foreach { r =>

@@ -95,6 +95,15 @@ class InfraSpec extends AnyFunSuite with SparkFixture {
       val q = Jdbc.readQuery(spark, url,
         "SELECT name, val FROM metrics WHERE id <= 3")
       assert(q.collect().map(_.getAs[String]("NAME")).sorted === Array("m1", "m2", "m3"))
+      // IN-list pushdown (reference col_to_string + remote WHERE):
+      // build the list from one frame, push it into the remote query
+      import spark.implicits._
+      val wanted = Seq("m5", "m7", "it's").toDF("name")
+      val inList = graft.operators.Exprs.colToInList(wanted, "name")
+      assert(inList === "'m5','m7','it''s'") // quotes doubled
+      val pushed = Jdbc.readQuery(spark, url,
+        s"SELECT id FROM metrics WHERE name IN ($inList)")
+      assert(pushed.collect().map(_.getAs[Long]("ID")).sorted === Array(5L, 7L))
     } finally conn.close()
   }
 
