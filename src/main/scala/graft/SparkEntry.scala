@@ -603,17 +603,17 @@ object SparkEntry {
     """,
     "q44_contamination" -> """
       WITH t AS (
-        SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                       for i in range(1, len(w) - 1)]) AS tri
+        SELECT doc_id, list_distinct([array_to_string(w[i:i+7], ' ')
+                       for i in range(1, len(w) - 6)]) AS ng
         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
       ),
-      p AS (SELECT doc_id, unnest(tri) AS tri FROM t),
-      b AS (SELECT doc_id AS bdoc, tri FROM p WHERE doc_id % 97 = 0),
-      c AS (SELECT doc_id, tri FROM p WHERE doc_id % 97 <> 0)
+      p AS (SELECT doc_id, unnest(ng) AS ng FROM t),
+      b AS (SELECT doc_id AS bdoc, ng FROM p WHERE doc_id % 10 = 0),
+      c AS (SELECT doc_id, ng FROM p WHERE doc_id % 10 <> 0)
       SELECT c.doc_id,
-        COUNT(DISTINCT c.tri) AS shared_trigrams,
+        COUNT(DISTINCT c.ng) AS shared_ngrams,
         COUNT(DISTINCT b.bdoc) AS benchmark_docs
-      FROM c JOIN b ON c.tri = b.tri
+      FROM c JOIN b ON c.ng = b.ng
       GROUP BY 1
     """,
   )

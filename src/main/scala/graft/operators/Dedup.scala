@@ -30,19 +30,23 @@ object Dedup {
         count(lit(1)).as("dup_count"),
         sum(col("n_chars")).as("total_chars"))
 
-  /** Distinct word-3-shingles of the text column, as one expression.
-    * Docs with <3 words have no 3-shingles: guarded to an empty array,
+  /** Distinct word-n-shingles of the text column, as one expression.
+    * Docs with <n words have no n-shingles: guarded to an empty array,
     * because sequence(0, negative) counts DOWN and the resulting
     * negative indices throw under ANSI mode (the DuckDB oracle's
     * range() is simply empty for the same input). */
-  val shingles3: Column = {
+  def shingles(n: Int): Column = {
+    require(n >= 1, "shingle length must be positive")
     val w = split(col("text"), " ")
-    when(size(w) >= 3,
+    when(size(w) >= n,
       array_distinct(transform(
-        sequence(lit(0), size(w) - 3),
-        i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3)))))
+        sequence(lit(0), size(w) - n),
+        i => array_join(slice(w, i + 1, lit(n)), " "))))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** Distinct word-3-shingles (the q23/DedupSpec ground-truth unit). */
+  val shingles3: Column = shingles(3)
 
   /** Distinct 64-bit trigram hashes, built from per-word hashes —
     * hash each word once, then combine triples with one more hash.

