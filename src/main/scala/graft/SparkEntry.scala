@@ -382,6 +382,19 @@ object SparkEntry {
         COUNT(*) AS dup_count, CAST(SUM(n_chars) AS BIGINT) AS total_chars
       FROM documents GROUP BY 1
     """,
+    "q21_dedup_minhash" -> """
+      WITH t AS (
+        SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                       for i in range(1, len(w) - 1)]) AS tri
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      )
+      SELECT doc_a, doc_b, jaccard FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(len(list_intersect(a.tri, b.tri)) AS DOUBLE) /
+            len(list_distinct(a.tri || b.tri)) AS jaccard
+        FROM t a JOIN t b ON a.doc_id < b.doc_id
+      ) WHERE jaccard >= 0.5
+    """,
     "q23_ngram_jaccard" -> """
       WITH t AS (
         SELECT doc_id, lang, source,

@@ -71,6 +71,12 @@ object Dedup {
     * (band, band_hash) → exact Jaccard verification of candidates.
     * Band-join candidates are a tiny fraction of the corpus, so the
     * verify join is cheap; the cartesian never exists.
+    *
+    * Oracle note: the DuckDB oracle is the EXACT all-pairs J>=0.5 set
+    * (string trigrams) — on the seeded test corpora the 32x4 LSH has
+    * 100% recall and the hashed-trigram Jaccards are bit-equal to the
+    * string-trigram ones, so the driver's hash gate checks full set
+    * equality, not just plausibility (verified at sf0.001/0.01).
     */
   def q21DedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     val nPerm = 128
