@@ -597,6 +597,43 @@ object SparkEntry {
         MIN(doc_id) AS min_doc_id
       FROM s GROUP BY 1, 2
     """,
+    "q41_dedup_pipeline" -> """
+      WITH RECURSIVE
+      t AS (
+        SELECT doc_id, text, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                       for i in range(1, len(w) - 1)]) AS tri
+        FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+      ),
+      exact_pairs AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM t a JOIN t b ON a.text = b.text AND a.doc_id <> b.doc_id
+      ),
+      near_pairs AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst FROM t a JOIN t b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.tri, b.tri)) AS DOUBLE) /
+              len(list_distinct(a.tri || b.tri)) >= 0.5
+      ),
+      edges AS (
+        SELECT src, dst FROM exact_pairs
+        UNION SELECT src, dst FROM near_pairs
+        UNION SELECT dst, src FROM near_pairs
+      ),
+      reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      ),
+      rep AS (
+        SELECT d.doc_id, LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS rep
+        FROM t d LEFT JOIN reach r ON r.src = d.doc_id
+        GROUP BY d.doc_id
+      )
+      SELECT COUNT(*) AS docs,
+        CAST(SUM(CASE WHEN rep = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+        CAST(SUM(CASE WHEN rep <> doc_id THEN 1 ELSE 0 END) AS BIGINT) AS removed_docs,
+        COUNT(DISTINCT rep) AS clusters
+      FROM rep
+    """,
     "q43_stratified_sample" -> """
       WITH s AS (
         SELECT *,
