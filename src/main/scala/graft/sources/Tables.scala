@@ -51,4 +51,19 @@ object Tables {
       .partitionBy("p_day")
       .parquet(path)
   }
+
+  /** Bucketed catalog table sink — the co-located-join layout: rows are
+    * pre-shuffled into `buckets` files by the join key and each bucket
+    * sorted, so a join between two tables bucketed the same way runs
+    * with ZERO exchange (the shuffle was paid once at write time, not
+    * per query). This is the difference between re-shuffling a 100 TB
+    * fact table on every fact-fact join and never shuffling it again —
+    * the InfraSpec asserts the exchange-free plan. Bucketing requires
+    * the catalog (saveAsTable); read back with spark.table(name). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
 }

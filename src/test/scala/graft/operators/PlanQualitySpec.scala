@@ -61,6 +61,30 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q36: ROLLUP compiles to a single Expand pass, not a union of aggregates") {
+    val p = plan("q36_rollup")
+    assert("Expand".r.findAllIn(p).length === 1)
+    assert(!p.contains("Union"))
+  }
+
+  test("q43: stratified sample is one scan with two-phase aggregation") {
+    val p = plan("q43_stratified_sample")
+    assert("Scan parquet".r.findAllIn(p).length === 1, "one pass over the corpus")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+      "partial agg map-side, one shuffle on the grouping key")
+  }
+
+  test("q44: benchmark postings broadcast; corpus never cartesians") {
+    val p = plan("q44_contamination")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q45: IVF candidates come from a cell equi-join, not a cross join") {
+    val p = plan("q45_ann_ivf")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q30: LSH bucket-join candidates reuse the signature exchange; no label block") {
     val df = graft.SparkEntry.queries("q30_dedup_embedding")(spark, sfDir)
     df.collect()

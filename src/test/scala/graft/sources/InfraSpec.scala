@@ -158,6 +158,34 @@ class InfraSpec extends AnyFunSuite with SparkFixture {
     assert(back.count() === expected)
   }
 
+  test("bucketed tables join with zero exchange (co-located join)") {
+    val orders = Tables.orders(spark, sfDir)
+    val customer = Tables.customer(spark, sfDir)
+    Tables.writeBucketed(orders, "graft_orders_b", "o_custkey", 8)
+    Tables.writeBucketed(
+      customer.withColumnRenamed("c_custkey", "o_custkey"),
+      "graft_customer_b", "o_custkey", 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force a non-broadcast join so the exchange question is real
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_orders_b")
+        .join(spark.table("graft_customer_b"), "o_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed join must not shuffle, got:\n$plan")
+      // and it still computes the right thing
+      val expected = orders.join(
+        customer.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey").count()
+      assert(joined.count() === expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_orders_b")
+      spark.sql("DROP TABLE IF EXISTS graft_customer_b")
+    }
+  }
+
   test("csv ingest round-trips with explicit schema and normalization") {
     val dir = Files.createTempDirectory("graft-csv").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/in.csv"),
