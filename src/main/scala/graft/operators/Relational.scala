@@ -143,6 +143,59 @@ object Relational {
         sum(when(col("hit_depth") === 1, 1L).otherwise(0L)).as("bounces"))
   }
 
+  /** Skew-safe sessionization — the hot-key fix for sessionizeEvents,
+    * whose per-user window serializes a hot user into one task.
+    * Phase 1 sessionizes WITHIN (user, day) buckets, spreading a hot
+    * user across one task per day. Phase 2 stitches sessions that
+    * cross bucket boundaries: bucket-internal sessions are
+    * gap-separated, so a day holds at most 86400000/gapMs + 1 of them
+    * — the per-user stitch window therefore runs over a PROVABLY
+    * bounded row count (~49/day at 30 min) no matter how many events
+    * the user produced. Output is identical to sessionizeEvents: a
+    * global session splits at bucket edges into pieces whose boundary
+    * gaps are <= gapMs, and the stitcher merges exactly those
+    * (asserted against sessionizeEvents in RelationalSpec and on
+    * random multi-day streams in PropertySpec). */
+  def sessionizeEventsScalable(events: DataFrame,
+      gapMs: Long = 30L * 60 * 1000): DataFrame = {
+    val byUserDay = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts"), col("event_id"))
+    val withSession = events
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(byUserDay))
+      .withColumn("is_new",
+        when(col("prev_ms").isNull ||
+          unix_millis(col("ts")) - col("prev_ms") > gapMs, 1).otherwise(0))
+      .withColumn("session_seq", sum(col("is_new")).over(
+        byUserDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val perBucket = withSession
+      .groupBy(col("user_id"), col("day"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("hits"),
+        min(unix_millis(col("ts"))).as("start_ms"),
+        max(unix_millis(col("ts"))).as("end_ms"))
+    // phase 2: session-granularity stitch — bounded rows per user
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("start_ms"), col("end_ms"))
+    perBucket
+      .withColumn("prev_end", lag(col("end_ms"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_end").isNull ||
+          col("start_ms") - col("prev_end") > gapMs, 1).otherwise(0))
+      .withColumn("merged_seq", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("merged_seq"))
+      .agg(
+        sum(col("hits")).as("hit_depth"),
+        (max(col("end_ms")) - min(col("start_ms"))).as("duration_ms"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("sessions"),
+        sum(col("hit_depth")).as("total_events"),
+        sum(col("duration_ms")).as("total_duration_ms"),
+        sum(when(col("hit_depth") === 1, 1L).otherwise(0L)).as("bounces"))
+  }
+
   /** Trending: latest day vs the average of the same weekday over the
     * prior 4 weeks. The reference runs one scan per comparison day and
     * self-joins (tasks.py:1757-1851); here a single scan with

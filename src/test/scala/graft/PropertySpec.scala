@@ -133,6 +133,32 @@ class PropertySpec extends AnyFunSuite with graft.SparkFixture {
     }
   }
 
+  test("skew-safe and per-user sessionizers agree on random multi-day streams") {
+    import spark.implicits._
+    // 3-day span with events clustered near midnights to stress the
+    // bucket-boundary stitch path
+    val gen = Gen.listOfN(80, for {
+      user <- Gen.choose(1L, 3L)
+      day <- Gen.choose(0L, 2L)
+      nearMidnight <- Gen.oneOf(true, false)
+      offs <- if (nearMidnight) Gen.choose(-45L * 60 * 1000, 45L * 60 * 1000)
+              else Gen.choose(0L, 86399000L)
+    } yield (user, day * 86400000L + (if (nearMidnight) 86400000L + offs else offs)))
+    samples(gen, 5).foreach { events =>
+      val base = 1709251200000L // 2024-03-01 00:00:00 UTC
+      val rows = events.zipWithIndex.map { case ((u, t), i) =>
+        (i.toLong, new java.sql.Timestamp(base + t), u)
+      }
+      val df = rows.toDF("event_id", "ts", "user_id")
+      def canon(out: org.apache.spark.sql.DataFrame) = out.collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          ((r.getAs[Long]("sessions"), r.getAs[Long]("total_events"),
+            r.getAs[Long]("total_duration_ms"), r.getAs[Long]("bounces")))).toMap
+      assert(canon(graft.operators.Relational.sessionizeEventsScalable(df)) ===
+        canon(graft.operators.Relational.sessionizeEvents(df)))
+    }
+  }
+
   test("streaming and batch sessionizers agree on random streams") {
     import graft.streaming.StreamSessionize
     val gen = Gen.listOfN(40, Gen.choose(0L, 4L * 3600 * 1000))

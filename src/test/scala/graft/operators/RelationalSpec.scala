@@ -62,6 +62,35 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(out === 2)
   }
 
+  test("skew-safe sessionizer equals the per-user sessionizer on real events") {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("sessions"), r.getAs[Long]("total_events"),
+          r.getAs[Long]("total_duration_ms"), r.getAs[Long]("bounces")))).toMap
+    assert(canon(Relational.sessionizeEventsScalable(ev)) ===
+      canon(Relational.sessionizeEvents(ev)))
+  }
+
+  test("skew-safe sessionizer stitches a session crossing midnight") {
+    import spark.implicits._
+    // three events 10 min apart straddling a day boundary = ONE session
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-03-01 23:50:00"), 7L),
+      (2L, java.sql.Timestamp.valueOf("2024-03-02 00:00:00"), 7L),
+      (3L, java.sql.Timestamp.valueOf("2024-03-02 00:10:00"), 7L),
+      // plus a separate afternoon bounce
+      (4L, java.sql.Timestamp.valueOf("2024-03-02 15:00:00"), 7L))
+      .toDF("event_id", "ts", "user_id")
+    val out = Relational.sessionizeEventsScalable(ev).collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert(r.getAs[Long]("sessions") === 2L)
+    assert(r.getAs[Long]("total_events") === 4L)
+    assert(r.getAs[Long]("total_duration_ms") === 20L * 60 * 1000)
+    assert(r.getAs[Long]("bounces") === 1L)
+  }
+
   test("q07 trending computes delta columns") {
     val rows = Relational.q07Trending(spark, sfDir).collect()
     rows.foreach { r =>
