@@ -61,6 +61,8 @@ object SparkEntry {
     "q43_stratified_sample"   -> Pipeline.q43StratifiedSample _,
     "q44_contamination"       -> Pipeline.q44Contamination _,
     "q45_ann_ivf"             -> Ann.q45AnnIvf _,
+    "q46_pii_redact"          -> TextAnalysis.q46PiiRedact _,
+    "q47_repetition"          -> TextAnalysis.q47Repetition _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -650,6 +652,44 @@ object SparkEntry {
         MIN(CASE WHEN kept THEN doc_id END) AS min_kept_doc_id,
         CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS achieved_rate
       FROM k GROUP BY lang
+    """,
+    "q46_pii_redact" -> """
+      WITH pii AS (
+        SELECT doc_id,
+          text ||
+          CASE WHEN doc_id % 5 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@mail.test now' ELSE '' END ||
+          CASE WHEN doc_id % 7 = 0 THEN ' call 555-' || printf('%03d', doc_id % 1000) || '-' || printf('%04d', doc_id % 10000) ELSE '' END ||
+          CASE WHEN doc_id % 9 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END AS raw
+        FROM documents
+      ),
+      cleaned AS (
+        SELECT *, regexp_replace(regexp_replace(regexp_replace(raw,
+            '[a-z0-9._-]+@[a-z0-9-]+\.[a-z]+', '<EMAIL>', 'g'),
+            '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+            '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean
+        FROM pii
+      )
+      SELECT doc_id,
+        len(regexp_extract_all(raw, '[a-z0-9._-]+@[a-z0-9-]+\.[a-z]+')) AS emails,
+        len(regexp_extract_all(raw, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS phones,
+        len(regexp_extract_all(raw, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS ips,
+        sha256(clean) AS clean_hash,
+        length(raw) AS raw_len, length(clean) AS clean_len
+      FROM cleaned
+    """,
+    "q47_repetition" -> """
+      WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      t AS (
+        SELECT doc_id, len(w) AS n_words,
+          1.0 - CAST(len(list_distinct(w)) AS DOUBLE)/len(w) AS dup_word_frac,
+          CASE WHEN len(w) >= 3 THEN
+            1.0 - CAST(len(list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)])) AS DOUBLE)
+                  / (len(w)-2)
+            ELSE 0.0 END AS dup_tri_frac,
+          CAST(list_max([len(list_filter(w, y -> y = x)) for x in list_distinct(w)]) AS DOUBLE)/len(w) AS top_word_frac
+        FROM s
+      )
+      SELECT *, dup_word_frac > 0.9 OR dup_tri_frac > 0.5 OR top_word_frac > 0.3 AS flagged FROM t
     """,
     "q44_contamination" -> """
       WITH t AS (

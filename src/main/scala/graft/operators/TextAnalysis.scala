@@ -79,4 +79,78 @@ object TextAnalysis {
         (col("n_chars").cast("double") /
           size(split(col("text"), " "))).as("chars_per_token"))
   }
+
+  /** PII redaction: strip emails / phone numbers / IPv4s and report
+    * per-doc redaction counts plus a hash of the cleaned text — the
+    * scrub pass every training corpus gets before release. Regexes are
+    * deliberately engine-portable (explicit character classes, no
+    * shorthand \\d or lookarounds) so Java regex and DuckDB's RE2
+    * match identically. Pure per-row codegen: scan speed at 100 TB.
+    * The corpus has no organic PII, so deterministic synthetic PII is
+    * injected on doc_id%5/7/9 rows — the plumbing under test is the
+    * redaction, not the data. */
+  def q46PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9._-]+@[a-z0-9-]+\\.[a-z]+"
+    val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    val ipRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    val withPii = Tables.documents(spark, dir)
+      .withColumn("raw", concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact u"), col("doc_id"), lit("@mail.test now"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" call 555-"), format_string("%03d", col("doc_id") % 1000),
+            lit("-"), format_string("%04d", col("doc_id") % 10000))).otherwise(lit("")),
+        when(col("doc_id") % 9 === 0,
+          concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+            lit("."), ((col("doc_id") * 7) % 256).cast("string"))).otherwise(lit(""))))
+    val cleaned = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("raw"), emailRe, "<EMAIL>"),
+        ipRe, "<IP>"),
+      phoneRe, "<PHONE>")
+    withPii.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("raw"), lit(emailRe), lit(0))).as("emails"),
+      size(regexp_extract_all(col("raw"), lit(phoneRe), lit(0))).as("phones"),
+      size(regexp_extract_all(col("raw"), lit(ipRe), lit(0))).as("ips"),
+      sha2(cleaned, 256).as("clean_hash"),
+      length(col("raw")).as("raw_len"),
+      length(cleaned).as("clean_len"))
+  }
+
+  /** Repetition filters (the Gopher / RefinedWeb quality rules):
+    * duplicate-word fraction, duplicate-trigram fraction, and the
+    * top single word's frequency share — high values mark boilerplate
+    * and degenerate repetition. All per-row array expressions over one
+    * tokenize; the only non-scan work is a size()/array_distinct()
+    * pair per rule. */
+  def q47Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val nWords = size(col("w"))
+    val dupWordFrac =
+      lit(1.0) - size(array_distinct(col("w"))).cast("double") / nWords
+    val tri = Dedup.shingles(3)
+    // top word share via a fold over the distinct words (docs are
+    // tens of words; the O(distinct * n) per-row fold beats a
+    // corpus-wide explode+groupBy+join at any scale)
+    val topWordFrac = expr(
+      """aggregate(array_distinct(w), 0,
+           (acc, x) -> greatest(acc, size(filter(w, y -> y = x))))""")
+      .cast("double") / nWords
+    Tables.documents(spark, dir)
+      .withColumn("w", w)
+      .withColumn("tri", tri)
+      .select(
+        col("doc_id"),
+        nWords.as("n_words"),
+        dupWordFrac.as("dup_word_frac"),
+        // tri nonempty implies nWords >= 3, so the denominator is >= 1
+        (when(size(col("tri")) > 0,
+          lit(1.0) - size(col("tri")).cast("double") / (nWords - 2))
+          .otherwise(lit(0.0))).as("dup_tri_frac"),
+        topWordFrac.as("top_word_frac"))
+      .withColumn("flagged",
+        col("dup_word_frac") > 0.9 || col("dup_tri_frac") > 0.5 ||
+          col("top_word_frac") > 0.3)
+  }
 }

@@ -37,6 +37,45 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert(diff === 0)
   }
 
+  test("q46 PII redaction counts follow the injection pattern; clean text shrinks") {
+    val rows = TextAnalysis.q46PiiRedact(spark, sfDir).collect()
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Int]("emails") === (if (id % 5 == 0) 1 else 0))
+      assert(r.getAs[Int]("phones") === (if (id % 7 == 0) 1 else 0))
+      assert(r.getAs[Int]("ips") === (if (id % 9 == 0) 1 else 0))
+      val redactions = r.getAs[Int]("emails") + r.getAs[Int]("phones") + r.getAs[Int]("ips")
+      if (redactions == 0)
+        assert(r.getAs[Int]("raw_len") === r.getAs[Int]("clean_len"))
+    }
+    // at least one doc of each PII kind exists in the corpus
+    assert(rows.map(_.getAs[Int]("emails")).sum > 0)
+    assert(rows.map(_.getAs[Int]("phones")).sum > 0)
+    assert(rows.map(_.getAs[Int]("ips")).sum > 0)
+  }
+
+  test("q47 repetition fractions match a local computation on every doc") {
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = TextAnalysis.q47Repetition(spark, sfDir).collect()
+    assert(rows.length === texts.size)
+    rows.foreach { r =>
+      val w = texts(r.getAs[Long]("doc_id")).split(" ")
+      val dupWord = 1.0 - w.distinct.length.toDouble / w.length
+      val tris = if (w.length < 3) Array.empty[String]
+        else (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" ")).toArray
+      val dupTri = if (tris.isEmpty) 0.0
+        else 1.0 - tris.distinct.length.toDouble / (w.length - 2)
+      val topWord = w.groupBy(identity).values.map(_.length).max.toDouble / w.length
+      assert(math.abs(r.getAs[Double]("dup_word_frac") - dupWord) < 1e-12)
+      assert(math.abs(r.getAs[Double]("dup_tri_frac") - dupTri) < 1e-12)
+      assert(math.abs(r.getAs[Double]("top_word_frac") - topWord) < 1e-12)
+      assert(r.getAs[Boolean]("flagged") ===
+        (dupWord > 0.9 || dupTri > 0.5 || topWord > 0.3))
+    }
+  }
+
   test("token counting on synthetic mixed text") {
     import spark.implicits._
     val df = Seq((1L, "abc 123 d4e", 11L)).toDF("doc_id", "text", "n_chars")
