@@ -85,6 +85,14 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q46/q47: per-row text passes have no shuffle at all") {
+    Seq("q46_pii_redact", "q47_repetition").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q must be a pure map over the scan")
+      assert("Scan parquet".r.findAllIn(p).length === 1)
+    }
+  }
+
   test("q30: LSH bucket-join candidates reuse the signature exchange; no label block") {
     val df = graft.SparkEntry.queries("q30_dedup_embedding")(spark, sfDir)
     df.collect()
