@@ -76,6 +76,66 @@ object Olap {
         col("event_type"), col("asof_orderkey"), col("asof_totalprice"))
   }
 
+  /** Skew-safe as-of join — the hot-key fix for asofJoin, whose
+    * per-key window serializes a hot key into one task. Split and
+    * stitch, like Relational.sessionizeEventsScalable:
+    *
+    *  - phase 1 runs the union+ignore-nulls window WITHIN (key, day)
+    *    buckets, so a hot key costs one task per day;
+    *  - phase 2 computes each (key, day)'s carry-in — the latest order
+    *    on any EARLIER day — with an exclusive ignore-nulls window
+    *    over day-granularity rows, whose per-key count is bounded by
+    *    active calendar days, not event volume;
+    *  - the final as-of value is the within-day match if one exists,
+    *    else the carry-in.
+    *
+    * Output identical to asofJoin (the most recent order <= t is
+    * either same-day or the latest of the newest earlier day with
+    * orders); asserted in OlapSpec on real tables and in PropertySpec
+    * on random multi-day streams. */
+  def asofJoinScalable(events: DataFrame, orders: DataFrame): DataFrame = {
+    val evSide = events.select(
+      col("user_id").as("k"), col("ts").cast("timestamp").as("t"),
+      col("event_id"), col("event_type"),
+      lit(null).cast("long").as("o_orderkey"),
+      lit(null).cast("double").as("o_totalprice"),
+      lit(1).as("is_event"))
+    val ordSide = orders.select(
+      col("o_custkey").as("k"), col("o_orderdate").cast("timestamp").as("t"),
+      col("o_orderkey"), col("o_totalprice"))
+    // phase 1: within-(key, day) as-of via the union window
+    val unioned = evSide.unionByName(
+      ordSide.select(col("k"), col("t"),
+        lit(null).cast("long").as("event_id"),
+        lit(null).cast("string").as("event_type"),
+        col("o_orderkey"), col("o_totalprice"), lit(0).as("is_event")))
+      .withColumn("day", to_date(col("t")))
+    val wDay = Window.partitionBy(col("k"), col("day"))
+      .orderBy(col("t"), col("is_event"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withinDay = unioned
+      .withColumn("d_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(wDay))
+      .withColumn("d_totalprice", last(col("o_totalprice"), ignoreNulls = true).over(wDay))
+      .filter(col("is_event") === 1)
+    // phase 2: day-granularity carry-in, bounded rows per key
+    val dayLast = ordSide
+      .groupBy(col("k"), to_date(col("t")).as("day"))
+      .agg(max(struct(col("t"), col("o_orderkey"), col("o_totalprice"))).as("last_ord"))
+    val activeDays = unioned.select(col("k"), col("day")).distinct()
+    val wCarry = Window.partitionBy(col("k")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1) // strictly earlier days
+    val carry = activeDays
+      .join(dayLast, Seq("k", "day"), "left")
+      .withColumn("carry_ord", last(col("last_ord"), ignoreNulls = true).over(wCarry))
+      .select(col("k"), col("day"), col("carry_ord"))
+    withinDay
+      .join(carry, Seq("k", "day"))
+      .select(col("event_id"), col("k").as("user_id"), col("t").as("ts"),
+        col("event_type"),
+        coalesce(col("d_orderkey"), col("carry_ord.o_orderkey")).as("asof_orderkey"),
+        coalesce(col("d_totalprice"), col("carry_ord.o_totalprice")).as("asof_totalprice"))
+  }
+
   /** Bucketed range join — the interval/attribution join Spark has no
     * native node for. A naive formulation is an equi-join on user plus
     * a range residual, which Spark can only execute as a per-key

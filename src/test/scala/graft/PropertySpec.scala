@@ -159,6 +159,33 @@ class PropertySpec extends AnyFunSuite with graft.SparkFixture {
     }
   }
 
+  test("skew-safe and per-key asof joins agree on random multi-day streams") {
+    import spark.implicits._
+    val base = 1709251200000L // 2024-03-01 00:00:00 UTC
+    val gen = for {
+      evs <- Gen.listOfN(40, for {
+        u <- Gen.choose(1L, 3L); t <- Gen.choose(0L, 3L * 86400000L)
+      } yield (u, t))
+      ords <- Gen.listOfN(12, for {
+        u <- Gen.choose(1L, 3L); t <- Gen.choose(-86400000L, 3L * 86400000L)
+        price <- Gen.choose(10.0, 500.0)
+      } yield (u, t, price))
+    } yield (evs, ords)
+    samples(gen, 5).foreach { case (evs, ords) =>
+      val events = evs.zipWithIndex.map { case ((u, t), i) =>
+        (i.toLong, new java.sql.Timestamp(base + t), u, "view")
+      }.toDF("event_id", "ts", "user_id", "event_type")
+      val orders = ords.zipWithIndex.map { case ((u, t, p), i) =>
+        (i.toLong + 1000L, u, new java.sql.Timestamp(base + t), p)
+      }.toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[java.lang.Long]("asof_orderkey"))).toMap
+      assert(canon(graft.operators.Olap.asofJoinScalable(events, orders)) ===
+        canon(graft.operators.Olap.asofJoin(events, orders)))
+    }
+  }
+
   test("streaming and batch sessionizers agree on random streams") {
     import graft.streaming.StreamSessionize
     val gen = Gen.listOfN(40, Gen.choose(0L, 4L * 3600 * 1000))

@@ -33,6 +33,19 @@ class OlapSpec extends AnyFunSuite with SparkFixture {
     assert(out(13L) === Some(302L)) // inclusive same-instant; tie -> max orderkey
   }
 
+  test("skew-safe asof join equals the per-key asof join on real tables") {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val ord = graft.sources.Tables.orders(spark, sfDir)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((Option(r.getAs[java.lang.Long]("asof_orderkey")),
+          Option(r.getAs[java.lang.Double]("asof_totalprice"))))).toMap
+    val a = canon(Olap.asofJoin(ev, ord))
+    val b = canon(Olap.asofJoinScalable(ev, ord))
+    assert(a.size === b.size)
+    assert(a === b)
+  }
+
   test("range join counts clicks strictly inside the hour before each purchase") {
     import spark.implicits._
     val events = Seq(
