@@ -169,7 +169,9 @@ object Olap {
   def q38AsofJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val ord = Tables.orders(spark, dir)
-    asofJoin(ev, ord)
+    // skew-safe variant by default; asofJoin is the reference
+    // implementation both are asserted identical against
+    asofJoinScalable(ev, ord)
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("events"),

@@ -116,7 +116,10 @@ object Relational {
     */
   def q06Sessionize(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.Tables
-    sessionizeEvents(Tables.events(spark, dir))
+    // the skew-safe variant is the default (one task per hot-user DAY,
+    // not per hot user); sessionizeEvents remains the reference
+    // implementation both are asserted identical against
+    sessionizeEventsScalable(Tables.events(spark, dir))
   }
 
   /** Gap-based sessionization over any (user_id, event_id, ts) frame. */
