@@ -29,8 +29,27 @@ import scala.io.Source
   */
 object Rest {
 
-  /** GET a URL → body string. Executor-safe: no session references. */
-  def get(url: String, timeoutMs: Int = 10000): String = {
+  /** GET a URL → body string with bounded retries on transient
+    * failures (IO errors / 5xx). Executor-safe: no session references.
+    * Backoff is linear and short — an API backfill wants quick retry
+    * on blips and a fast loud failure on real outages. */
+  def get(url: String, timeoutMs: Int = 10000, attempts: Int = 3,
+          backoffMs: Long = 200): String = {
+    var attempt = 0
+    var lastErr: Throwable = null
+    while (attempt < attempts) {
+      try return getOnce(url, timeoutMs)
+      catch {
+        case e: java.io.IOException =>
+          lastErr = e
+          attempt += 1
+          if (attempt < attempts) Thread.sleep(backoffMs * attempt)
+      }
+    }
+    throw lastErr
+  }
+
+  private def getOnce(url: String, timeoutMs: Int): String = {
     val conn = java.net.URI.create(url).toURL
       .openConnection().asInstanceOf[HttpURLConnection]
     conn.setConnectTimeout(timeoutMs)

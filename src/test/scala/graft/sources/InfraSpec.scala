@@ -145,6 +145,43 @@ class InfraSpec extends AnyFunSuite with SparkFixture {
     } finally server.stop(0)
   }
 
+  test("rest source retries a transiently failing endpoint") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    try {
+      server.createContext("/flaky", { exchange =>
+        if (hits.incrementAndGet() < 3) {
+          exchange.sendResponseHeaders(503, -1) // two transient failures
+        } else {
+          val b = """{"ok":true}""".getBytes("UTF-8")
+          exchange.sendResponseHeaders(200, b.length)
+          exchange.getResponseBody.write(b)
+        }
+        exchange.close()
+      })
+      server.start()
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/flaky"
+      val body = Rest.get(url, attempts = 3, backoffMs = 10)
+      assert(body === """{"ok":true}""")
+      assert(hits.get() === 3)
+      // exhausted retries surface the failure loudly
+      hits.set(-1000)
+      intercept[java.io.IOException](Rest.get(url, attempts = 2, backoffMs = 1))
+    } finally server.stop(0)
+  }
+
+  test("jdbc write appends and reads back through the same source") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:graftwrite;create=true"
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    Jdbc.write(df, url, "sink_t")
+    Jdbc.write(Seq((3L, "c")).toDF("id", "v"), url, "sink_t") // append mode
+    val back = Jdbc.read(spark, url, "sink_t")
+    assert(back.count() === 3)
+    assert(back.agg(sum("id")).collect()(0).getLong(0) === 6L)
+  }
+
   test("partitioned parquet sink prunes partitions on a date predicate") {
     val dir = Files.createTempDirectory("graft-part").toString
     val events = Tables.events(spark, sfDir)
