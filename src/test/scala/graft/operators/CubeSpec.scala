@@ -73,6 +73,20 @@ class CubeSpec extends AnyFunSuite with SparkFixture {
     assert(out("view") === ((2.0, 2.0, 2.0)))
   }
 
+  test("metrics-only cube is a global aggregate; bad specs fail loudly") {
+    val out = Cube.run(base,
+      Spec(dims = Nil, metrics = Seq(CountRows("n"), SumMetric("v", "value")))).collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Long]("n") === 4)
+    assert(out(0).getAs[Double]("v") === 19.0)
+    intercept[IllegalArgumentException](
+      Cube.run(base, Spec(dims = Seq("event_type"), metrics = Nil)))
+    intercept[IllegalArgumentException](
+      compileFilter(Pred("x", "between", Seq(1, 2))))
+    intercept[IllegalArgumentException](
+      compileFilter(Group(all = true, exclude = false, Nil)))
+  }
+
   test("q10 runs end-to-end on test data with all clauses") {
     val rows = Cube.q10DynamicCube(spark, sfDir).collect()
     assert(rows.nonEmpty)
