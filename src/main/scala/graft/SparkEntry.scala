@@ -63,6 +63,7 @@ object SparkEntry {
     "q45_ann_ivf"             -> Ann.q45AnnIvf _,
     "q46_pii_redact"          -> TextAnalysis.q46PiiRedact _,
     "q47_repetition"          -> TextAnalysis.q47Repetition _,
+    "q48_heavy_hitters"       -> Analytics.q48HeavyHitters _,
   )
 
   def oracleSql: Map[String, String] = Map(

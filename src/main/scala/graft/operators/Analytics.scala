@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.udaf
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -175,6 +176,23 @@ object Analytics {
       .withColumn("rel_error",
         abs(col("users_approx") - col("users_exact")).cast("double") /
           col("users_exact"))
+  }
+
+  /** Approximate heavy hitters per group via a Misra-Gries mergeable
+    * summary (functions/HeavyHitters.scala) — the replacement for
+    * exact top-N-by-count when key cardinality explodes: O(k) state
+    * per group instead of O(distinct), map-side combinable, HARD
+    * deterministic error bound (undercount <= N/(k+1)) rather than a
+    * probabilistic one. Emits (group, key, est_count); rows-only —
+    * which light keys ride along is merge-order dependent, so the
+    * ScalaTest oracle asserts the order-independent MG guarantees. */
+  def q48HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val mg = udaf(new graft.functions.MisraGriesAgg(16))
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(mg(col("user_id")).as("hh"), count(lit(1)).as("events"))
+      .select(col("event_type"), col("events"),
+        explode(col("hh")).as(Seq("user_id", "est_count")))
   }
 
   /** Magnitude ("1.2M") number formatting as a native expression chain

@@ -86,6 +86,31 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(rows.forall(_.getAs[Double]("rel_error") < 0.05))
   }
 
+  test("q48 Misra-Gries heavy hitters honor the deterministic MG guarantees") {
+    val exact = graft.sources.Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), col("user_id")).count().collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("user_id")) ->
+        r.getAs[Long]("count")).toMap
+    val rows = Analytics.q48HeavyHitters(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val k = 16
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (et, rs) =>
+      assert(rs.length <= k)
+      val n = rs.head.getAs[Long]("events")
+      val bound = n / (k + 1) // MG: undercount <= N/(k+1), survives merges
+      rs.foreach { r =>
+        val est = r.getAs[Long]("est_count")
+        val truth = exact((et, r.getAs[Long]("user_id")))
+        assert(est <= truth, s"MG must never over-count ($et)")
+        assert(truth - est <= bound, s"undercount ${truth - est} > $bound ($et)")
+      }
+      // completeness: every key heavier than the bound must be present
+      val present = rs.map(_.getAs[Long]("user_id")).toSet
+      exact.collect { case ((e, u), c) if e == et && c > bound => u }
+        .foreach(u => assert(present.contains(u), s"heavy key $u missing ($et)"))
+    }
+  }
+
   test("q12 calendar window computes MoM/YoY pct from the three anchor months") {
     val r = Analytics.q12CalendarWindow(spark, sfDir).collect()(0)
     val rev = r.getAs[Double]("revenue")
