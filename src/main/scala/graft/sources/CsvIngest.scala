@@ -42,4 +42,30 @@ object CsvIngest {
     * `parts` knob keeps large exports parallel). */
   def writeCsv(df: DataFrame, path: String, parts: Int = 1): Unit =
     df.coalesce(parts).write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Headered 2-D string grid → DataFrame: first row is the header,
+    * remaining rows are data; short rows pad with nulls (spreadsheet
+    * ranges are ragged). This is the reference's read_sheet values →
+    * pd.DataFrame step (tasks.py:1636-1652) without the Sheets
+    * client: fetch the grid with sources/Rest, land it here, type it
+    * with normalize + casts. Grids are UI-sized by contract — the
+    * driver-side materialization is the point, not a limitation. */
+  def fromGrid(spark: SparkSession, grid: Seq[Seq[String]]): DataFrame = {
+    require(grid.nonEmpty, "grid needs a header row")
+    val header = grid.head.map(h => if (h == null || h.isEmpty) "_c" else h)
+    // disambiguate duplicate header cells like pandas: name, name_1, ...
+    val names = header.zipWithIndex.map { case (h, i) =>
+      val before = header.take(i).count(_ == h)
+      if (before == 0) h else s"${h}_$before"
+    }
+    val width = names.length
+    val rows = grid.tail.map { r =>
+      org.apache.spark.sql.Row.fromSeq(
+        r.take(width).padTo(width, null))
+    }
+    val schema = StructType(names.map(n =>
+      org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.StringType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toList), schema)
+  }
 }

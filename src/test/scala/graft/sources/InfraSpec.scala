@@ -223,6 +223,20 @@ class InfraSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("grid source: header row, ragged padding, duplicate-name disambiguation") {
+    val grid = Seq(
+      Seq("month", "pageviews", "pageviews"),
+      Seq("2024-01", "100", "90"),
+      Seq("2024-02", "120")) // ragged: missing last cell
+    val df = CsvIngest.fromGrid(spark, grid)
+    assert(df.columns.toSeq === Seq("month", "pageviews", "pageviews_1"))
+    val rows = df.orderBy("month").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getString(2) === "90")
+    assert(rows(1).getString(1) === "120")
+    assert(rows(1).isNullAt(2)) // padded
+  }
+
   test("csv ingest round-trips with explicit schema and normalization") {
     val dir = Files.createTempDirectory("graft-csv").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/in.csv"),
