@@ -94,6 +94,7 @@ class AnnSpec extends AnyFunSuite with SparkFixture {
     val got = rows.map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
     assert(got.subsetOf(gt), "exact verify must make precision 1.0")
     val recall = got.size.toDouble / gt.size
+    info(s"LSH near-dup recall = $recall (${got.size}/${gt.size})")
     assert(recall >= 0.95, s"recall $recall below floor (${got.size}/${gt.size})")
   }
 }
