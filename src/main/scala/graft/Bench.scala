@@ -51,6 +51,9 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"sf":"$sfDir"}"""
     println(line)
+    // raw copy on stderr too: sbt prefixes stdout with "[info] ", which
+    // breaks line-oriented parsers; stderr passes through un-prefixed
+    System.err.println(line)
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes("UTF-8"))
     spark.stop()

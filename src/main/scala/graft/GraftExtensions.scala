@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{FloatVecCosine, HyperplaneBuckets, MinhashBandHashes, Simhash64}
+import graft.functions.{FloatVecCosine, HyperplaneBuckets, MinhashBandHashes, Simhash64, SimhashWords}
 
 /** SQL surface for graft's custom Catalyst expressions. Two ways in:
   *
@@ -16,6 +16,7 @@ import graft.functions.{FloatVecCosine, HyperplaneBuckets, MinhashBandHashes, Si
   * Registered functions:
   *   minhash_band_hashes(arr<long>, nPerm, nBands) -> arr<long>
   *   simhash64(arr<long>) -> long
+  *   simhash_words(arr<string>) -> long   (engine-neutral token hash)
   *   floatvec_cosine(arr<float>, arr<float>) -> double
   *   hyperplane_buckets(arr<float>, nTables, bits) -> arr<long>
   */
@@ -42,6 +43,9 @@ object GraftExtensions {
     ("simhash64",
       new ExpressionInfo(classOf[Simhash64].getName, "simhash64"),
       (args: Seq[Expression]) => Simhash64(args(0))),
+    ("simhash_words",
+      new ExpressionInfo(classOf[SimhashWords].getName, "simhash_words"),
+      (args: Seq[Expression]) => SimhashWords(args(0))),
     ("floatvec_cosine",
       new ExpressionInfo(classOf[FloatVecCosine].getName, "floatvec_cosine"),
       (args: Seq[Expression]) => FloatVecCosine(args(0), args(1))),

@@ -398,6 +398,34 @@ object SparkEntry {
         FROM t a JOIN t b ON a.doc_id < b.doc_id
       ) WHERE jaccard >= 0.5
     """,
+    "q22_dedup_simhash" -> """
+      WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      th AS (
+        SELECT doc_id,
+          list_transform(w, x ->
+            list_reduce(
+              [0::BIGINT] || list_transform(range(1, length(x)+1), i -> ascii(x[i:i])::BIGINT),
+              (a, c) -> (a*31 + c) % 4294967296)) AS hs
+        FROM s
+      ),
+      tok AS (
+        SELECT doc_id,
+          list_transform(hs, h -> CAST(CAST(h AS HUGEINT) * 2654435761 % 4294967296 AS BIGINT)) AS hi_bits,
+          list_transform(hs, h -> CAST(CAST(h AS HUGEINT) * 2246822519 % 4294967296 AS BIGINT)) AS lo_bits
+        FROM th
+      ),
+      sim AS (
+        SELECT doc_id,
+          list_sum([CASE WHEN list_sum(list_transform(hi_bits, t -> 2*((t >> j) & 1) - 1)) >= 0 THEN (1::BIGINT << j) ELSE 0 END for j in range(0, 32)]) AS hi,
+          list_sum([CASE WHEN list_sum(list_transform(lo_bits, t -> 2*((t >> j) & 1) - 1)) >= 0 THEN (1::BIGINT << j) ELSE 0 END for j in range(0, 32)]) AS lo
+        FROM tok
+      )
+      SELECT doc_a, doc_b, hamming FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+        FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+      ) WHERE hamming <= 3
+    """,
     "q23_ngram_jaccard" -> """
       WITH t AS (
         SELECT doc_id, lang, source,

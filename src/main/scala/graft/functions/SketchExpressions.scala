@@ -62,17 +62,62 @@ object SketchKernels {
     var i = 0
     while (i < n) {
       val h = hashes.getLong(i)
-      var j = 0
-      while (j < 64) {
-        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
-        j += 1
-      }
+      bitVote(counts, h)
       i += 1
     }
+    collapse(counts)
+  }
+
+  private def bitVote(counts: Array[Int], h: Long): Unit = {
+    var j = 0
+    while (j < 64) {
+      if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+      j += 1
+    }
+  }
+
+  private def collapse(counts: Array[Int]): Long = {
     var sim = 0L
     var j = 0
     while (j < 64) { if (counts(j) >= 0) sim |= (1L << j); j += 1 }
     sim
+  }
+
+  /** Engine-neutral 64-bit word hash: polynomial code-point hash mod
+    * 2^32 (h = h*31 + cp, masked each step), widened to 64 bits by two
+    * Knuth multiplicative mixes (hi32 || lo32). Every step is integer
+    * arithmetic mod 2^32 that any engine reproduces exactly — the
+    * DuckDB oracle recomputes it bit-for-bit with HUGEINT
+    * intermediates, which is what lets simhash output be
+    * oracle-checked rather than rows-only (xxhash64 is
+    * Spark-specific). */
+  def wordHash64(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h = (h * 31 + cp) & Mask
+      i += Character.charCount(cp)
+    }
+    // products wrap mod 2^64 in Java; & Mask leaves the product mod
+    // 2^32, identical to the oracle's HUGEINT `% 4294967296`
+    val hi = (h * 2654435761L) & Mask
+    val lo = (h * 2246822519L) & Mask
+    (hi << 32) | lo
+  }
+
+  /** 64-bit SimHash over a word array using the engine-neutral
+    * wordHash64 token hash (weight = word multiplicity). */
+  def simhashWords(words: ArrayData): Long = {
+    val n = words.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      bitVote(counts, wordHash64(words.getUTF8String(i)))
+      i += 1
+    }
+    collapse(counts)
   }
 }
 
@@ -107,4 +152,21 @@ case class Simhash64(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Simhash64 =
     copy(child = newChild)
   override def prettyName: String = "simhash64"
+}
+
+/** Catalyst expression: array<string> of words → 64-bit simhash via
+  * the engine-neutral wordHash64 token hash (poly-31 code points mod
+  * 2^32, Knuth-mixed to 64 bits). One codegen'd kernel call per row —
+  * the whole signature pass stays inside whole-stage codegen. */
+case class SimhashWords(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.simhashWords(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SketchKernels.simhashWords($c);")
+  override protected def withNewChildInternal(newChild: Expression): SimhashWords =
+    copy(child = newChild)
+  override def prettyName: String = "simhash_words"
 }

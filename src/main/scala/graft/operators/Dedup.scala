@@ -134,28 +134,44 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash over the token stream (token weight = occurrence
-    * count, implicit in iterating the raw token array), computed as a
-    * single expression; candidates via the 4×16-bit chunk pigeonhole
-    * (hamming <= 3 guarantees one equal chunk), verified by exact
-    * hamming distance. */
-  def q22DedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    // hash each token once, then fold the 64 bit-sums in the custom
-    // codegen expression (primitive kernel — the HOF formulation would
-    // evaluate 64*|w| interpreted lambdas per row).
+  /** All doc pairs within `maxHamming` bits of 64-bit SimHash (token
+    * weight = occurrence count, implicit in iterating the raw token
+    * array). The signature is one codegen'd kernel call per row over
+    * the engine-neutral wordHash64 token hash, so the DuckDB oracle
+    * reproduces it bit-for-bit.
+    *
+    * Candidate generation derives its chunk count from the threshold:
+    * maxHamming+1 disjoint chunks covering all 64 bits guarantee (by
+    * pigeonhole) that any pair within maxHamming shares at least one
+    * equal chunk — so the output is EXACTLY the hamming <= maxHamming
+    * pair set, a defined contract rather than collision luck, and the
+    * chunk equi-join never forms the doc×doc cartesian. Scale note:
+    * chunk width = 64/(h+1) bits sets the bucket count (2^width);
+    * h = 3 → 16-bit chunks → 65k buckets, the width that keeps
+    * per-bucket pair counts tractable at corpus scale. */
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32, "hamming threshold out of range")
+    val nChunks = maxHamming + 1
     import org.apache.spark.sql.graftbridge.Bridge.{column => exprCol, expression}
-    val simhash = exprCol(graft.functions.Simhash64(
-      expression(expr("transform(split(text, ' '), x -> xxhash64(x))"))))
+    val simhash = exprCol(graft.functions.SimhashWords(
+      expression(split(col("text"), " "))))
     val withSig = docs(spark, dir)
       .repartition(col("doc_id")) // parallelize the signature pass
       .withColumn("simhash", simhash)
       .select(col("doc_id"), col("simhash"))
-    val chunked = withSig.select(
-      col("doc_id"), col("simhash"),
-      explode(expr(
-        """transform(sequence(0, 3),
-             c -> struct(c AS chunk_idx, (shiftright(simhash, 16*c) & 65535) AS chunk))"""))
-        .as("cc"))
+    // chunk widths: base bits each, first (64 % nChunks) get one extra
+    val base = 64 / nChunks
+    val extra = 64 % nChunks
+    val widths = (0 until nChunks).map(c => base + (if (c < extra) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val chunkCols = (0 until nChunks).map { c =>
+      struct(lit(c).as("chunk_idx"),
+        shiftright(col("simhash"), offsets(c))
+          .bitwiseAND(lit((1L << widths(c)) - 1)).as("chunk"))
+    }
+    val chunked = withSig
+      .select(col("doc_id"), col("simhash"),
+        explode(array(chunkCols: _*)).as("cc"))
       .select(col("doc_id"), col("simhash"), col("cc.chunk_idx"), col("cc.chunk"))
       // join-key shuffle -> ReusedExchange dedupes the signature pass
       .repartition(col("chunk_idx"), col("chunk"))
@@ -165,10 +181,16 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long")
+          .as("hamming"))
       .dropDuplicates("doc_a", "doc_b")
-      .filter(col("hamming") <= 8)
+      .filter(col("hamming") <= maxHamming)
   }
+
+  /** SimHash near-dup at the guaranteed-complete hamming <= 3 — the
+    * exact pair set the DuckDB all-pairs oracle checks. */
+  def q22DedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs(spark, dir, maxHamming = 3)
 
   /** Exact n-gram Jaccard within (lang, source) blocks — the
     * blocked-pairwise variant (candidate blocking keeps the pair count

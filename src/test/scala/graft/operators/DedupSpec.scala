@@ -47,11 +47,38 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(sim(0) === sim(1))
   }
 
-  test("q22 simhash pairs all verify hamming <= 8") {
+  test("q22 simhash pairs are EXACTLY the all-pairs hamming <= 3 set") {
+    // ground truth: brute-force all-pairs hamming over the same
+    // engine-neutral signature — the chunk pigeonhole (4 disjoint
+    // 16-bit chunks) must lose nothing at hamming <= 3
+    import org.apache.spark.sql.graftbridge.Bridge.{column => exprCol, expression}
+    val sig = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("simhash", exprCol(graft.functions.SimhashWords(
+        expression(split(col("text"), " ")))))
+      .select(col("doc_id"), col("simhash"))
+    val truth = sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("h", bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
+      .filter(col("h") <= 3)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val rows = Dedup.q22DedupSimhash(spark, sfDir).collect()
-    assert(rows.nonEmpty)
-    assert(rows.forall(_.getAs[Int]("hamming") <= 8))
-    assert(rows.forall(r => r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
+    val found = rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(found === truth)
+    assert(found.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("hamming") <= 3))
+  }
+
+  test("wordHash64 matches the documented engine-neutral arithmetic") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def ref(s: String): Long = {
+      val h = s.codePoints().toArray.foldLeft(0L)((a, c) => (a * 31 + c) % 4294967296L)
+      val hi = (BigInt(h) * 2654435761L % 4294967296L).toLong
+      val lo = (BigInt(h) * 2246822519L % 4294967296L).toLong
+      (hi << 32) | lo
+    }
+    Seq("", "a", "hash", "longerwordhere", "zz9").foreach { w =>
+      assert(graft.functions.SketchKernels.wordHash64(UTF8String.fromString(w)) === ref(w))
+    }
   }
 
   test("q23 jaccard is symmetric-bounded and deterministic") {

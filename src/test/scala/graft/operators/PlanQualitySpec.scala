@@ -48,6 +48,15 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q22: chunk self-join reuses the signature exchange; no cartesian") {
+    val df = graft.SparkEntry.queries("q22_dedup_simhash")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      "the chunk self-join must reuse the signature pipeline's exchange")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q24: probes broadcast against a single corpus scan") {
     val p = plan("q24_ann_bruteforce")
     assert(p.contains("BroadcastNestedLoopJoin"))
