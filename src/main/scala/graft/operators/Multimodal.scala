@@ -10,11 +10,16 @@ import graft.sources.Tables
   * decoder (JNI/FFI image lib) would amortize init across a batch —
   * the Scala analogue of arrow-batched Pandas UDFs.
   *
-  * The decode step itself is STUBBED (this environment has no media
-  * codecs): `FakeDecoder` derives deterministic pseudo-pixels from the
-  * payload bytes. Everything around it — schema, binary payload
-  * handling, partition-wise batching, feature schema — is real and
-  * tested, so swapping in a true decoder changes one function.
+  * Two decoders behind the same partition-wise pipeline:
+  *  - `imageIoDecode` — a REAL decode via `javax.imageio` (PNG/BMP/
+  *    GIF/JPEG are pure-JVM, no native codecs), proving the pipeline
+  *    end-to-end on genuine image bytes;
+  *  - `fakeDecode` — a deterministic stand-in used by the
+  *    oracle-checked q31 (the synthetic corpus has no real media, and
+  *    the oracle must be engine-reproducible).
+  * Audio/video codecs aren't on the JVM: those decodes stay stubbed,
+  * with the schema / batching / frame-sampling plumbing real and
+  * tested, so swapping in an FFI decoder changes one function.
   */
 object Multimodal {
 
@@ -31,6 +36,42 @@ object Multimodal {
       else r.content.map(b => (b & 0xff).toLong).sum.toDouble / len
     MediaFeatures(r.doc_id, r.media_type, len,
       width = len % 640, height = len % 480, mean_byte = mean)
+  }
+
+  /** Real image decode via `javax.imageio` — pure JVM, handles
+    * PNG/BMP/GIF/JPEG with no native codecs. Returns None for
+    * payloads ImageIO can't parse (corrupt or non-image media), so a
+    * mixed-quality corpus degrades to dropped rows, not task
+    * failures. mean_byte = mean over all RGB channel values. */
+  def imageIoDecode(r: MediaRow): Option[MediaFeatures] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
+      catch { case _: java.io.IOException => null }
+    Option(img).map { i =>
+      val w = i.getWidth
+      val h = i.getHeight
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = i.getRGB(x, y)
+          sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      MediaFeatures(r.doc_id, r.media_type, r.content.length, w, h,
+        sum.toDouble / (3.0 * w * h))
+    }
+  }
+
+  /** Partition-wise REAL decode: same shape as decodeFeatures, with
+    * javax.imageio doing actual pixel work. Undecodable payloads are
+    * dropped (flatMap) rather than failing the task. */
+  def decodeFeaturesImageIo(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(rows => rows.flatMap(imageIoDecode))
   }
 
   /** Media table synthesized from documents: the text payload plays

@@ -11,12 +11,27 @@ import Exprs._
   */
 object Pipeline {
 
-  /** Engine-neutral deterministic hash split: Knuth multiplicative
-    * hashing on the id — pure integer arithmetic, so any engine
-    * assigns identical splits (no RNG, no engine hash function).
-    * Thresholds: 80/10/10. */
+  /** Knuth multiplicative hash: (id mod 2^32) * 2654435761 mod 2^32,
+    * computed via a 16-bit split so no intermediate exceeds ~2^48 —
+    * the naive product overflows Long for id > ~3.46e9, which THROWS
+    * under ANSI mode, and ids of that magnitude are expected at
+    * 100 TB. Equal to the naive formula for id < 2^32 (what the
+    * same-formula oracles rely on at test scale); defined — the hash
+    * of the low 32 bits — above it. Pure integer arithmetic, so any
+    * engine assigns identical values (no RNG, no engine hash fn). */
+  def knuth32(id: Column): Column = {
+    val a = 2654435761L
+    val id32 = id.bitwiseAND(lit(4294967295L))
+    val lo = id32.bitwiseAND(lit(65535L))
+    val hi = shiftright(id32, 16)
+    ((hi * lit(a)).bitwiseAND(lit(4294967295L)) * lit(65536L) + lo * lit(a))
+      .bitwiseAND(lit(4294967295L))
+  }
+
+  /** Engine-neutral deterministic hash split on the id: any engine
+    * assigns identical splits. Thresholds: 80/10/10. */
   def splitCol(id: Column): Column = {
-    val h = pmod(id * lit(2654435761L), lit(4294967296L)) % 100
+    val h = knuth32(id) % 100
     when(h < 80, "train").when(h < 90, "validation").otherwise("test")
   }
 
@@ -31,12 +46,16 @@ object Pipeline {
         min(col("doc_id")).as("min_doc_id"))
   }
 
-  /** Min-label propagation with pointer jumping over undirected edges.
-    * Each round: (1) take the min over own + neighbors' labels (one
-    * hop), then (2) short-circuit rep -> rep(rep) (pointer jump),
-    * which doubles the effective propagation distance — `rounds`
-    * rounds close components of diameter ~2^rounds (the plain one-hop
-    * loop only closes diameter `rounds`). Rounds are materialized via
+  /** Min-label propagation with pointer jumping over undirected edges,
+    * run to FIXPOINT. Each round: (1) take the min over own +
+    * neighbors' labels (one hop), then (2) short-circuit
+    * rep -> rep(rep) (pointer jump), which doubles the effective
+    * propagation distance — components of diameter d close in
+    * ~log2(d) rounds. The loop stops when a round changes zero labels
+    * (one cheap count per round on a checkpointed frame), so
+    * adversarially long near-dup chains can never silently split a
+    * cluster; `maxRounds` is a runaway backstop, not a tuning knob
+    * (64 rounds covers diameter 2^64). Rounds are materialized via
     * localCheckpoint so the plan stays flat instead of growing 3^r
     * self-references — the standard Spark iterative-algorithm shape
     * (a durable checkpoint dir replaces localCheckpoint on a real
@@ -44,13 +63,22 @@ object Pipeline {
     *
     * `initial`: (doc_id, rep) starting labels. `edges`: (src, dst)
     * pairs, treated as undirected. */
-  def labelPropagate(initial: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
+  def labelPropagate(initial: DataFrame, edges: DataFrame, maxRounds: Int = 64): DataFrame = {
     val undirected = edges
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint() // edge derivation (e.g. minhash) runs once, not per round
     var labels = initial.localCheckpoint()
+    // fixpoint detector: every label only ever DECREASES, so the rep
+    // sum strictly decreases until convergence — one shuffle-free
+    // global agg per round instead of a self-join diff (decimal(38,0)
+    // so petabyte-scale id sums can't overflow under ANSI)
+    def repSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("rep").cast("decimal(38,0)"))).collect()(0)
+        .getDecimal(0)
+    var prevSum = repSum(labels)
     var i = 0
-    while (i < rounds) {
+    var changed = true
+    while (changed && i < maxRounds) {
       val neighborMin = undirected.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("rep")).as("neighbor_rep"))
@@ -62,7 +90,11 @@ object Pipeline {
           col("l.rep") === col("r.r_id"), "left")
         .select(col("l.doc_id").as("doc_id"),
           least(col("l.rep"), coalesce(col("r.r_rep"), col("l.rep"))).as("rep"))
-      labels = jump.localCheckpoint()
+      val next = jump.localCheckpoint()
+      val nextSum = repSum(next)
+      changed = nextSum.compareTo(prevSum) != 0
+      prevSum = nextSum
+      labels = next
       i += 1
     }
     labels
@@ -70,12 +102,12 @@ object Pipeline {
 
   /** Full dedup pass: exact dups collapse by content hash; near-dup
     * pairs (minhash, J >= 0.5) collapse to their cluster's minimum
-    * doc_id via min-label propagation with pointer jumping (see
-    * labelPropagate — 3 rounds close diameter ~8 components; raise
-    * `rounds` or loop to fixpoint for adversarially long chains).
-    * Output: one row per doc with its representative and kept flag —
-    * the projection `filter(kept)` IS the deduplicated corpus. */
-  def dedupCorpus(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    * doc_id via min-label propagation with pointer jumping run to
+    * fixpoint (see labelPropagate) — chains of any length collapse to
+    * one cluster, in ~log2(diameter) rounds. Output: one row per doc
+    * with its representative and kept flag — the projection
+    * `filter(kept)` IS the deduplicated corpus. */
+  def dedupCorpus(spark: SparkSession, dir: String, maxRounds: Int = 64): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     // exact: representative = min doc_id of identical text
     val exactRep = docs
@@ -86,7 +118,7 @@ object Pipeline {
     val pairs = Dedup.q21DedupMinhash(spark, dir)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val labels = labelPropagate(
-      exactRep.select(col("doc_id"), col("exact_rep").as("rep")), pairs, rounds)
+      exactRep.select(col("doc_id"), col("exact_rep").as("rep")), pairs, maxRounds)
     labels.withColumn("kept", col("rep") === col("doc_id"))
   }
 
@@ -104,7 +136,7 @@ object Pipeline {
       .when(col("lang") === "fr", 250)
       .when(col("lang") === "es", 200)
       .otherwise(100)
-    val h = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)) % 1000
+    val h = knuth32(col("doc_id")) % 1000
     Tables.documents(spark, dir)
       .withColumn("kept", h < permille)
       .groupBy(col("lang"))
@@ -128,7 +160,14 @@ object Pipeline {
     * formulation: the benchmark postings table (small by nature —
     * benchmarks are thousands of docs, not billions) broadcasts, the
     * corpus streams past it once, and the corpus×benchmark matrix
-    * never forms. Benchmark stand-in here: doc_id % 10 == 0. */
+    * never forms. The broadcast decision is deliberately left to AQE's
+    * runtime size measurement rather than a hint: a real benchmark
+    * side broadcasts because it IS small, while an over-threshold side
+    * degrades gracefully to a shuffle join instead of a guaranteed
+    * executor OOM — a forced hint overrides the size check and turns
+    * "benchmarks are small by contract" into a scale hazard the moment
+    * the contract is violated. Benchmark stand-in here:
+    * doc_id % 10 == 0. */
   def q44Contamination(spark: SparkSession, dir: String): DataFrame = {
     val post = Tables.documents(spark, dir)
       .repartition(col("doc_id")) // parallelize shingling off the scan
@@ -136,7 +175,7 @@ object Pipeline {
     val bench = post.filter(col("doc_id") % 10 === 0)
       .select(col("ng"), col("doc_id").as("bdoc"))
     post.filter(col("doc_id") % 10 =!= 0)
-      .join(broadcast(bench), "ng")
+      .join(bench, "ng")
       .groupBy(col("doc_id"))
       .agg(
         countDistinct(col("ng")).as("shared_ngrams"),

@@ -53,10 +53,15 @@ object CsvIngest {
   def fromGrid(spark: SparkSession, grid: Seq[Seq[String]]): DataFrame = {
     require(grid.nonEmpty, "grid needs a header row")
     val header = grid.head.map(h => if (h == null || h.isEmpty) "_c" else h)
-    // disambiguate duplicate header cells like pandas: name, name_1, ...
-    val names = header.zipWithIndex.map { case (h, i) =>
-      val before = header.take(i).count(_ == h)
-      if (before == 0) h else s"${h}_$before"
+    // disambiguate duplicate header cells like pandas (name, name_1,
+    // ...), but keep bumping the suffix until the candidate is unique:
+    // a literal "a_1" cell in the header must not collide with the
+    // rename of a later duplicate "a"
+    val names = header.foldLeft(Vector.empty[String]) { (acc, h) =>
+      var candidate = h
+      var i = 1
+      while (acc.contains(candidate)) { candidate = s"${h}_$i"; i += 1 }
+      acc :+ candidate
     }
     val width = names.length
     val rows = grid.tail.map { r =>

@@ -34,6 +34,21 @@ object QueryCache {
   /** Grace before deleting a superseded version (in-flight readers). */
   private val GcGraceMillis: Long = 15L * 60 * 1000
 
+  /** How long a .lease marks a build as in-flight before another
+    * process may steal it (a cache build is a full Spark job). */
+  private val LeaseMillis: Long = 15L * 60 * 1000
+
+  /** How long a lease loser polls for the holder's publish before
+    * giving up and building anyway (duplicate work beats deadlock). */
+  private val LeaseWaitMillis: Long = 10L * 60 * 1000
+
+  /** Per-key in-JVM build locks: N concurrent misses on one key in
+    * one application compute ONCE (the reference's lock-protected
+    * refresh, connectors.py:367-452) — at scale a popular dashboard
+    * key must not launch the same multi-hour job N times. */
+  private val keyLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Deterministic cache key from a canonical config string. Callers
     * serialize their query config (sorted keys!) into `config`. */
   def cacheKey(config: String): String =
@@ -43,16 +58,31 @@ object QueryCache {
 
   /** Read-through cache: serves the CURRENT version if present,
     * complete, and younger than `ttlMillis`; otherwise computes
-    * `build`, publishes it as a new version, and reads it back. */
+    * `build`, publishes it as a new version, and reads it back.
+    *
+    * Refresh is SINGLE-FLIGHT: concurrent misses on the same key are
+    * serialized behind a per-key in-JVM lock with a re-check, so only
+    * the first computes — the rest read its published version. Across
+    * JVMs a best-effort `.lease` file extends the same contract:
+    * losers poll for the holder's publish, then (lease expiry) build
+    * themselves rather than deadlock. */
   def cached(spark: SparkSession, cacheDir: String, config: String,
              ttlMillis: Long = DefaultTtlMillis)
       (build: => DataFrame): DataFrame = {
     val entry = Paths.get(cacheDir, cacheKey(config))
-    currentVersion(entry) match {
-      case Some(v) if System.currentTimeMillis() - versionMillis(v) <= ttlMillis =>
-        spark.read.parquet(v.toString)
-      case _ =>
-        publish(spark, entry, build)
+    def live: Option[Path] = currentVersion(entry)
+      .filter(v => System.currentTimeMillis() - versionMillis(v) <= ttlMillis)
+    live match {
+      case Some(v) => spark.read.parquet(v.toString)
+      case None =>
+        val lock = keyLocks.computeIfAbsent(cacheKey(config), _ => new Object)
+        lock.synchronized {
+          // double-check: the build we queued behind may be our answer
+          live match {
+            case Some(v) => spark.read.parquet(v.toString)
+            case None => publishSingleFlight(spark, entry, ttlMillis, build)
+          }
+        }
     }
   }
 
@@ -78,6 +108,54 @@ object QueryCache {
   private def versionMillis(v: Path): Long =
     v.getFileName.toString.split("-")(1).toLong
 
+  /** Cross-JVM single-flight: take the `.lease` file (atomic create,
+    * stale leases stolen by mtime), build+publish, release. A loser
+    * polls for a fresh CURRENT from the lease holder and only falls
+    * back to building after the wait budget — the cross-process
+    * equivalent of the reference's get_lock-protected refresh. */
+  private def publishSingleFlight(spark: SparkSession, entry: Path,
+      ttlMillis: Long, build: => DataFrame): DataFrame = {
+    Files.createDirectories(entry)
+    val lease = entry.resolve(".lease")
+    val now = System.currentTimeMillis()
+    val acquired =
+      try { Files.createFile(lease); true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          try {
+            if (now - Files.getLastModifiedTime(lease).toMillis > LeaseMillis) {
+              // holder died mid-build: steal by refreshing the mtime
+              Files.setLastModifiedTime(lease,
+                java.nio.file.attribute.FileTime.fromMillis(now))
+              true
+            } else false
+          } catch { case _: java.io.IOException => false }
+        case _: java.io.IOException => true // lease is best-effort only
+      }
+    if (acquired) {
+      try publish(spark, entry, build)
+      finally {
+        try Files.deleteIfExists(lease)
+        catch { case _: java.io.IOException => }
+      }
+    } else {
+      // another process is building: poll for its publish
+      val deadline = now + LeaseWaitMillis
+      var result: Option[Path] = None
+      while (result.isEmpty && System.currentTimeMillis() < deadline &&
+             Files.exists(lease)) {
+        Thread.sleep(200)
+        result = currentVersion(entry)
+          .filter(v => System.currentTimeMillis() - versionMillis(v) <= ttlMillis)
+      }
+      result
+        .orElse(currentVersion(entry)
+          .filter(v => System.currentTimeMillis() - versionMillis(v) <= ttlMillis))
+        .map(v => spark.read.parquet(v.toString))
+        .getOrElse(publish(spark, entry, build)) // holder never published
+    }
+  }
+
   /** Write a new complete version, swap CURRENT atomically, GC old. */
   private def publish(spark: SparkSession, entry: Path, build: => DataFrame): DataFrame = {
     Files.createDirectories(entry)
@@ -95,20 +173,25 @@ object QueryCache {
   }
 
   /** Delete superseded versions and orphaned tmp dirs past the grace
-    * period. Best-effort: GC failure never fails the query. */
+    * period. Best-effort: GC failure never fails the query (but only
+    * IO failures are absorbed — anything else is a real bug and
+    * propagates). */
   private def gc(entry: Path, keep: String): Unit =
     try {
       val now = System.currentTimeMillis()
-      Files.list(entry).forEach { p =>
-        val name = p.getFileName.toString
-        val stale =
-          (name.startsWith("v-") && name != keep &&
-            now - versionMillis(p) > GcGraceMillis) ||
-          ((name.startsWith(".tmp-") || name.startsWith(".CURRENT-")) &&
-            now - Files.getLastModifiedTime(p).toMillis > GcGraceMillis)
-        if (stale) deleteRecursively(p)
-      }
-    } catch { case _: Throwable => }
+      val listing = Files.list(entry)
+      try {
+        listing.forEach { p =>
+          val name = p.getFileName.toString
+          val stale =
+            (name.startsWith("v-") && name != keep &&
+              now - versionMillis(p) > GcGraceMillis) ||
+            ((name.startsWith(".tmp-") || name.startsWith(".CURRENT-")) &&
+              now - Files.getLastModifiedTime(p).toMillis > GcGraceMillis)
+          if (stale) deleteRecursively(p)
+        }
+      } finally listing.close()
+    } catch { case _: java.io.IOException | _: java.io.UncheckedIOException => }
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.exists(p)) {

@@ -29,10 +29,16 @@ import scala.io.Source
   */
 object Rest {
 
-  /** GET a URL → body string with bounded retries on transient
-    * failures (IO errors / 5xx). Executor-safe: no session references.
-    * Backoff is linear and short — an API backfill wants quick retry
-    * on blips and a fast loud failure on real outages. */
+  /** A 4xx response: the request itself is wrong (bad URL, auth,
+    * gone) — retrying cannot help, so `get` fails fast instead of
+    * burning its retry budget. NOT an IOException on purpose. */
+  final class HttpClientError(msg: String) extends RuntimeException(msg)
+
+  /** GET a URL → body string with bounded retries on TRANSIENT
+    * failures only (connect/read errors and 5xx); 4xx fails fast via
+    * HttpClientError. Executor-safe: no session references. Backoff
+    * is linear and short — an API backfill wants quick retry on blips
+    * and a fast loud failure on real outages. */
   def get(url: String, timeoutMs: Int = 10000, attempts: Int = 3,
           backoffMs: Long = 200): String = {
     var attempt = 0
@@ -56,6 +62,11 @@ object Rest {
     conn.setReadTimeout(timeoutMs)
     conn.setRequestProperty("Accept", "application/json")
     try {
+      val code = conn.getResponseCode
+      if (code >= 400 && code < 500)
+        throw new HttpClientError(s"HTTP $code from $url (not retryable)")
+      if (code >= 500)
+        throw new java.io.IOException(s"HTTP $code from $url")
       val is = conn.getInputStream
       try Source.fromInputStream(is, "UTF-8").mkString
       finally is.close()
@@ -82,11 +93,14 @@ object Rest {
   }
 
   /** Parallel (offset) pagination: executors fetch `wave` pages at a
-    * time via `urlForPage`; the driver only advances wave boundaries
-    * and stops when a wave contains a page `isEmptyPage` accepts
-    * (default: an empty JSON array). Page bodies transit the driver
-    * between waves — bounded by wave * page size; at cluster scale
-    * raise `wave` to the executor count. */
+    * time via `urlForPage`; the driver only advances wave boundaries.
+    * Every non-empty page in a wave is KEPT (an empty page mid-wave
+    * can't silently truncate later pages), and the scan stops only
+    * when an entire wave comes back empty — one wave of empty
+    * requests past the end buys immunity to APIs that interleave
+    * empty pages. Page bodies transit the driver between waves —
+    * bounded by wave * page size; at cluster scale raise `wave` to
+    * the executor count. */
   def readPagedParallel(spark: SparkSession, urlForPage: Int => String,
       schema: StructType, wave: Int = 8, maxPages: Int = 10000,
       isEmptyPage: String => Boolean = b => {
@@ -103,9 +117,9 @@ object Rest {
         .parallelize(urls, n)
         .map(u => get(u))
         .collect()
-      val nonEmpty = bodies.takeWhile(!isEmptyPage(_))
+      val nonEmpty = bodies.filterNot(isEmptyPage)
       all ++= nonEmpty
-      done = nonEmpty.length < bodies.length
+      done = nonEmpty.isEmpty
       page += n
     }
     spark.read.schema(schema).json(spark.createDataset(all.toSeq))

@@ -16,6 +16,34 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("imageio decoder: real PNGs decode through the partition-wise pipeline") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    // synthesize real PNGs: a 5x3 image of constant gray 100 and a
+    // 7x2 of constant gray 30, plus one corrupt payload
+    def png(w: Int, h: Int, gray: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val rgb = (gray << 16) | (gray << 8) | gray
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val ds = Seq(
+      Multimodal.MediaRow(1L, "image", png(5, 3, 100)),
+      Multimodal.MediaRow(2L, "image", png(7, 2, 30)),
+      Multimodal.MediaRow(3L, "image", Array[Byte](1, 2, 3))).toDS()
+      .repartition(2) // exercise >1 partition through mapPartitions
+    val out = Multimodal.decodeFeaturesImageIo(ds).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(out.keySet === Set(1L, 2L), "corrupt payload is dropped, not fatal")
+    assert(out(1L).width === 5 && out(1L).height === 3)
+    assert(out(1L).mean_byte === 100.0)
+    assert(out(2L).width === 7 && out(2L).height === 2)
+    assert(out(2L).mean_byte === 30.0)
+    assert(out(1L).media_len > 0)
+  }
+
   test("frame sampling blocks the payload and keeps every k-th frame") {
     import spark.implicits._
     val payload = Array.tabulate[Byte](10)(_.toByte)

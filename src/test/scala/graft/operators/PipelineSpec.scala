@@ -17,6 +17,20 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(bySplit("test").toDouble / total < 0.2)
   }
 
+  test("knuth32 survives huge ids under ANSI and matches the naive formula below 2^32") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 999L, 4294967295L, 4294967296L, 5000000000L,
+      1L << 40, Long.MaxValue)
+    val got = ids.toDF("doc_id")
+      .withColumn("h", Pipeline.knuth32(col("doc_id")))
+      .withColumn("split", Pipeline.splitCol(col("doc_id")))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("h")).toMap
+    ids.foreach { id =>
+      val expected = (BigInt(id & 0xFFFFFFFFL) * 2654435761L % BigInt(2).pow(32)).toLong
+      assert(got(id) === expected, s"id=$id")
+    }
+  }
+
   test("q43 stratified sample: rates land near targets, totals partition the corpus") {
     val out = Pipeline.q43StratifiedSample(spark, sfDir).collect()
     val targets = Map("en" -> 0.5, "de" -> 0.35, "fr" -> 0.25, "es" -> 0.2)
@@ -56,6 +70,22 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       .map(r => r.getAs[Long]("doc_id") ->
         ((r.getAs[Long]("shared_ngrams"), r.getAs[Long]("benchmark_docs")))).toMap
     assert(got === expected)
+  }
+
+  test("label propagation reaches fixpoint on a chain longer than the old fixed-round reach") {
+    import spark.implicits._
+    // a 33-node path graph: diameter 32 > the 2^3=8 closed by the old
+    // fixed 3 rounds — fixpoint must collapse it to a single cluster
+    val n = 33
+    val initial = (0 until n).map(i => (i.toLong, i.toLong)).toDF("doc_id", "rep")
+    val edges = (0 until n - 1).map(i => (i.toLong, i.toLong + 1)).toDF("src", "dst")
+    val labels = Pipeline.labelPropagate(initial, edges)
+    val reps = labels.select("rep").distinct().collect().map(_.getLong(0))
+    assert(reps.toSeq === Seq(0L), "the whole chain must collapse to rep 0")
+    // and the documented failure of a fixed 3-round run is real:
+    val truncated = Pipeline.labelPropagate(initial, edges, maxRounds = 3)
+    assert(truncated.select("rep").distinct().count() > 1,
+      "3 rounds cannot close diameter 32 — otherwise this test is vacuous")
   }
 
   test("dedup pipeline: representatives are cluster minima; kept = distinct reps") {

@@ -83,10 +83,17 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
       "partial agg map-side, one shuffle on the grouping key")
   }
 
-  test("q44: benchmark postings broadcast; corpus never cartesians") {
-    val p = plan("q44_contamination")
-    assert(p.contains("BroadcastHashJoin"))
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  test("q44: small benchmark side broadcasts AT RUNTIME (AQE), no forced hint") {
+    // no broadcast() hint in the code: AQE must pick the broadcast
+    // join from the measured size of the benchmark side, so an
+    // over-threshold benchmark would degrade to a shuffle join
+    // instead of a guaranteed OOM
+    val df = graft.SparkEntry.queries("q44_contamination")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "AQE should broadcast the (small) benchmark postings at runtime")
+    assert(!p.contains("CartesianProduct"))
   }
 
   test("q45: IVF candidates come from a cell equi-join, not a cross join") {

@@ -59,6 +59,39 @@ class InfraSpec extends AnyFunSuite with SparkFixture {
     assert(builds === 2 && back.count() === 1)
   }
 
+  test("query cache single-flight: concurrent misses on one key build ONCE") {
+    import spark.implicits._
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val dir = Files.createTempDirectory("graft-sflight").toString
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    def build = {
+      builds.incrementAndGet()
+      Thread.sleep(300) // a slow build: the window where dup misses pile up
+      Seq((1, "a")).toDF("id", "v")
+    }
+    val cfg = """{"q":"single-flight"}"""
+    val n = 6
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(n)
+    val counts = (1 to n).map { _ =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        override def call(): Long = {
+          start.await()
+          QueryCache.cached(spark, dir, cfg)(build).count()
+        }
+      })
+    }
+    start.countDown() // all six miss "simultaneously"
+    val results = counts.map(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(results.forall(_ === 1L), "every caller sees the published result")
+    assert(builds.get() === 1,
+      s"six concurrent misses must compute once, computed ${builds.get()}")
+    // the lease is released after publish
+    val entry = java.nio.file.Paths.get(dir, QueryCache.cacheKey(cfg))
+    assert(!Files.exists(entry.resolve(".lease")))
+  }
+
   test("cache key is deterministic and config-sensitive") {
     assert(QueryCache.cacheKey("abc") === QueryCache.cacheKey("abc"))
     assert(QueryCache.cacheKey("abc") !== QueryCache.cacheKey("abd"))
@@ -142,6 +175,11 @@ class InfraSpec extends AnyFunSuite with SparkFixture {
       val par = Rest.readPagedParallel(spark, p => s"$base?page=$p", schema, wave = 2)
       assert(par.count() === 30)
       assert(par.select("id").distinct().count() === 30)
+      // an empty page mid-wave must not truncate later pages: wave 4
+      // fetches pages 0-3 where page 3 is empty but 0-2 carry data —
+      // and the scan keeps going until a FULLY empty wave
+      val par2 = Rest.readPagedParallel(spark, p => s"$base?page=$p", schema, wave = 4)
+      assert(par2.count() === 30)
     } finally server.stop(0)
   }
 
@@ -168,6 +206,23 @@ class InfraSpec extends AnyFunSuite with SparkFixture {
       // exhausted retries surface the failure loudly
       hits.set(-1000)
       intercept[java.io.IOException](Rest.get(url, attempts = 2, backoffMs = 1))
+    } finally server.stop(0)
+  }
+
+  test("rest source fails fast on 4xx — no retry burn on a wrong request") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    try {
+      server.createContext("/gone", { exchange =>
+        hits.incrementAndGet()
+        exchange.sendResponseHeaders(404, -1)
+        exchange.close()
+      })
+      server.start()
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/gone"
+      intercept[Rest.HttpClientError](Rest.get(url, attempts = 3, backoffMs = 10))
+      assert(hits.get() === 1, "a 404 must not be retried")
     } finally server.stop(0)
   }
 
@@ -235,6 +290,11 @@ class InfraSpec extends AnyFunSuite with SparkFixture {
     assert(rows(0).getString(2) === "90")
     assert(rows(1).getString(1) === "120")
     assert(rows(1).isNullAt(2)) // padded
+    // adversarial: a literal "a_1" header cell must not collide with
+    // the rename of a later duplicate "a"
+    val tricky = CsvIngest.fromGrid(spark, Seq(Seq("a", "a_1", "a")))
+    assert(tricky.columns.toSeq === Seq("a", "a_1", "a_2"))
+    assert(tricky.columns.distinct.length === tricky.columns.length)
   }
 
   test("csv ingest round-trips with explicit schema and normalization") {
