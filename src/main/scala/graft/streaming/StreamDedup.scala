@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.Dedup
 
 /** Streaming exact deduplication — the ingest-time face of the batch
   * content-hash dedup (operators/Dedup.q20): documents dedupe as they
@@ -25,4 +26,55 @@ object StreamDedup {
       .withColumn("text_hash", sha2(col("text"), 256))
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("text_hash")
+
+  /** Streaming NEAR-dup detection — the ingest-time face of the batch
+    * minhash LSH (operators/Dedup.q21): each arriving doc computes its
+    * 32-band minhash signature (same codegen kernel as batch), bands
+    * explode to (band, hash) rows, and `dropDuplicatesWithinWatermark`
+    * keyed on the band hash keeps only FIRST claimers — a doc that
+    * shares any band with an earlier doc inside the horizon loses that
+    * band. A per-doc windowed count then closes at the watermark:
+    * fresh_bands < bands means some band was already claimed, i.e. the
+    * doc is a near-dup CANDIDATE (J >= ~0.8 collides w.h.p. at 32x4).
+    *
+    * Contract notes, deliberate:
+    *  - candidate-level, like q21's band join: ingest flags, the batch
+    *    pass (q21/q41) does exact Jaccard verification — streaming has
+    *    no second look at the earlier doc's shingles;
+    *  - two near-identical docs in ONE micro-batch may split their
+    *    bands and BOTH flag — conservative over-flagging, never a miss;
+    *  - docs under 3 words have no shingles, hence no near-dup
+    *    definition: they are absent from the output (route them
+    *    through `dedupStream` for exact dedup instead);
+    *  - state is bounded by the horizon on both operators (band claims
+    *    and open windows), the property that makes this runnable
+    *    against a firehose.
+    * Output (append at watermark): doc_id, win, fresh_bands,
+    * is_near_dup. */
+  def nearDedupStream(docs: DataFrame, horizon: String = "1 hour",
+      nPerm: Int = 128, bands: Int = 32): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge.{column => exprCol, expression}
+    val bandHashes = exprCol(graft.functions.MinhashBandHashes(
+      expression(col("tri")), nPerm, bands))
+    val base = docs
+      .withColumn("tri", Dedup.triHash)
+      // empty signatures are all-identical: without this filter every
+      // short doc collides in every band (same guard as batch q21)
+      .filter(size(col("tri")) > 0)
+    val bandRows = base.select(col("doc_id"), col("ts"),
+      posexplode(bandHashes).as(Seq("band", "bh")))
+    // one presence row per doc under a doc-unique key (band -1): it
+    // always survives the dedup, so a doc whose EVERY band is claimed
+    // still reaches the aggregate and reports fresh_bands = 0 instead
+    // of silently vanishing
+    val presence = base.select(col("doc_id"), col("ts"),
+      lit(-1).as("band"), col("doc_id").as("bh"))
+    bandRows.unionByName(presence)
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("band", "bh")
+      .groupBy(window(col("ts"), "1 minute").as("win"), col("doc_id"))
+      .agg((count(lit(1)) - 1).as("fresh_bands"))
+      .select(col("doc_id"), col("win"), col("fresh_bands"),
+        (col("fresh_bands") < bands).as("is_near_dup"))
+  }
 }

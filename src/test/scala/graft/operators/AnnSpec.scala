@@ -49,52 +49,80 @@ class AnnSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
-  test("q45 IVF ANN: recall@5 vs exact brute force, descending within probe") {
-    val exact = Ann.q24AnnBruteforce(spark, sfDir)
-      .filter(col("rank") <= 5).collect()
-      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
-    val ivf = Ann.q45AnnIvf(spark, sfDir).collect()
-    ivf.groupBy(_.getAs[Long]("probe_id")).values.foreach { rs =>
-      val cos = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
-      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    for (i <- a.indices) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
     }
-    val found = ivf.map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
-    // measured 0.82 on this (deterministic) corpus probing 6/16 cells —
-    // near-random embeddings are ANN's hardest regime; clustered data
-    // does far better for the same probe fraction
-    val recall = (found & exact).size.toDouble / exact.size
-    info(s"IVF recall@5 = $recall (${(found & exact).size}/${exact.size})")
-    assert(recall >= 0.75, s"recall $recall")
+    dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  test("q30 LSH near-dup: precision 1.0, recall >= 0.95 vs exact ground truth") {
-    // exact all-pairs ground truth computed locally (500 x 64 floats —
-    // collect is metadata-sized for the spec corpus). The corpus holds
-    // no high-cosine planted pairs (max ~0.51), so threshold 0.3 sits
+  private def ivfRecall(dir: String): Double = {
+    val exact = Ann.q24AnnBruteforce(spark, dir)
+      .filter(col("rank") <= 5).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = Ann.q45AnnIvf(spark, dir).collect()
+    ivf.groupBy(_.getAs[Long]("probe_id")).values.foreach { rs =>
+      val cs = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+    val found = ivf.map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    (found & exact).size.toDouble / exact.size
+  }
+
+  /** (precision-is-1.0 asserted inside; returns measured recall). */
+  private def lshNearDupRecall(dir: String): Double = {
+    // exact all-pairs ground truth computed locally (<=2000 x 64
+    // floats — collect is metadata-sized for the spec corpora). The
+    // corpora hold no high-cosine planted pairs, so threshold 0.3 sits
     // near the random background — the hardest recall regime for LSH;
     // the b=4/L=32 parameters are chosen for it (see Ann.scaladoc).
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").collect()
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet").collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Seq[Float]]("embedding").toArray)
       .toMap
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      for (i <- a.indices) {
-        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
-      }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
     val ids = emb.keys.toArray.sorted
     val gt = (for {
       ai <- ids.indices.iterator; bi <- (ai + 1 until ids.length).iterator
       if cos(emb(ids(ai)), emb(ids(bi))) >= 0.3
     } yield (ids(ai), ids(bi))).toSet
-    val rows = Ann.q30DedupEmbedding(spark, sfDir).collect()
+    val rows = Ann.q30DedupEmbedding(spark, dir).collect()
     assert(rows.forall(_.getAs[Double]("cosine") >= 0.3))
     assert(rows.forall(r => r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b")))
     val got = rows.map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
     assert(got.subsetOf(gt), "exact verify must make precision 1.0")
-    val recall = got.size.toDouble / gt.size
-    info(s"LSH near-dup recall = $recall (${got.size}/${gt.size})")
-    assert(recall >= 0.95, s"recall $recall below floor (${got.size}/${gt.size})")
+    got.size.toDouble / gt.size
+  }
+
+  test("q45 IVF ANN: recall@5 vs exact brute force, descending within probe") {
+    // measured 0.82 on this (deterministic) corpus probing 6/16 cells —
+    // near-random embeddings are ANN's hardest regime; clustered data
+    // does far better for the same probe fraction
+    val recall = ivfRecall(sfDir)
+    info(s"IVF recall@5 = $recall")
+    assert(recall >= 0.75, s"recall $recall")
+  }
+
+  test("q45 IVF recall holds at the bench scale factor (sf0.1, 2000 vectors)") {
+    // measured 0.74 (deterministic corpus): 4x the vectors with the
+    // same 16 cells / 6 probes — recall degrades gently, not off a
+    // cliff, which is the property this guard pins
+    val recall = ivfRecall("/root/testdata/sf0.1")
+    info(s"IVF recall@5 at sf0.1 = $recall")
+    assert(recall >= 0.70, s"recall $recall")
+  }
+
+  test("q30 LSH near-dup: precision 1.0, recall >= 0.95 vs exact ground truth") {
+    val recall = lshNearDupRecall(sfDir)
+    info(s"LSH near-dup recall = $recall")
+    assert(recall >= 0.95, s"recall $recall below floor")
+  }
+
+  test("q30 LSH near-dup recall holds at the bench scale factor (sf0.1, 2000 vectors)") {
+    // measured 0.991 (deterministic corpus): the b=4/L=32 tables keep
+    // their recall when the corpus quadruples — candidate generation
+    // can't regress behind the tiny default corpus
+    val recall = lshNearDupRecall("/root/testdata/sf0.1")
+    info(s"LSH near-dup recall at sf0.1 = $recall")
+    assert(recall >= 0.95, s"recall $recall below floor")
   }
 }
