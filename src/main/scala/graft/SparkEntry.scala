@@ -66,7 +66,79 @@ object SparkEntry {
     "q48_heavy_hitters"       -> Analytics.q48HeavyHitters _,
   )
 
+  /** DuckDB replay of the deterministic quantized kmeans (q32): the
+    * identical Lloyd's iterations unrolled as CTEs — same floor(x*2^24)
+    * quantization, same integer distances and argmin tie-break, same
+    * floor-division centroid update (empty clusters carry over), same
+    * exact-aggregate-derived double metrics. Exactness argument lives
+    * at operators/Clustering.kmeansQuantized. */
+  private def kmeansOracle(k: Int, iters: Int): String = {
+    val dim = 64
+    val dist = (c: String) =>
+      s"list_sum(list_transform(range(1, ${dim + 1}), j -> (v.q[j]-$c.cq[j])*(v.q[j]-$c.cq[j])))"
+    def iterCte(i: Int): String = {
+      val prev = s"c${i - 1}"
+      s"""
+      a$i AS (
+        SELECT vec_id, q, cluster FROM (
+          SELECT v.vec_id, v.q, c.cluster,
+            ROW_NUMBER() OVER (PARTITION BY v.vec_id
+              ORDER BY ${dist("c")} ASC, c.cluster ASC) AS rn
+          FROM v CROSS JOIN $prev c
+        ) WHERE rn = 1
+      ),
+      s$i AS (
+        SELECT cluster, j, SUM(q[j]) AS s, COUNT(*) AS cnt
+        FROM a$i CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS j) dims
+        GROUP BY 1, 2
+      ),
+      n$i AS (
+        -- FLOOR division to match Math.floorDiv: DuckDB's integer //
+        -- truncates toward zero, so make the numerator exactly
+        -- divisible first (subtract the floor-mod remainder)
+        SELECT cluster,
+          list((s - ((s % cnt + cnt) % cnt)) // cnt ORDER BY j) AS cq
+        FROM s$i GROUP BY 1
+      ),
+      c$i AS (
+        SELECT p.cluster AS cluster, COALESCE(x.cq, p.cq) AS cq
+        FROM $prev p LEFT JOIN n$i x USING (cluster)
+      )"""
+    }
+    s"""
+      WITH v AS (
+        SELECT vec_id,
+          list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 16777216.0) AS BIGINT)) AS q
+        FROM embeddings
+      ),
+      c0 AS (
+        SELECT rn - 1 AS cluster, q AS cq FROM (
+          SELECT q, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM v
+        ) WHERE rn <= $k
+      ),${(1 to iters).map(iterCte).mkString(",")},
+      fin AS (
+        SELECT vec_id,
+          MAX(CASE WHEN rn = 1 THEN cluster END) AS cluster,
+          MAX(CASE WHEN rn = 1 THEN d END) AS d,
+          MAX(CASE WHEN rn = 2 THEN d END) AS d2
+        FROM (
+          SELECT v.vec_id, c.cluster, ${dist("c")} AS d,
+            ROW_NUMBER() OVER (PARTITION BY v.vec_id
+              ORDER BY ${dist("c")} ASC, c.cluster ASC) AS rn
+          FROM v CROSS JOIN c$iters c
+        ) WHERE rn <= 2
+        GROUP BY vec_id
+      )
+      SELECT cluster, COUNT(*) AS n,
+        sqrt(CAST(SUM(d) AS DOUBLE) / COUNT(*)) / 16777216.0 AS rms_dist,
+        sqrt(CAST(SUM(d2) AS DOUBLE) / CAST(SUM(d) AS DOUBLE)) AS separation
+      FROM fin GROUP BY cluster
+    """
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q32_kmeans" -> kmeansOracle(k = 10, iters = 5),
     "q01_agg_filter" -> """
       SELECT
         l_returnflag,

@@ -20,6 +20,9 @@ object VerifyOne {
     names.foreach { name =>
       SparkEntry.queries(name)(spark, sfDir).coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/$name")
+      SparkEntry.oracleSql.get(name).foreach(sql =>
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$outDir/$name.sql"), sql))
       println(s"[verifyone] wrote $outDir/$name")
     }
     spark.stop()

@@ -39,6 +39,35 @@ object ClusterKernels {
     new GenericInternalRow(Array[Any](best, bestD, secondD))
   }
 
+  /** Integer twin of `nearest` for QUANTIZED vectors (array<long>):
+    * every distance is exact 64-bit integer arithmetic, so the argmin
+    * is bit-reproducible across engines and partition orders — the
+    * property that lets a whole Lloyd's iteration be oracle-checked
+    * (doubles lose exactness past 2^53; quantized coords ~2^24 keep
+    * per-row distances under ~2^56). Ties go to the lower cluster id;
+    * for k == 1, sqDist2 = Long.MaxValue (no second centroid). */
+  def nearestInt(v: ArrayData, centroids: Array[Array[Long]]): InternalRow = {
+    val dim = v.numElements()
+    var best = -1
+    var bestD = Long.MaxValue
+    var secondD = Long.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      var d = 0L
+      var i = 0
+      while (i < dim) {
+        val diff = v.getLong(i) - cent(i)
+        d += diff * diff
+        i += 1
+      }
+      if (d < bestD) { secondD = bestD; bestD = d; best = c }
+      else if (d < secondD) { secondD = d }
+      c += 1
+    }
+    new GenericInternalRow(Array[Any](best, bestD, secondD))
+  }
+
   /** The `p` nearest centroid ids, ascending by squared euclidean
     * distance (ties → lower id) — the multi-probe cell list of an IVF
     * index. Selection sort over k entries: k is tens-to-thousands, so
@@ -99,6 +128,26 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
   override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
     copy(child = newChild)
   override def prettyName: String = "nearest_centroid"
+}
+
+/** Assign a QUANTIZED (array<long>) vector to its nearest centroid
+  * with exact integer distances — see ClusterKernels.nearestInt. */
+case class NearestCentroidInt(child: Expression, centroids: Array[Array[Long]])
+    extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("cluster", IntegerType, nullable = false),
+    StructField("sq_dist", LongType, nullable = false),
+    StructField("sq_dist2", LongType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    ClusterKernels.nearestInt(input.asInstanceOf[ArrayData], centroids)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "long[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ClusterKernels.nearestInt($c, $ref);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidInt =
+    copy(child = newChild)
+  override def prettyName: String = "nearest_centroid_int"
 }
 
 /** The p nearest centroid ids for a float vector — IVF cell probes. */

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.Bridge.{column => exprCol, expression}
 import graft.functions.NearestCentroid
@@ -87,7 +87,7 @@ object Clustering {
     * centroid, b = distance to nearest OTHER centroid — the
     * distributed stand-in for the reference's silhouette_score
     * (tasks.py:477-478); exact silhouette is O(N^2) and driver-bound. */
-  def q32Kmeans(spark: SparkSession, dir: String): DataFrame = {
+  def kmeansSilhouette(spark: SparkSession, dir: String): DataFrame = {
     val a = sqrt(col("sq_dist"))
     val b = sqrt(col("sq_dist2"))
     kmeans(spark, dir, k = 10, iters = 5)
@@ -98,4 +98,92 @@ object Clustering {
         sqrt(avg(col("sq_dist"))).as("rms_dist"),
         avg(col("sil")).as("silhouette"))
   }
+
+  /** Quantization scale: 2^24 — float mantissas are 24 bits, so
+    * x * 2^24 is EXACT in double for the unit-range embeddings and
+    * floor() of it is engine-identical; coordinates land under ~2^25,
+    * keeping every per-row squared distance under ~2^56 (exact in
+    * int64 for both engines). */
+  val QuantScale = 16777216.0
+
+  /** Embedding column quantized to integers: floor(x * 2^24). */
+  private val quantized: Column =
+    transform(col("embedding"), x =>
+      floor(x.cast("double") * lit(QuantScale)).cast("long"))
+
+  /** DETERMINISTIC quantized KMeans — Lloyd's iterations where every
+    * cross-row reduction is exact integer arithmetic, so the result
+    * is bit-identical run-to-run, partition-order-free, and
+    * engine-reproducible (the DuckDB oracle replays the identical
+    * iterations):
+    *
+    *  - coordinates quantize to floor(x * 2^24) (exact — see
+    *    QuantScale);
+    *  - assignment distances are int64 sums (NearestCentroidInt), the
+    *    argmin has no float tie ambiguity, ties break to the lower
+    *    cluster id;
+    *  - centroid update is SUM(int) / COUNT via floor division — an
+    *    order-independent integer mean, where a float sum would drift
+    *    with partition order (THE reproducibility hazard of
+    *    distributed kmeans at scale); empty clusters keep their
+    *    previous centroid;
+    *  - init = the k lowest vec_ids, iteration count fixed.
+    *
+    * This is how a 100 TB pipeline makes clustering reproducible:
+    * quantize, reduce in integers, derive float metrics only from the
+    * exact aggregates. */
+  def kmeansQuantized(spark: SparkSession, dir: String, k: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge.{column => exprColQ, expression => exprQ}
+    val vecs = Tables.embeddings(spark, dir)
+      .repartition(col("vec_id"))
+      .select(col("vec_id"), quantized.as("q"))
+      .persist()
+    var cents: Array[Array[Long]] = vecs
+      .orderBy(col("vec_id")).limit(k).collect()
+      .map(_.getAs[scala.collection.Seq[Long]]("q").toArray)
+    def assignQ = vecs.withColumn("asg",
+        exprColQ(graft.functions.NearestCentroidInt(exprQ(col("q")), cents)))
+      .select(col("vec_id"), col("q"),
+        col("asg.cluster").as("cluster"),
+        col("asg.sq_dist").as("sq_dist"), col("asg.sq_dist2").as("sq_dist2"))
+    var it = 0
+    while (it < iters) {
+      val sums = assignQ
+        .select(col("cluster"), posexplode(col("q")).as(Seq("pos", "x")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      sums.foreach { r =>
+        next(r.getAs[Int]("cluster"))(r.getAs[Int]("pos")) =
+          Math.floorDiv(r.getAs[Long]("s"), r.getAs[Long]("n"))
+      }
+      cents = next
+      it += 1
+    }
+    val result = assignQ.localCheckpoint()
+    vecs.unpersist(blocking = false)
+    result
+  }
+
+  /** q32 gate query: deterministic quantized kmeans, k=10, 5
+    * iterations. Per-cluster metrics derive ONLY from exact integer
+    * aggregates (decimal sums of int64 distances), then one fixed
+    * sequence of double ops both engines execute identically:
+    * rms_dist in real (un-quantized) units, separation =
+    * rms-to-second-nearest over rms-to-own (>1 = well separated —
+    * the aggregate-exact stand-in for the per-row silhouette, which
+    * would need an order-dependent float mean; kmeansSilhouette
+    * keeps the reference-shaped per-row version). */
+  def q32Kmeans(spark: SparkSession, dir: String): DataFrame =
+    kmeansQuantized(spark, dir, k = 10, iters = 5)
+      .groupBy(col("cluster"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("sq_dist").cast("decimal(38,0)")).as("ssq"),
+        sum(col("sq_dist2").cast("decimal(38,0)")).as("ssq2"))
+      .select(col("cluster"), col("n"),
+        (sqrt(col("ssq").cast("double") / col("n")) / QuantScale).as("rms_dist"),
+        sqrt(col("ssq2").cast("double") / col("ssq").cast("double"))
+          .as("separation"))
 }

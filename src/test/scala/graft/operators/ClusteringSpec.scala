@@ -24,8 +24,8 @@ class ClusteringSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
-  test("q32 produces k clusters partitioning the corpus, with silhouette in [-1,1]") {
-    val out = Clustering.q32Kmeans(spark, sfDir).collect()
+  test("kmeansSilhouette produces k clusters partitioning the corpus, silhouette in [-1,1]") {
+    val out = Clustering.kmeansSilhouette(spark, sfDir).collect()
     assert(out.length <= 10 && out.nonEmpty)
     val total = out.map(_.getAs[Long]("n")).sum
     assert(total === spark.read.parquet(s"$sfDir/embeddings.parquet").count())
@@ -34,6 +34,62 @@ class ClusteringSpec extends AnyFunSuite with SparkFixture {
       val s = r.getAs[Double]("silhouette")
       assert(!s.isNaN && s >= -1.0 && s <= 1.0, s"silhouette $s out of range")
     }
+  }
+
+  test("q32 quantized kmeans partitions the corpus; metrics derive from exact sums") {
+    val out = Clustering.q32Kmeans(spark, sfDir).collect()
+    assert(out.length <= 10 && out.nonEmpty)
+    val total = out.map(_.getAs[Long]("n")).sum
+    assert(total === spark.read.parquet(s"$sfDir/embeddings.parquet").count())
+    out.foreach { r =>
+      assert(r.getAs[Double]("rms_dist") >= 0.0)
+      assert(r.getAs[Double]("separation") >= 1.0,
+        "second-nearest centroid can never be closer than the nearest")
+    }
+  }
+
+  test("quantized kmeans matches a local replay of the identical integer iterations") {
+    // independent ground truth: run the same quantized Lloyd's loop in
+    // plain Scala over the collected corpus — every reduction is
+    // integer, so the distributed result must be bit-identical
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .orderBy("vec_id").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding")
+          .map(x => math.floor(x.toDouble * Clustering.QuantScale).toLong).toArray)
+    val k = 10; val iters = 5
+    var cents = emb.take(k).map(_._2.clone())
+    def nearest2(q: Array[Long]): (Int, Long, Long) = {
+      var best = -1; var bd = Long.MaxValue; var sd = Long.MaxValue
+      for (c <- cents.indices) {
+        var d = 0L
+        for (i <- q.indices) { val t = q(i) - cents(c)(i); d += t * t }
+        if (d < bd) { sd = bd; bd = d; best = c } else if (d < sd) sd = d
+      }
+      (best, bd, sd)
+    }
+    for (_ <- 1 to iters) {
+      val byCluster = emb.groupBy { case (_, q) => nearest2(q)._1 }
+      val next = cents.map(_.clone())
+      byCluster.foreach { case (c, members) =>
+        for (i <- 0 until 64) {
+          val s = members.map(_._2(i)).sum
+          next(c)(i) = Math.floorDiv(s, members.length.toLong)
+        }
+      }
+      cents = next
+    }
+    val local = emb.map { case (id, q) => val (c, d, d2) = nearest2(q); (id, c, d, d2) }
+      .groupBy(_._2).map { case (c, rows) =>
+        c -> ((rows.length.toLong, rows.map(r => BigInt(r._3)).sum, rows.map(r => BigInt(r._4)).sum))
+      }
+    val dist = Clustering.kmeansQuantized(spark, sfDir, k, iters).collect()
+      .groupBy(_.getAs[Int]("cluster")).map { case (c, rows) =>
+        c -> ((rows.length.toLong,
+          rows.map(r => BigInt(r.getAs[Long]("sq_dist"))).sum,
+          rows.map(r => BigInt(r.getAs[Long]("sq_dist2"))).sum))
+      }
+    assert(dist === local)
   }
 
   test("assignment silhouette term: clear blob points score near 1") {
