@@ -65,6 +65,25 @@ object Dedup {
            i -> xxhash64(hw[i], hw[i+1], hw[i+2])))
            ELSE CAST(array() AS array<bigint>) END)[0]""")
 
+  /** Distinct 64-bit n-gram hashes (the triHash technique generalized
+    * to any window): hash each word once, combine windows with one
+    * variadic xxhash64 — equality structure identical to hashing the
+    * n-gram string (modulo ~2^-64 collisions) with no string building
+    * and |w| word hashes instead of n|w|. The transform(array(..))[0]
+    * let-binding keeps the word-hash array from re-evaluating inside
+    * the window loop. */
+  def ngramHash(n: Int): Column = {
+    require(n >= 1, "n-gram length must be positive")
+    val args = (0 until n).map(k => s"hw[i+$k]").mkString(", ")
+    expr(
+      s"""transform(
+           array(transform(split(text, ' '), x -> xxhash64(x))),
+           hw -> CASE WHEN size(hw) >= $n THEN array_distinct(transform(
+             sequence(0, size(hw) - $n),
+             i -> xxhash64($args)))
+             ELSE CAST(array() AS array<bigint>) END)[0]""")
+  }
+
   /** MinHash(128) + banded LSH near-dup detection:
     * shingle → 128-perm minhash signature (one nested-transform
     * expression, no explode) → 32 bands × 4 rows → equality join on

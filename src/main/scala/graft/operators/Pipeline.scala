@@ -169,9 +169,13 @@ object Pipeline {
     * the contract is violated. Benchmark stand-in here:
     * doc_id % 10 == 0. */
   def q44Contamination(spark: SparkSession, dir: String): DataFrame = {
+    // hashed 8-grams, not strings: same distinct-count structure
+    // (collisions ~|ng|^2/2^64 — negligible), no string building, and
+    // the shuffled postings rows carry 8 bytes instead of ~50-char
+    // n-gram strings — shuffle volume is the scale cost here
     val post = Tables.documents(spark, dir)
       .repartition(col("doc_id")) // parallelize shingling off the scan
-      .select(col("doc_id"), explode(Dedup.shingles(8)).as("ng"))
+      .select(col("doc_id"), explode(Dedup.ngramHash(8)).as("ng"))
     val bench = post.filter(col("doc_id") % 10 === 0)
       .select(col("ng"), col("doc_id").as("bdoc"))
     post.filter(col("doc_id") % 10 =!= 0)
