@@ -64,6 +64,7 @@ object SparkEntry {
     "q46_pii_redact"          -> TextAnalysis.q46PiiRedact _,
     "q47_repetition"          -> TextAnalysis.q47Repetition _,
     "q48_heavy_hitters"       -> Analytics.q48HeavyHitters _,
+    "q49_sequence_pack"       -> Pipeline.q49SequencePack _,
   )
 
   /** DuckDB replay of the deterministic quantized kmeans (q32): the
@@ -139,6 +140,32 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q32_kmeans" -> kmeansOracle(k = 10, iters = 5),
+    "q49_sequence_pack" -> """
+      WITH t AS (
+        SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          ((((doc_id & 4294967295) >> 16) * 2654435761 % 4294967296 * 65536
+            + (doc_id & 65535) * 2654435761) % 4294967296) % 8 AS shard
+        FROM documents
+      ),
+      c AS (
+        SELECT *,
+          CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_tok
+        FROM t
+      ),
+      d AS (
+        SELECT *, end_tok - n_tokens AS start_tok,
+          (end_tok - n_tokens) // 512 AS chunk
+        FROM c
+      )
+      SELECT shard, chunk, COUNT(*) AS docs,
+        CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+        MIN(doc_id) AS first_doc,
+        CAST(SUM(CASE WHEN end_tok > (chunk + 1) * 512 THEN 1 ELSE 0 END) AS BIGINT)
+          AS boundary_docs
+      FROM d GROUP BY 1, 2
+    """,
     "q01_agg_filter" -> """
       SELECT
         l_returnflag,

@@ -186,6 +186,42 @@ object Pipeline {
         countDistinct(col("bdoc")).as("benchmark_docs"))
   }
 
+  /** Sequence packing — the concat-and-chunk step that turns a
+    * document corpus into fixed-length training sequences (every LLM
+    * pretraining pipeline ends with this): documents are laid
+    * end-to-end in a deterministic order and cut every `seqLen`
+    * tokens; a document belongs to the chunk its first token lands
+    * in, and `boundary_docs` counts docs that straddle a cut (the
+    * attention-masking overhead of packed training).
+    *
+    * Scale shape: the corpus is SHARDED by an engine-neutral hash and
+    * packed independently per shard — the running token offset is a
+    * window sum partitioned by shard, so the prefix-sum parallelizes
+    * across shards instead of serializing on one global ordering (a
+    * single unpartitioned ORDER BY is the classic scale antipattern
+    * here; real pipelines pack per output shard anyway). All
+    * arithmetic is integer → exact, order-free, engine-reproducible. */
+  def q49SequencePack(spark: SparkSession, dir: String): DataFrame = {
+    val seqLen = 512L
+    val nShards = 8
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        (knuth32(col("doc_id")) % nShards).as("shard"))
+      .withColumn("end_tok", sum(col("n_tokens")).over(w))
+      .withColumn("start_tok", col("end_tok") - col("n_tokens"))
+      .withColumn("chunk", expr(s"start_tok div $seqLen"))
+      .groupBy(col("shard"), col("chunk"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("n_tokens")).as("tokens"),
+        min(col("doc_id")).as("first_doc"),
+        sum(when(col("end_tok") > (col("chunk") + 1) * seqLen, 1L).otherwise(0L))
+          .as("boundary_docs"))
+  }
+
   /** Summary for the gate: corpus size, kept docs, dup docs removed. */
   def q41DedupPipeline(spark: SparkSession, dir: String): DataFrame =
     dedupCorpus(spark, dir)

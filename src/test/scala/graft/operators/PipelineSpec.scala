@@ -88,6 +88,45 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       "3 rounds cannot close diameter 32 — otherwise this test is vacuous")
   }
 
+  test("q49 sequence packing matches a local replay; chunks partition every shard's tokens") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").length.toLong)
+      .sortBy(_._1)
+    def knuth32(id: Long): Long = {
+      val id32 = id & 0xFFFFFFFFL
+      (((id32 >> 16) * 2654435761L & 0xFFFFFFFFL) * 65536L +
+        (id32 & 0xFFFFL) * 2654435761L) & 0xFFFFFFFFL
+    }
+    val expected = docs.groupBy { case (id, _) => knuth32(id) % 8 }
+      .toSeq.flatMap { case (shard, ds) =>
+        var cum = 0L
+        ds.sortBy(_._1).map { case (id, n) =>
+          val start = cum; cum += n
+          (shard, start / 512, id, n, cum)
+        }
+      }
+      .groupBy { case (shard, chunk, _, _, _) => (shard, chunk) }
+      .map { case ((shard, chunk), rows) =>
+        (shard, chunk) -> ((rows.size.toLong, rows.map(_._4).sum,
+          rows.map(_._3).min,
+          rows.count { case (_, c, _, _, end) => end > (c + 1) * 512 }.toLong))
+      }
+    val got = Pipeline.q49SequencePack(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("chunk")) ->
+        ((r.getAs[Long]("docs"), r.getAs[Long]("tokens"),
+          r.getAs[Long]("first_doc"), r.getAs[Long]("boundary_docs")))).toMap
+    assert(got === expected)
+    // the prefix sum must parallelize across shards, not serialize on
+    // a global ordering
+    val plan = Pipeline.q49SequencePack(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(shard"),
+      "window prefix-sum must partition by shard")
+    assert(!plan.contains("SinglePartition"),
+      "no global single-partition sort anywhere in the packing plan")
+  }
+
   test("dedup pipeline: representatives are cluster minima; kept = distinct reps") {
     val labels = Pipeline.dedupCorpus(spark, sfDir).cache()
     // every rep is itself kept, and rep <= doc_id
