@@ -65,6 +65,7 @@ object SparkEntry {
     "q47_repetition"          -> TextAnalysis.q47Repetition _,
     "q48_heavy_hitters"       -> Analytics.q48HeavyHitters _,
     "q49_sequence_pack"       -> Pipeline.q49SequencePack _,
+    "q50_zorder"              -> Olap.q50Zorder _,
   )
 
   /** DuckDB replay of the deterministic quantized kmeans (q32): the
@@ -138,8 +139,26 @@ object SparkEntry {
     """
   }
 
+  /** The 20-term Morton interleave, spelled out for DuckDB (matches
+    * Exprs.zValue2 bit for bit — pure integer shifts). */
+  private def zInterleaveSql(x: String, y: String, bits: Int): String =
+    (0 until bits).map(j =>
+      s"((($x >> $j) & 1) << ${2 * j}) + ((($y >> $j) & 1) << ${2 * j + 1})")
+      .mkString(" + ")
+
   def oracleSql: Map[String, String] = Map(
     "q32_kmeans" -> kmeansOracle(k = 10, iters = 5),
+    "q50_zorder" -> s"""
+      WITH g AS (
+        SELECT o_custkey % 1024 AS x, o_orderkey % 1024 AS y, o_totalprice
+        FROM orders
+      ),
+      z AS (SELECT ${zInterleaveSql("x", "y", 10)} AS zv, o_totalprice FROM g)
+      SELECT zv >> 14 AS zbucket, COUNT(*) AS orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        MIN(zv) AS z_min, MAX(zv) AS z_max
+      FROM z GROUP BY 1
+    """,
     "q49_sequence_pack" -> """
       WITH t AS (
         SELECT doc_id,

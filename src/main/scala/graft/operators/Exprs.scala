@@ -23,6 +23,25 @@ object Exprs {
     sum(price.cast("decimal(18,2)") *
       (lit(1).cast("decimal(18,2)") - discount.cast("decimal(18,2)"))).cast("double")
 
+  /** Morton (Z-order) value of two non-negative integer columns: the
+    * low `bits` bits of x and y interleaved (x even positions, y odd)
+    * — the space-filling-curve key behind multi-dimensional data
+    * clustering. Sorting/range-partitioning a table by this value
+    * keeps BOTH dimensions locally dense per file, so min/max file
+    * stats prune scans on either column — the layout step that turns
+    * "filter on a second column" from a full scan into a few files at
+    * 100 TB (a single-column sort only prunes its own column). Built
+    * as a static 2*bits-term expression tree: fully codegen'd, no
+    * higher-order functions, and exact integer math any engine
+    * reproduces. */
+  def zValue2(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, "bits out of range")
+    (0 until bits).map { j =>
+      shiftleft(shiftright(x, j).bitwiseAND(lit(1L)), 2 * j) +
+        shiftleft(shiftright(y, j).bitwiseAND(lit(1L)), 2 * j + 1)
+    }.reduce(_ + _)
+  }
+
   /** Quoted SQL IN-list from a DataFrame column — the reference's
     * col_to_string (biutils.py:222-229), used to push a small id set
     * into a remote engine's WHERE clause (pairs with sources/Jdbc

@@ -180,4 +180,25 @@ object Olap {
         min(col("asof_orderkey")).as("min_orderkey"),
         max(col("asof_orderkey")).as("max_orderkey"))
   }
+
+  /** Z-order bucket profile — the query face of the Morton-curve
+    * layout (Exprs.zValue2 / Tables.writeZOrdered): per-z-bucket row
+    * counts and revenue over the (custkey, orderkey) grid. Beyond the
+    * histogram itself, this pins the interleave as exact
+    * engine-reproducible integer math (the oracle recomputes it
+    * bit-for-bit), which is what makes a z-ordered layout portable:
+    * any engine writing or reading the table agrees on the curve. */
+  def q50Zorder(spark: SparkSession, dir: String): DataFrame = {
+    val z = Exprs.zValue2(
+      pmod(col("o_custkey"), lit(1024L)),
+      pmod(col("o_orderkey"), lit(1024L)), bits = 10)
+    Tables.orders(spark, dir)
+      .withColumn("zv", z)
+      .groupBy(shiftright(col("zv"), 14).as("zbucket"))
+      .agg(
+        count(lit(1)).as("orders"),
+        dsum(col("o_totalprice")).as("revenue"),
+        min(col("zv")).as("z_min"),
+        max(col("zv")).as("z_max"))
+  }
 }

@@ -66,4 +66,23 @@ object Tables {
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
       .saveAsTable(table)
+
+  /** Z-ordered layout sink: range-partition + sort the rows by the
+    * Morton interleave of two integer columns (Exprs.zValue2), so
+    * EVERY file covers a small rectangle of the (x, y) space and
+    * parquet min/max stats prune scans filtered on EITHER column —
+    * the multi-dimensional clustering a single-column sort can't give
+    * (its second column spans the full range in every file). `bits`
+    * bounds the grid resolution; columns must be non-negative (mask/
+    * offset upstream). The z column itself is dropped from the files:
+    * the layout IS the artifact. */
+  def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
+      bits: Int, files: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.withColumn("_z", graft.operators.Exprs.zValue2(col(xCol), col(yCol), bits))
+      .repartitionByRange(files, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

@@ -278,6 +278,45 @@ class InfraSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("zValue2 matches a reference bit interleave; z-order layout clusters BOTH dims") {
+    // 1) the expression is the textbook Morton interleave
+    def refZ(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).map(j =>
+        (((x >> j) & 1L) << (2 * j)) | (((y >> j) & 1L) << (2 * j + 1))).sum
+    import spark.implicits._
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (1023L, 1023L),
+      (512L, 17L), (999L, 1L))
+    val got = pts.toDF("x", "y")
+      .withColumn("z", graft.operators.Exprs.zValue2(col("x"), col("y"), 10))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pts.foreach { case (x, y) => assert(got((x, y)) === refZ(x, y, 10), s"($x,$y)") }
+
+    // 2) layout property: z-ordered files cover small rectangles in
+    // BOTH dimensions; a plain single-column sort leaves the second
+    // dimension spanning the full range in every file
+    val dir = Files.createTempDirectory("graft-zorder").toString
+    val orders = Tables.orders(spark, sfDir)
+      .select((col("o_custkey") % 1024).as("x"), (col("o_orderkey") % 1024).as("y"))
+    Tables.writeZOrdered(orders, s"$dir/z", "x", "y", bits = 10, files = 8)
+    orders.repartitionByRange(8, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(s"$dir/plain")
+    def meanRange(path: String, colName: String): Double = {
+      val files = new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+      val ranges = files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(min(col(colName)), max(col(colName))).collect()(0)
+        (r.getLong(1) - r.getLong(0)).toDouble
+      }
+      ranges.sum / ranges.length / 1024.0
+    }
+    val zx = meanRange(s"$dir/z", "x"); val zy = meanRange(s"$dir/z", "y")
+    val px = meanRange(s"$dir/plain", "x"); val py = meanRange(s"$dir/plain", "y")
+    info(f"z-order mean file range: x=$zx%.2f y=$zy%.2f; x-sort: x=$px%.2f y=$py%.2f")
+    assert(zx < 0.6 && zy < 0.6, "z-order must bound BOTH dims per file")
+    assert(py > 0.9, "single-column sort leaves dim 2 unclustered (the contrast)")
+  }
+
   test("grid source: header row, ragged padding, duplicate-name disambiguation") {
     val grid = Seq(
       Seq("month", "pageviews", "pageviews"),
