@@ -91,6 +91,32 @@ object QueryCache {
       (build: => DataFrame): DataFrame =
     publish(spark, Paths.get(cacheDir, cacheKey(config)), build)
 
+  /** Incremental refresh: UPSERT `delta` into the cached dataset by
+    * `mergeKey` (new rows win over cached rows with the same key) and
+    * publish the merged result as a new version — the reference's
+    * scheduled incremental refresh shape, where a periodic job appends
+    * the latest day instead of recomputing the whole window. Readers
+    * keep the versioned-publish guarantees: they see the old complete
+    * dataset or the new complete dataset, never a half-merge. A
+    * missing/expired entry degrades to publishing `delta` alone. */
+  def mergeRefresh(spark: SparkSession, cacheDir: String, config: String,
+      mergeKey: Seq[String], ttlMillis: Long = DefaultTtlMillis)
+      (delta: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val entry = Paths.get(cacheDir, cacheKey(config))
+    val merged = currentVersion(entry)
+      .filter(v => System.currentTimeMillis() - versionMillis(v) <= ttlMillis)
+      .map { v =>
+        val current = spark.read.parquet(v.toString)
+        // anti-join keeps cached rows whose key is NOT replaced
+        current.join(delta.select(mergeKey.map(col): _*).distinct(),
+            mergeKey, "left_anti")
+          .unionByName(delta)
+      }
+      .getOrElse(delta)
+    publish(spark, entry, merged)
+  }
+
   /** The live, complete version dir for an entry, if any. */
   private def currentVersion(entry: Path): Option[Path] = {
     val ptr = entry.resolve("CURRENT")

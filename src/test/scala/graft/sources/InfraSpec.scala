@@ -92,6 +92,46 @@ class InfraSpec extends AnyFunSuite with SparkFixture {
     assert(!Files.exists(entry.resolve(".lease")))
   }
 
+  test("query cache merge refresh upserts by key and keeps versioned publish") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-merge").toString
+    val cfg = """{"q":"merge"}"""
+    QueryCache.cached(spark, dir, cfg)(
+      Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "v", "x"))
+    // upsert: id 2 replaced, id 3 new
+    val merged = QueryCache.mergeRefresh(spark, dir, cfg, Seq("id"))(
+      Seq((2L, "B", 21), (3L, "c", 30)).toDF("id", "v", "x"))
+    val rows = merged.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(rows.toSeq === Seq((1L, "a", 10), (2L, "B", 21), (3L, "c", 30)))
+    // and a reader through the normal path sees the merged version
+    val back = QueryCache.cached(spark, dir, cfg)(sys.error("must not rebuild"))
+    assert(back.count() === 3)
+    // missing entry degrades to delta-only publish
+    val fresh = QueryCache.mergeRefresh(spark, dir, cfg + "2", Seq("id"))(
+      Seq((9L, "z", 9)).toDF("id", "v", "x"))
+    assert(fresh.count() === 1)
+  }
+
+  test("query cache steals a stale lease from a dead builder") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-lease").toString
+    val cfg = """{"q":"stale-lease"}"""
+    val entry = java.nio.file.Paths.get(dir, QueryCache.cacheKey(cfg))
+    Files.createDirectories(entry)
+    val lease = entry.resolve(".lease")
+    Files.createFile(lease)
+    // a builder that died 16 minutes ago
+    Files.setLastModifiedTime(lease,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 16L * 60 * 1000))
+    var builds = 0
+    def build = { builds += 1; Seq(1).toDF("x") }
+    val out = QueryCache.cached(spark, dir, cfg)(build)
+    assert(out.count() === 1 && builds === 1, "stale lease must not block the build")
+    assert(!Files.exists(lease), "the stolen lease is released after publish")
+  }
+
   test("cache key is deterministic and config-sensitive") {
     assert(QueryCache.cacheKey("abc") === QueryCache.cacheKey("abc"))
     assert(QueryCache.cacheKey("abc") !== QueryCache.cacheKey("abd"))
