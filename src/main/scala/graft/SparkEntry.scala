@@ -19,7 +19,7 @@ object SparkEntry {
     "q01_agg_filter"    -> Relational.q01AggFilter _,
     "q02_star_join"     -> Relational.q02StarJoin _,
     "q03_topn_order"    -> Relational.q03TopNOrders _,
-    "q04_window_topn"   -> Relational.q04WindowTopN _,
+    "q04_window_topn"   -> Relational.q04TopNAgg _,
     "q05_distinct_agg"  -> Relational.q05DistinctAgg _,
     "q06_sessionize"    -> Relational.q06Sessionize _,
     "q07_trending"      -> Relational.q07Trending _,

@@ -83,6 +83,9 @@ object Relational {
     * partition key; mirrors top_wiki_id / top_pages rank-per-partition
     * (tasks.py:668-693, 1898-1924).
     */
+  /** Reference formulation: window row_number — shuffles every row to
+    * sort whole groups. Kept as the spec's equivalence baseline; the
+    * default q04 runs the partial-top-k aggregate below. */
   def q04WindowTopN(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.Tables
     val w = Window.partitionBy(col("p_brand"))
@@ -91,6 +94,26 @@ object Relational {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("p_brand"), col("p_partkey"), col("p_name"), col("p_retailprice"), col("rn"))
+  }
+
+  /** Scalable top-N per group (the q04 default): a mergeable TopKAgg
+    * keeps an O(k) buffer with MAP-SIDE COMBINE, so the shuffle
+    * carries at most k rows per brand per partition instead of the
+    * whole part table — the window formulation's full-sort exchange
+    * is the classic 100 TB top-N bottleneck. Output is proven
+    * row-identical to the window version (total tiebreak order), and
+    * the same DuckDB oracle pins it. */
+  def q04TopNAgg(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    import spark.implicits._
+    val topk = udaf(new graft.functions.TopKAgg[(Double, Long, String)](
+      3, Ordering.by { case (price, key, _) => (-price, key) }))
+    Tables.part(spark, dir)
+      .groupBy(col("p_brand"))
+      .agg(topk(col("p_retailprice"), col("p_partkey"), col("p_name")).as("top"))
+      .select(col("p_brand"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("p_brand"), col("t._2").as("p_partkey"), col("t._3").as("p_name"),
+        col("t._1").as("p_retailprice"), (col("pos") + 1).cast("int").as("rn"))
   }
 
   /** count(distinct) metrics per group — Spark plans this as a two-phase

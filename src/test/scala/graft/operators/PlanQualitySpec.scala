@@ -32,6 +32,14 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     assert(!p.matches("(?s).*\\bSort\\b.*")) // no global sort operator
   }
 
+  test("q04: top-N per group runs as a partial aggregate, not a full-sort window") {
+    val p = plan("q04_window_topn")
+    assert(!p.matches("(?s).*\\bWindow\\b.*"),
+      "default q04 must not shuffle every row through a window sort")
+    assert("ObjectHashAggregate".r.findAllIn(p).length === 2,
+      "map-side partial top-k + final merge")
+  }
+
   test("q13: the date spine joins without shuffling the fact rollup twice") {
     val p = plan("q13_date_intervals")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))

@@ -34,6 +34,19 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q04 partial-top-k aggregate is row-identical to the window formulation") {
+    val win = Relational.q04WindowTopN(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("p_brand"), r.getAs[Long]("p_partkey"),
+        r.getAs[String]("p_name"), r.getAs[Double]("p_retailprice"),
+        r.getAs[Int]("rn"))).toSet
+    val agg = Relational.q04TopNAgg(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("p_brand"), r.getAs[Long]("p_partkey"),
+        r.getAs[String]("p_name"), r.getAs[Double]("p_retailprice"),
+        r.getAs[Int]("rn"))).toSet
+    assert(agg === win)
+    assert(agg.nonEmpty)
+  }
+
   test("q06 session counts are consistent with event totals") {
     val df = Relational.q06Sessionize(spark, sfDir).cache()
     val totalEvents = df.agg(sum("total_events")).collect()(0).getLong(0)
