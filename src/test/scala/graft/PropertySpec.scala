@@ -45,6 +45,90 @@ class PropertySpec extends AnyFunSuite with graft.SparkFixture {
     }
   }
 
+  test("wordHash64 matches the BigInt model on arbitrary strings (incl. unicode)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def model(s: String): Long = {
+      val h = s.codePoints().toArray.foldLeft(BigInt(0))((a, c) =>
+        (a * 31 + c) % 4294967296L)
+      val hi = (h * 2654435761L % 4294967296L).toLong
+      val lo = (h * 2246822519L % 4294967296L).toLong
+      (hi << 32) | lo
+    }
+    val strs = Gen.oneOf(
+      Gen.alphaNumStr,
+      Gen.listOf(Gen.choose(32, 0x2FFF)).map(_.map(Character.toChars(_).mkString).mkString))
+    samples(strs, 120).foreach { s =>
+      assert(SketchKernels.wordHash64(UTF8String.fromString(s)) === model(s), s"'$s'")
+    }
+  }
+
+  test("simhash chunk pigeonhole: hamming <= h pairs always share one of h+1 chunks") {
+    // the completeness argument behind q22's candidate generation,
+    // checked directly on random signature pairs
+    val gen = for {
+      base <- Gen.long
+      flips <- Gen.choose(0, 3)
+      positions <- Gen.listOfN(flips, Gen.choose(0, 63))
+    } yield (base, positions)
+    val widths = Seq(16, 16, 16, 16)
+    val offsets = widths.scanLeft(0)(_ + _)
+    samples(gen, 200).foreach { case (base, positions) =>
+      val other = positions.foldLeft(base)((v, p) => v ^ (1L << p))
+      val shares = (0 until 4).exists { c =>
+        val mask = (1L << widths(c)) - 1
+        ((base >> offsets(c)) & mask) == ((other >> offsets(c)) & mask)
+      }
+      assert(shares, s"hamming=${java.lang.Long.bitCount(base ^ other)}")
+    }
+  }
+
+  test("zValue2 de-interleaves back to its inputs and preserves grid locality") {
+    val gen = for {
+      x <- Gen.choose(0L, 1023L); y <- Gen.choose(0L, 1023L)
+    } yield (x, y)
+    def deinterleave(z: Long, bits: Int): (Long, Long) = {
+      var x = 0L; var y = 0L
+      for (j <- 0 until bits) {
+        x |= ((z >> (2 * j)) & 1L) << j
+        y |= ((z >> (2 * j + 1)) & 1L) << j
+      }
+      (x, y)
+    }
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val pts = samples(gen, 100).distinct
+    val got = pts.toDF("x", "y")
+      .withColumn("z", graft.operators.Exprs.zValue2(col("x"), col("y"), 10))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pts.foreach { case (x, y) =>
+      assert(deinterleave(got((x, y)), 10) === ((x, y)))
+    }
+  }
+
+  test("TopKAgg equals sort-take-k under arbitrary partition splits and merge orders") {
+    val agg = new graft.functions.TopKAgg[(Double, Long, String)](
+      3, Ordering.by { case (p, k, _) => (-p, k) })
+    val rowGen = for {
+      p <- Gen.choose(0, 999).map(_ / 10.0)
+      k <- Gen.choose(0L, 50L) // narrow key range: force price ties
+    } yield (p, k, s"n$k")
+    val gen = for {
+      rows <- Gen.nonEmptyListOf(rowGen)
+      cut <- Gen.choose(0, 5)
+    } yield (rows.distinct, cut)
+    samples(gen, 60).foreach { case (rows, cut) =>
+      val expected = rows.sorted(Ordering.by[(Double, Long, String), (Double, Long)] {
+        case (p, k, _) => (-p, k)
+      }).take(3)
+      // split into partitions, reduce each, merge in a rotated order
+      val parts = rows.grouped(math.max(1, cut + 1)).toList
+        .map(_.foldLeft(agg.zero)(agg.reduce))
+      val rotated = parts.drop(parts.length / 2) ++ parts.take(parts.length / 2)
+      val merged = rotated.foldLeft(agg.zero)(agg.merge)
+      assert(agg.finish(merged) === expected)
+    }
+  }
+
   test("AnchorCalendar invariants hold for arbitrary dates") {
     val dates = Gen.choose(0L, 365L * 80).map(d => LocalDate.ofEpochDay(d + 3000))
     samples(dates, 100).foreach { d =>
