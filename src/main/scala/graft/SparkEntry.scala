@@ -66,6 +66,7 @@ object SparkEntry {
     "q48_heavy_hitters"       -> Analytics.q48HeavyHitters _,
     "q49_sequence_pack"       -> Pipeline.q49SequencePack _,
     "q50_zorder"              -> Olap.q50Zorder _,
+    "q51_kmv_distinct"        -> Analytics.q51KmvDistinct _,
   )
 
   /** DuckDB replay of the deterministic quantized kmeans (q32): the
@@ -148,6 +149,46 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q32_kmeans" -> kmeansOracle(k = 10, iters = 5),
+    "q51_kmv_distinct" -> """
+      WITH u AS (SELECT DISTINCT event_type, user_id & 4294967295 AS x FROM events),
+      m1 AS (
+        SELECT event_type,
+          (((x >> 16) * 2654435761 % 4294967296) * 65536
+            + (x & 65535) * 2654435761) % 4294967296 AS a
+        FROM u
+      ),
+      m2 AS (SELECT event_type, xor(a, a >> 16) AS b FROM m1),
+      m3 AS (
+        SELECT event_type,
+          (((b >> 16) * 2246822519 % 4294967296) * 65536
+            + (b & 65535) * 2246822519) % 4294967296 AS d
+        FROM m2
+      ),
+      h AS (SELECT DISTINCT event_type, xor(d, d >> 13) AS hv FROM m3),
+      r AS (
+        SELECT event_type, hv,
+          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+          COUNT(*) OVER (PARTITION BY event_type) AS nh
+        FROM h
+      ),
+      s AS (
+        SELECT event_type,
+          MAX(CASE WHEN rn = 32 THEN hv END) AS kth,
+          CAST(MAX(CASE WHEN nh >= 32 THEN 32 ELSE nh END) AS BIGINT) AS kmv_size,
+          MAX(nh) AS nh
+        FROM r GROUP BY 1
+      ),
+      e AS (
+        SELECT event_type, COUNT(DISTINCT user_id) AS users_exact,
+          COUNT(*) AS events
+        FROM events GROUP BY 1
+      )
+      SELECT e.event_type, e.users_exact, e.events, s.kmv_size,
+        CASE WHEN s.nh >= 32 THEN s.kth END AS kmv_kth,
+        CASE WHEN s.nh >= 32 THEN 133143986176.0 / s.kth
+             ELSE CAST(s.nh AS DOUBLE) END AS kmv_estimate
+      FROM e JOIN s USING (event_type)
+    """,
     "q50_zorder" -> s"""
       WITH g AS (
         SELECT o_custkey % 1024 AS x, o_orderkey % 1024 AS y, o_totalprice

@@ -178,6 +178,33 @@ object Analytics {
           col("users_exact"))
   }
 
+  /** KMV (bottom-k) distinct-count sketch next to q42's HLL++: the
+    * engine-neutral hash (Exprs.mix32) makes the ESTIMATE
+    * deterministic and cross-engine reproducible, so an approximate
+    * algorithm is oracle-EXACT — and at 100 TB a re-run or an engine
+    * migration reports the identical metric, not "about the same".
+    * nh < k means the sketch holds the whole distinct hash set and
+    * the estimate is exact by construction; otherwise
+    * est = (k-1)*2^32/kth. O(k) mergeable state, map-side combine. */
+  def q51KmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val k = 32
+    val kmv = udaf(new graft.functions.KmvAgg(k))
+    Tables.events(spark, dir)
+      .withColumn("hv", Exprs.mix32(col("user_id")))
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("users_exact"),
+        count(lit(1)).as("events"),
+        kmv(col("hv")).as("sketch"))
+      .select(col("event_type"), col("users_exact"), col("events"),
+        size(col("sketch")).cast("long").as("kmv_size"),
+        when(size(col("sketch")) >= k, element_at(col("sketch"), k)).as("kmv_kth"),
+        when(size(col("sketch")) >= k,
+          lit(133143986176.0) / element_at(col("sketch"), k)) // (k-1)*2^32
+          .otherwise(size(col("sketch")).cast("double"))
+          .as("kmv_estimate"))
+  }
+
   /** Approximate heavy hitters per group via a Misra-Gries mergeable
     * summary (functions/HeavyHitters.scala) — the replacement for
     * exact top-N-by-count when key cardinality explodes: O(k) state

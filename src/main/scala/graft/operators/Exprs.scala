@@ -23,6 +23,28 @@ object Exprs {
     sum(price.cast("decimal(18,2)") *
       (lit(1).cast("decimal(18,2)") - discount.cast("decimal(18,2)"))).cast("double")
 
+  /** (c mod 2^32) * m mod 2^32 via 16-bit limbs — no intermediate
+    * exceeds ~2^48, so it is ANSI-safe for any long input where the
+    * naive product overflows (same construction as Pipeline.knuth32). */
+  def mulMod32(c: Column, m: Long): Column = {
+    val c32 = c.bitwiseAND(lit(4294967295L))
+    val lo = c32.bitwiseAND(lit(65535L))
+    val hi = shiftright(c32, 16)
+    ((hi * lit(m)).bitwiseAND(lit(4294967295L)) * lit(65536L) + lo * lit(m))
+      .bitwiseAND(lit(4294967295L))
+  }
+
+  /** Engine-neutral 32-bit integer mix (multiply-xorshift rounds, the
+    * murmur finalizer shape): uniform enough for sketching, and every
+    * step is masked integer arithmetic any engine replays exactly —
+    * the hash under the KMV sketch's cross-engine determinism. */
+  def mix32(c: Column): Column = {
+    val a = mulMod32(c, 2654435761L)
+    val b = a.bitwiseXOR(shiftright(a, 16))
+    val d = mulMod32(b, 2246822519L)
+    d.bitwiseXOR(shiftright(d, 13))
+  }
+
   /** Morton (Z-order) value of two non-negative integer columns: the
     * low `bits` bits of x and y interleaved (x even positions, y odd)
     * — the space-filling-curve key behind multi-dimensional data

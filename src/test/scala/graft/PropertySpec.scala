@@ -129,6 +129,37 @@ class PropertySpec extends AnyFunSuite with graft.SparkFixture {
     }
   }
 
+  test("KMV sketch: merge-order independent, and estimates land within 5/sqrt(k)") {
+    val k = 64
+    val agg = new graft.functions.KmvAgg(k)
+    val gen = for {
+      n <- Gen.choose(200, 5000)
+      seed <- Gen.choose(1L, Long.MaxValue / 4)
+    } yield (n, seed)
+    samples(gen, 25).foreach { case (n, seed) =>
+      // n distinct values, each fed 1-2 times, via a well-mixed model hash
+      def mix(x: Long): Long = {
+        var h = x * 0x9E3779B97F4A7C15L
+        h ^= (h >>> 32); h *= 0xBF58476D1CE4E5B9L; h ^= (h >>> 29)
+        (h & 0xFFFFFFFFL)
+      }
+      val values = (1 to n).map(i => mix(seed + i))
+      val stream = values ++ values.take(n / 2)
+      val parts = stream.grouped(97).toList.map(_.foldLeft(agg.zero)(agg.reduce))
+      val leftFold = parts.foldLeft(agg.zero)(agg.merge)
+      val rightFold = parts.reverse.foldLeft(agg.zero)(agg.merge)
+      assert(leftFold === rightFold, "merge must be order-independent")
+      val sketch = agg.finish(leftFold)
+      val est =
+        if (sketch.length < k) sketch.length.toDouble
+        else (k - 1) * 4294967296.0 / sketch(k - 1)
+      val distinct = values.distinct.length
+      // KMV relative error ~1/sqrt(k-2); allow 5 sigma
+      assert(math.abs(est - distinct) / distinct < 5.0 / math.sqrt(k - 2),
+        s"est=$est distinct=$distinct n=$n")
+    }
+  }
+
   test("AnchorCalendar invariants hold for arbitrary dates") {
     val dates = Gen.choose(0L, 365L * 80).map(d => LocalDate.ofEpochDay(d + 3000))
     samples(dates, 100).foreach { d =>
