@@ -48,22 +48,9 @@ object Dedup {
   /** Distinct word-3-shingles (the q23/DedupSpec ground-truth unit). */
   val shingles3: Column = shingles(3)
 
-  /** Distinct 64-bit trigram hashes, built from per-word hashes —
-    * hash each word once, then combine triples with one more hash.
-    * Equality structure is identical to hashing the concatenated
-    * trigram string (modulo ~2^-64 collisions) at a fraction of the
-    * cost: no string building, and |w| hashes instead of 3|w|.
-    * The transform(array(..))[0] let-binding keeps the word-hash array
-    * from being inlined + re-evaluated inside the trigram loop.
-    * Docs with <3 words yield an empty trigram set (sequence with a
-    * negative stop counts down — negative indices throw under ANSI). */
-  val triHash: Column = expr(
-    """transform(
-         array(transform(split(text, ' '), x -> xxhash64(x))),
-         hw -> CASE WHEN size(hw) >= 3 THEN array_distinct(transform(
-           sequence(0, size(hw) - 3),
-           i -> xxhash64(hw[i], hw[i+1], hw[i+2])))
-           ELSE CAST(array() AS array<bigint>) END)[0]""")
+  /** Distinct 64-bit trigram hashes (the q21/q23/q41 unit) — the n=3
+    * instance of ngramHash below. */
+  val triHash: Column = ngramHash(3)
 
   /** Distinct 64-bit n-gram hashes (the triHash technique generalized
     * to any window): hash each word once, combine windows with one
@@ -184,9 +171,12 @@ object Dedup {
     val widths = (0 until nChunks).map(c => base + (if (c < extra) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
     val chunkCols = (0 until nChunks).map { c =>
+      // width 64 (maxHamming = 0: exact-signature buckets) needs an
+      // explicit all-ones mask — (1L << 64) wraps to 1 in Long math
+      val mask = if (widths(c) == 64) -1L else (1L << widths(c)) - 1
       struct(lit(c).as("chunk_idx"),
         shiftright(col("simhash"), offsets(c))
-          .bitwiseAND(lit((1L << widths(c)) - 1)).as("chunk"))
+          .bitwiseAND(lit(mask)).as("chunk"))
     }
     val chunked = withSig
       .select(col("doc_id"), col("simhash"),

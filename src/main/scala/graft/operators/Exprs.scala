@@ -25,7 +25,7 @@ object Exprs {
 
   /** (c mod 2^32) * m mod 2^32 via 16-bit limbs — no intermediate
     * exceeds ~2^48, so it is ANSI-safe for any long input where the
-    * naive product overflows (same construction as Pipeline.knuth32). */
+    * naive product overflows (Pipeline.knuth32 delegates here). */
   def mulMod32(c: Column, m: Long): Column = {
     val c32 = c.bitwiseAND(lit(4294967295L))
     val lo = c32.bitwiseAND(lit(65535L))

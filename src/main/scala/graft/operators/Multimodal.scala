@@ -45,8 +45,12 @@ object Multimodal {
     * failures. mean_byte = mean over all RGB channel values. */
   def imageIoDecode(r: MediaRow): Option[MediaFeatures] = {
     val img =
+      // NonFatal, not just IOException: real-world corrupt images make
+      // ImageIO throw CMMException (broken ICC profiles) and
+      // IllegalArgumentException/AIOOBE (JPEG reader internals) — all
+      // must degrade to a dropped row, never a dead task
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     Option(img).map { i =>
       val w = i.getWidth
       val h = i.getHeight

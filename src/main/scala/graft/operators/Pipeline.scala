@@ -19,14 +19,7 @@ object Pipeline {
     * same-formula oracles rely on at test scale); defined — the hash
     * of the low 32 bits — above it. Pure integer arithmetic, so any
     * engine assigns identical values (no RNG, no engine hash fn). */
-  def knuth32(id: Column): Column = {
-    val a = 2654435761L
-    val id32 = id.bitwiseAND(lit(4294967295L))
-    val lo = id32.bitwiseAND(lit(65535L))
-    val hi = shiftright(id32, 16)
-    ((hi * lit(a)).bitwiseAND(lit(4294967295L)) * lit(65536L) + lo * lit(a))
-      .bitwiseAND(lit(4294967295L))
-  }
+  def knuth32(id: Column): Column = Exprs.mulMod32(id, 2654435761L)
 
   /** Engine-neutral deterministic hash split on the id: any engine
     * assigns identical splits. Thresholds: 80/10/10. */

@@ -42,12 +42,16 @@ object QueryCache {
     * giving up and building anyway (duplicate work beats deadlock). */
   private val LeaseWaitMillis: Long = 10L * 60 * 1000
 
-  /** Per-key in-JVM build locks: N concurrent misses on one key in
+  /** Striped in-JVM build locks: N concurrent misses on one entry in
     * one application compute ONCE (the reference's lock-protected
     * refresh, connectors.py:367-452) — at scale a popular dashboard
-    * key must not launch the same multi-hour job N times. */
-  private val keyLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+    * key must not launch the same multi-hour job N times. Striping
+    * (keyed by the FULL entry path, so distinct cacheDirs don't
+    * contend) bounds the lock table; rare stripe sharing only
+    * serializes, never breaks correctness. */
+  private val lockStripes = Array.fill(64)(new Object)
+  private def lockFor(entry: Path): Object =
+    lockStripes(math.floorMod(entry.toAbsolutePath.toString.hashCode, 64))
 
   /** Deterministic cache key from a canonical config string. Callers
     * serialize their query config (sorted keys!) into `config`. */
@@ -75,8 +79,7 @@ object QueryCache {
     live match {
       case Some(v) => spark.read.parquet(v.toString)
       case None =>
-        val lock = keyLocks.computeIfAbsent(cacheKey(config), _ => new Object)
-        lock.synchronized {
+        lockFor(entry).synchronized {
           // double-check: the build we queued behind may be our answer
           live match {
             case Some(v) => spark.read.parquet(v.toString)
@@ -104,17 +107,23 @@ object QueryCache {
       (delta: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.col
     val entry = Paths.get(cacheDir, cacheKey(config))
-    val merged = currentVersion(entry)
-      .filter(v => System.currentTimeMillis() - versionMillis(v) <= ttlMillis)
-      .map { v =>
-        val current = spark.read.parquet(v.toString)
-        // anti-join keeps cached rows whose key is NOT replaced
-        current.join(delta.select(mergeKey.map(col): _*).distinct(),
-            mergeKey, "left_anti")
-          .unionByName(delta)
-      }
-      .getOrElse(delta)
-    publish(spark, entry, merged)
+    // single-flight like cached(): read-modify-write under the entry
+    // lock, or two concurrent merges would each read the same base
+    // version and the last CURRENT swap would silently drop the
+    // other's delta
+    lockFor(entry).synchronized {
+      val merged = currentVersion(entry)
+        .filter(v => System.currentTimeMillis() - versionMillis(v) <= ttlMillis)
+        .map { v =>
+          val current = spark.read.parquet(v.toString)
+          // anti-join keeps cached rows whose key is NOT replaced
+          current.join(delta.select(mergeKey.map(col): _*).distinct(),
+              mergeKey, "left_anti")
+            .unionByName(delta)
+        }
+        .getOrElse(delta)
+      publish(spark, entry, merged)
+    }
   }
 
   /** The live, complete version dir for an entry, if any. */
@@ -131,8 +140,13 @@ object QueryCache {
     }
   }
 
+  /** Millis encoded in a v-<millis>-<nonce> name; malformed names
+    * (a manual copy, a truncated write) read as infinitely old, so
+    * readers treat them as expired and GC reclaims them — never an
+    * exception out of a cache internals path. */
   private def versionMillis(v: Path): Long =
-    v.getFileName.toString.split("-")(1).toLong
+    try v.getFileName.toString.split("-")(1).toLong
+    catch { case _: RuntimeException => 0L } // epoch: ancient, not overflow-prone
 
   /** Cross-JVM single-flight: take the `.lease` file (atomic create,
     * stale leases stolen by mtime), build+publish, release. A loser

@@ -113,6 +113,24 @@ class InfraSpec extends AnyFunSuite with SparkFixture {
     assert(fresh.count() === 1)
   }
 
+  test("query cache survives a non-conforming v-* entry (manual copy)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-badver").toString
+    val cfg = """{"q":"bad-version"}"""
+    var builds = 0
+    def build = { builds += 1; Seq(1).toDF("x") }
+    QueryCache.cached(spark, dir, cfg)(build)
+    val entry = java.nio.file.Paths.get(dir, QueryCache.cacheKey(cfg))
+    // an operator's stray manual copy with an unparseable version name
+    Files.createDirectories(entry.resolve("v-backup"))
+    // refresh must still publish and read cleanly (GC treats the
+    // malformed name as ancient, never throws out of the query path)
+    val out = QueryCache.refresh(spark, dir, cfg)(build)
+    assert(out.count() === 1 && builds === 2)
+    val again = QueryCache.cached(spark, dir, cfg)(build)
+    assert(again.count() === 1 && builds === 2)
+  }
+
   test("query cache steals a stale lease from a dead builder") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-lease").toString
