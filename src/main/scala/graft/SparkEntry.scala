@@ -67,6 +67,7 @@ object SparkEntry {
     "q49_sequence_pack"       -> Pipeline.q49SequencePack _,
     "q50_zorder"              -> Olap.q50Zorder _,
     "q51_kmv_distinct"        -> Analytics.q51KmvDistinct _,
+    "q52_balanced_sample"     -> Pipeline.q52BalancedSample _,
   )
 
   /** DuckDB replay of the deterministic quantized kmeans (q32): the
@@ -149,6 +150,28 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q32_kmeans" -> kmeansOracle(k = 10, iters = 5),
+    "q52_balanced_sample" -> """
+      WITH m1 AS (
+        SELECT lang, doc_id,
+          (((((doc_id & 4294967295) >> 16) * 2654435761 % 4294967296) * 65536
+            + (doc_id & 65535) * 2654435761) % 4294967296) AS a
+        FROM documents
+      ),
+      m2 AS (SELECT lang, doc_id, xor(a, a >> 16) AS b FROM m1),
+      m3 AS (
+        SELECT lang, doc_id,
+          (((b >> 16) * 2246822519 % 4294967296) * 65536
+            + (b & 65535) * 2246822519) % 4294967296 AS d
+        FROM m2
+      ),
+      h AS (SELECT lang, doc_id, xor(d, d >> 13) AS hv FROM m3),
+      r AS (
+        SELECT lang, doc_id, hv,
+          ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS "rank"
+        FROM h
+      )
+      SELECT lang, doc_id, hv, "rank" FROM r WHERE "rank" <= 50
+    """,
     "q51_kmv_distinct" -> """
       WITH u AS (SELECT DISTINCT event_type, user_id & 4294967295 AS x FROM events),
       m1 AS (

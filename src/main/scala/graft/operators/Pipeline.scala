@@ -179,6 +179,31 @@ object Pipeline {
         countDistinct(col("bdoc")).as("benchmark_docs"))
   }
 
+  /** Balanced fixed-size sampling: exactly k docs per stratum,
+    * deterministically — rank every doc by the engine-neutral mix32
+    * hash of its id and keep the k smallest per language. This is the
+    * "bottom-k by hash" sample: uniform (the hash is the randomness),
+    * reproducible across engines and re-runs (no RNG, no seed
+    * shipping), and stable under corpus growth (a doc's rank only
+    * moves if smaller-hash docs arrive — the sample is consistent,
+    * like consistent hashing). Complements q43's rate-based
+    * stratified sample when the mix needs exact per-stratum COUNTS.
+    *
+    * Scale shape: TopKAgg (map-side combinable O(k) buffers), not a
+    * window sort — the shuffle carries k rows per stratum per
+    * partition, never the corpus. */
+  def q52BalancedSample(spark: SparkSession, dir: String): DataFrame = {
+    val k = 50
+    val topk = udaf(new graft.functions.TopKAgg[(Long, Long)](k, Ordering[(Long, Long)]))
+    Tables.documents(spark, dir)
+      .withColumn("hv", Exprs.mix32(col("doc_id")))
+      .groupBy(col("lang"))
+      .agg(topk(col("hv"), col("doc_id")).as("sample"))
+      .select(col("lang"), posexplode(col("sample")).as(Seq("pos", "s")))
+      .select(col("lang"), col("s._2").as("doc_id"), col("s._1").as("hv"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Sequence packing — the concat-and-chunk step that turns a
     * document corpus into fixed-length training sequences (every LLM
     * pretraining pipeline ends with this): documents are laid

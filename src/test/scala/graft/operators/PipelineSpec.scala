@@ -88,6 +88,34 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       "3 rounds cannot close diameter 32 — otherwise this test is vacuous")
   }
 
+  test("q52 balanced sample: exactly k per stratum, deterministic, no window sort") {
+    val df = Pipeline.q52BalancedSample(spark, sfDir)
+    val rows = df.collect()
+    val perLang = rows.groupBy(_.getAs[String]("lang"))
+    val counts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    perLang.foreach { case (lang, rs) =>
+      assert(rs.length === math.min(50L, counts(lang)), lang)
+      // ranks dense from 1, ordered by (hash, doc_id)
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).sameElements(1 to rs.length))
+      val keys = sorted.map(r => (r.getAs[Long]("hv"), r.getAs[Long]("doc_id")))
+      assert(keys.sameElements(keys.sorted))
+    }
+    // deterministic across runs
+    val again = Pipeline.q52BalancedSample(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"))).toSet
+    assert(again === rows.map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"))).toSet)
+    // scale shape: mergeable aggregate, not a per-stratum window sort
+    // (fresh frame: an executed adaptive plan prints initial+current,
+    // double-counting nodes)
+    val plan = Pipeline.q52BalancedSample(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.matches("(?s).*\\bWindow\\b.*"))
+    assert("ObjectHashAggregate".r.findAllIn(plan).length === 2)
+  }
+
   test("q49 sequence packing matches a local replay; chunks partition every shard's tokens") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text").collect()
