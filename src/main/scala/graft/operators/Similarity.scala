@@ -95,6 +95,13 @@ object Similarity {
       .join(n.select(col("doc_id").as("probe_doc"), col("norm").as("p_norm")), "probe_doc")
       .join(n.select(col("doc_id").as("neighbor_doc"), col("norm").as("n_norm")), "neighbor_doc")
       .withColumn("cosine", col("dot").cast("double") / (col("p_norm") * col("n_norm")))
+    // final top-k stays the codegen'd window sort, NOT TopKAgg: the
+    // candidate set here is large (every doc sharing a term with a
+    // probe scores), and a typed udaf pays per-row object
+    // deserialization on all of it — measured clearly slower than the
+    // window tail here. TopKAgg wins when the aggregate INPUT is
+    // modest per group (q04/q52); whole-stage codegen wins when the
+    // reduction input is the big table.
     val w = Window.partitionBy(col("probe_doc"))
       .orderBy(col("cosine").desc, col("neighbor_doc").asc)
     scored
