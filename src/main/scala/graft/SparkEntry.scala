@@ -141,6 +141,65 @@ object SparkEntry {
     """
   }
 
+  /** DuckDB rebuild of the hyperplane-LSH bucket table
+    * (VectorKernels.hyperplaneBuckets): the sign table comes from the
+    * same engine-neutral mix32 over plane*2^16 + dim, projections
+    * fold left-to-right in double (ordered list_reduce), bucket codes
+    * sum sign bits — bit-identical to the kernel. Yields CTEs ending
+    * in `buck(vec_id, embedding, tbl, bucket)` plus `e(vec_id,
+    * embedding, norm)` for exact-cosine scoring. */
+  private def hyperplaneBuckCte(nTables: Int, bitsPerTable: Int): String = {
+    val planes = nTables * bitsPerTable
+    s"""
+      dims AS (SELECT unnest(range(0, 64)) AS i),
+      pl AS (SELECT unnest(range(0, $planes)) AS p),
+      keys AS (SELECT p, i, p * 65536 + i AS k FROM pl CROSS JOIN dims),
+      s1 AS (
+        SELECT p, i,
+          (((k >> 16) * 2654435761 % 4294967296) * 65536
+            + (k & 65535) * 2654435761) % 4294967296 AS a
+        FROM keys
+      ),
+      s2 AS (SELECT p, i, xor(a, a >> 16) AS b FROM s1),
+      s3 AS (
+        SELECT p, i,
+          (((b >> 16) * 2246822519 % 4294967296) * 65536
+            + (b & 65535) * 2246822519) % 4294967296 AS d
+        FROM s2
+      ),
+      s4 AS (
+        SELECT p, i,
+          CASE WHEN (xor(d, d >> 13) & 1) = 1 THEN 1.0 ELSE -1.0 END AS sgn
+        FROM s3
+      ),
+      sgnlist AS (SELECT p, list(sgn ORDER BY i) AS signs FROM s4 GROUP BY p),
+      proj AS (
+        SELECT em.vec_id, g.p,
+          list_reduce(list_transform(range(1, 65),
+            i -> CAST(em.embedding[i] AS DOUBLE) * g.signs[i]),
+            (a, b) -> a + b) AS s
+        FROM embeddings em CROSS JOIN sgnlist g
+      ),
+      buck AS (
+        SELECT vec_id, CAST(p // $bitsPerTable AS BIGINT) AS tbl,
+          CAST(SUM(CASE WHEN s >= 0 THEN (1::BIGINT << (p % $bitsPerTable))
+                        ELSE 0 END) AS BIGINT) AS bucket
+        FROM proj GROUP BY 1, 2
+      ),
+      e AS (
+        SELECT vec_id, embedding,
+          sqrt(list_reduce(
+            list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+            (a, b) -> a + b)) AS norm
+        FROM embeddings
+      )"""
+  }
+
+  private val cosineSql =
+    """list_reduce(list_transform(range(1, 65),
+         i -> CAST(p.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)),
+         (a, b) -> a + b) / (p.norm * n.norm)"""
+
   /** The 20-term Morton interleave, spelled out for DuckDB (matches
     * Exprs.zValue2 bit for bit — pure integer shifts). */
   private def zInterleaveSql(x: String, y: String, bits: Int): String =
@@ -150,6 +209,40 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q32_kmeans" -> kmeansOracle(k = 10, iters = 5),
+    "q25_ann_lsh" -> s"""
+      WITH ${hyperplaneBuckCte(nTables = 8, bitsPerTable = 8)},
+      cand AS (
+        SELECT DISTINCT pr.vec_id AS probe_id, co.vec_id AS neighbor_id
+        FROM buck pr JOIN buck co ON pr.tbl = co.tbl AND pr.bucket = co.bucket
+        WHERE pr.vec_id % 50 = 0 AND pr.vec_id <> co.vec_id
+      ),
+      scored AS (
+        SELECT c.probe_id, c.neighbor_id, $cosineSql AS cosine
+        FROM cand c
+        JOIN e p ON c.probe_id = p.vec_id
+        JOIN e n ON c.neighbor_id = n.vec_id
+      )
+      SELECT probe_id, neighbor_id, "rank", cosine FROM (
+        SELECT probe_id, neighbor_id, cosine,
+          ROW_NUMBER() OVER (PARTITION BY probe_id
+            ORDER BY cosine DESC, neighbor_id ASC) AS "rank"
+        FROM scored
+      ) WHERE "rank" <= 5
+    """,
+    "q30_dedup_embedding" -> s"""
+      WITH ${hyperplaneBuckCte(nTables = 32, bitsPerTable = 4)},
+      cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM buck a JOIN buck b ON a.tbl = b.tbl AND a.bucket = b.bucket
+        WHERE a.vec_id < b.vec_id
+      )
+      SELECT vec_a, vec_b, cosine FROM (
+        SELECT c.vec_a, c.vec_b, $cosineSql AS cosine
+        FROM cand c
+        JOIN e p ON c.vec_a = p.vec_id
+        JOIN e n ON c.vec_b = n.vec_id
+      ) WHERE cosine >= 0.3
+    """,
     "q52_balanced_sample" -> """
       WITH m1 AS (
         SELECT lang, doc_id,

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -30,27 +30,48 @@ object VectorKernels {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Engine-neutral 32-bit mix (multiply-xorshift rounds) — the
+    * kernel twin of operators/Exprs.mix32, asserted equal in
+    * PropertySpec. Java wrap-around products masked to 32 bits equal
+    * the oracle's HUGEINT `% 2^32`. */
+  def mix32Int(x0: Long): Long = {
+    var x = x0 & 0xFFFFFFFFL
+    x = (x * 2654435761L) & 0xFFFFFFFFL
+    x ^= (x >>> 16)
+    x = (x * 2246822519L) & 0xFFFFFFFFL
+    x ^= (x >>> 13)
+    x
+  }
+
   /** Random-hyperplane LSH bucket per table: bit j of table t is the
     * sign of the projection onto a pseudo-hyperplane whose component i
-    * has sign xxhash64(((t*bitsPerTable + j) << 32) | i) & 1 — the
-    * (table, bit) pair in the high word and the dimension in the low
-    * word, so seeds are collision-free for any bitsPerTable and any
-    * dim < 2^32 (a flat stride like t*512+j*64+i silently reuses
-    * hyperplanes once bits>8 or dim>64, correlating the LSH tables).
-    * Deterministic, no stored model. One bucket code per table. */
+    * has sign mix32Int((t*bitsPerTable + j) * 2^16 + i) & 1 — the
+    * plane index in the high half and the dimension in the low 16
+    * bits, collision-free for dim <= 65535 and up to 65535 planes
+    * (required below; a flat stride like t*512+j*64+i silently reuses
+    * hyperplanes once bits or dim grow, correlating the LSH tables).
+    * The engine-neutral mix (vs a JVM-only hash) is what lets the
+    * DuckDB oracle rebuild the identical planes and hence the
+    * identical buckets — LSH output becomes exactly checkable, and a
+    * 100 TB index written by one engine is readable by another.
+    * Projections accumulate left-to-right in double (the oracle's
+    * ordered list_reduce fold). Deterministic, no stored model. One
+    * bucket code per table. */
   def hyperplaneBuckets(v: ArrayData, nTables: Int, bitsPerTable: Int): ArrayData = {
     val dim = v.numElements()
+    require(dim <= 65535 && nTables * bitsPerTable <= 65535,
+      "plane keying supports dim and plane count up to 2^16")
     val out = new Array[Long](nTables)
     var t = 0
     while (t < nTables) {
       var bucket = 0L
       var j = 0
       while (j < bitsPerTable) {
-        val planeSeed = (t.toLong * bitsPerTable + j) << 32
+        val planeKey = (t.toLong * bitsPerTable + j) * 65536L
         var s = 0.0
         var i = 0
         while (i < dim) {
-          val sign = if ((XXH64.hashLong(planeSeed | i, 42L) & 1L) == 1L) 1.0 else -1.0
+          val sign = if ((mix32Int(planeKey + i) & 1L) == 1L) 1.0 else -1.0
           s += v.getFloat(i).toDouble * sign
           i += 1
         }

@@ -129,6 +129,18 @@ class PropertySpec extends AnyFunSuite with graft.SparkFixture {
     }
   }
 
+  test("Exprs.mix32 (Column) and VectorKernels.mix32Int agree on arbitrary longs") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val ids = samples(Gen.choose(0L, Long.MaxValue), 60).distinct
+    val got = ids.toDF("x")
+      .withColumn("h", graft.operators.Exprs.mix32(col("x")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach { x =>
+      assert(got(x) === VectorKernels.mix32Int(x), s"x=$x")
+    }
+  }
+
   test("KMV sketch: merge-order independent, and estimates land within 5/sqrt(k)") {
     val k = 64
     val agg = new graft.functions.KmvAgg(k)
