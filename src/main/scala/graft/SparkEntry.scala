@@ -70,16 +70,17 @@ object SparkEntry {
     "q52_balanced_sample"     -> Pipeline.q52BalancedSample _,
   )
 
-  /** DuckDB replay of the deterministic quantized kmeans (q32): the
-    * identical Lloyd's iterations unrolled as CTEs — same floor(x*2^24)
+  /** Integer squared distance between a quantized vector and a
+    * centroid list (shared by the kmeans and IVF oracles). */
+  private def qDist(c: String): String =
+    s"list_sum(list_transform(range(1, 65), j -> (v.q[j]-$c.cq[j])*(v.q[j]-$c.cq[j])))"
+
+  /** DuckDB replay of the deterministic quantized kmeans iterations
+    * (operators/Clustering.kmeansQuantized): same floor(x*2^24)
     * quantization, same integer distances and argmin tie-break, same
-    * floor-division centroid update (empty clusters carry over), same
-    * exact-aggregate-derived double metrics. Exactness argument lives
-    * at operators/Clustering.kmeansQuantized. */
-  private def kmeansOracle(k: Int, iters: Int): String = {
-    val dim = 64
-    val dist = (c: String) =>
-      s"list_sum(list_transform(range(1, ${dim + 1}), j -> (v.q[j]-$c.cq[j])*(v.q[j]-$c.cq[j])))"
+    * floor-division centroid update (empty clusters carry over).
+    * Yields CTE text (no WITH) ending in `c$iters(cluster, cq)`. */
+  private def kmeansCtes(k: Int, iters: Int): String = {
     def iterCte(i: Int): String = {
       val prev = s"c${i - 1}"
       s"""
@@ -87,13 +88,13 @@ object SparkEntry {
         SELECT vec_id, q, cluster FROM (
           SELECT v.vec_id, v.q, c.cluster,
             ROW_NUMBER() OVER (PARTITION BY v.vec_id
-              ORDER BY ${dist("c")} ASC, c.cluster ASC) AS rn
+              ORDER BY ${qDist("c")} ASC, c.cluster ASC) AS rn
           FROM v CROSS JOIN $prev c
         ) WHERE rn = 1
       ),
       s$i AS (
         SELECT cluster, j, SUM(q[j]) AS s, COUNT(*) AS cnt
-        FROM a$i CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS j) dims
+        FROM a$i CROSS JOIN (SELECT unnest(range(1, 65)) AS j) dims
         GROUP BY 1, 2
       ),
       n$i AS (
@@ -109,8 +110,7 @@ object SparkEntry {
         FROM $prev p LEFT JOIN n$i x USING (cluster)
       )"""
     }
-    s"""
-      WITH v AS (
+    s"""v AS (
         SELECT vec_id,
           list_transform(embedding,
             x -> CAST(floor(CAST(x AS DOUBLE) * 16777216.0) AS BIGINT)) AS q
@@ -120,16 +120,22 @@ object SparkEntry {
         SELECT rn - 1 AS cluster, q AS cq FROM (
           SELECT q, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM v
         ) WHERE rn <= $k
-      ),${(1 to iters).map(iterCte).mkString(",")},
+      ),${(1 to iters).map(iterCte).mkString(",")}"""
+  }
+
+  /** q32 oracle: quantized-kmeans cluster summary from exact sums. */
+  private def kmeansOracle(k: Int, iters: Int): String =
+    s"""
+      WITH ${kmeansCtes(k, iters)},
       fin AS (
         SELECT vec_id,
           MAX(CASE WHEN rn = 1 THEN cluster END) AS cluster,
           MAX(CASE WHEN rn = 1 THEN d END) AS d,
           MAX(CASE WHEN rn = 2 THEN d END) AS d2
         FROM (
-          SELECT v.vec_id, c.cluster, ${dist("c")} AS d,
+          SELECT v.vec_id, c.cluster, ${qDist("c")} AS d,
             ROW_NUMBER() OVER (PARTITION BY v.vec_id
-              ORDER BY ${dist("c")} ASC, c.cluster ASC) AS rn
+              ORDER BY ${qDist("c")} ASC, c.cluster ASC) AS rn
           FROM v CROSS JOIN c$iters c
         ) WHERE rn <= 2
         GROUP BY vec_id
@@ -139,7 +145,6 @@ object SparkEntry {
         sqrt(CAST(SUM(d2) AS DOUBLE) / CAST(SUM(d) AS DOUBLE)) AS separation
       FROM fin GROUP BY cluster
     """
-  }
 
   /** DuckDB rebuild of the hyperplane-LSH bucket table
     * (VectorKernels.hyperplaneBuckets): the sign table comes from the
@@ -209,6 +214,41 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q32_kmeans" -> kmeansOracle(k = 10, iters = 5),
+    "q45_ann_ivf" -> s"""
+      WITH ${kmeansCtes(k = 16, iters = 5)},
+      e AS (
+        SELECT vec_id, embedding,
+          sqrt(list_reduce(
+            list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+            (a, b) -> a + b)) AS norm
+        FROM embeddings
+      ),
+      ad AS (
+        SELECT v.vec_id, c.cluster,
+          ROW_NUMBER() OVER (PARTITION BY v.vec_id
+            ORDER BY ${qDist("c")} ASC, c.cluster ASC) AS rn
+        FROM v CROSS JOIN c5 c
+      ),
+      corpus AS (SELECT vec_id, cluster FROM ad WHERE rn = 1),
+      pc AS (SELECT vec_id, cluster FROM ad WHERE rn <= 6 AND vec_id % 50 = 0),
+      cand AS (
+        SELECT DISTINCT pr.vec_id AS probe_id, co.vec_id AS neighbor_id
+        FROM pc pr JOIN corpus co ON pr.cluster = co.cluster
+        WHERE pr.vec_id <> co.vec_id
+      ),
+      scored AS (
+        SELECT c.probe_id, c.neighbor_id, $cosineSql AS cosine
+        FROM cand c
+        JOIN e p ON c.probe_id = p.vec_id
+        JOIN e n ON c.neighbor_id = n.vec_id
+      )
+      SELECT probe_id, neighbor_id, "rank", cosine FROM (
+        SELECT probe_id, neighbor_id, cosine,
+          ROW_NUMBER() OVER (PARTITION BY probe_id
+            ORDER BY cosine DESC, neighbor_id ASC) AS "rank"
+        FROM scored
+      ) WHERE "rank" <= 5
+    """,
     "q25_ann_lsh" -> s"""
       WITH ${hyperplaneBuckCte(nTables = 8, bitsPerTable = 8)},
       cand AS (

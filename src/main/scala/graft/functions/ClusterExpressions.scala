@@ -68,6 +68,45 @@ object ClusterKernels {
     new GenericInternalRow(Array[Any](best, bestD, secondD))
   }
 
+  /** Integer twin of `nearestCells` for QUANTIZED vectors: exact
+    * int64 distances make the cell ranking engine-reproducible (the
+    * IVF oracle's ORDER BY d, cluster), like nearestInt for nearest. */
+  def nearestCellsInt(v: ArrayData, centroids: Array[Array[Long]], p: Int): ArrayData = {
+    val dim = v.numElements()
+    val k = centroids.length
+    val dists = new Array[Long](k)
+    var c = 0
+    while (c < k) {
+      val cent = centroids(c)
+      var d = 0L
+      var i = 0
+      while (i < dim) {
+        val diff = v.getLong(i) - cent(i)
+        d += diff * diff
+        i += 1
+      }
+      dists(c) = d
+      c += 1
+    }
+    val n = math.min(p, k)
+    val out = new Array[Int](n)
+    val taken = new Array[Boolean](k)
+    var j = 0
+    while (j < n) {
+      var best = -1
+      var bestD = Long.MaxValue
+      var c2 = 0
+      while (c2 < k) {
+        if (!taken(c2) && dists(c2) < bestD) { bestD = dists(c2); best = c2 }
+        c2 += 1
+      }
+      taken(best) = true
+      out(j) = best
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** The `p` nearest centroid ids, ascending by squared euclidean
     * distance (ties → lower id) — the multi-probe cell list of an IVF
     * index. Selection sort over k entries: k is tens-to-thousands, so
@@ -148,6 +187,24 @@ case class NearestCentroidInt(child: Expression, centroids: Array[Array[Long]])
   override protected def withNewChildInternal(newChild: Expression): NearestCentroidInt =
     copy(child = newChild)
   override def prettyName: String = "nearest_centroid_int"
+}
+
+/** The p nearest centroid ids for a QUANTIZED vector (exact integer
+  * distances) — the engine-reproducible IVF cell probes. */
+case class NearestCellsInt(child: Expression, centroids: Array[Array[Long]], p: Int)
+    extends UnaryExpression {
+  require(p >= 1, "need at least one probe cell")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    ClusterKernels.nearestCellsInt(input.asInstanceOf[ArrayData], centroids, p)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "long[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ClusterKernels.nearestCellsInt($c, $ref, $p);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCellsInt =
+    copy(child = newChild)
+  override def prettyName: String = "nearest_cells_int"
 }
 
 /** The p nearest centroid ids for a float vector — IVF cell probes. */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.Bridge.{column => exprCol, expression}
-import graft.functions.{FloatVecCosine, HyperplaneBuckets, NearestCells}
+import graft.functions.{FloatVecCosine, HyperplaneBuckets, NearestCellsInt}
 import graft.sources.Tables
 
 /** Approximate-nearest-neighbor search over the dense embedding column
@@ -86,20 +86,28 @@ object Ann {
   def q45AnnIvf(spark: SparkSession, dir: String): DataFrame =
     annIvf(spark, dir, k = 16, iters = 5, probeCells = 6, topK = 5)
 
+  /** IVF over the DETERMINISTIC quantized kmeans cells: training,
+    * cell assignment, and probe fan-out all run in exact integer
+    * arithmetic (Clustering.centroidsQuantized + NearestCellsInt), so
+    * the whole index — cells, candidates, and the bit-exact cosine
+    * rerank — reproduces on any engine: the q45 oracle replays it in
+    * DuckDB. Scores use the ORIGINAL float embeddings (quantization
+    * only decides the partitioning, never the ranking). */
   def annIvf(spark: SparkSession, dir: String, k: Int, iters: Int,
       probeCells: Int, topK: Int): DataFrame = {
-    val cents = Clustering.centroids(spark, dir, k, iters)
+    val cents = Clustering.centroidsQuantized(spark, dir, k, iters)
     val emb = Tables.embeddings(spark, dir)
       .repartition(col("vec_id"))
       .select(col("vec_id"), col("embedding"))
+      .withColumn("q", Clustering.quantizedCol)
     // corpus side: each vector lives in exactly its nearest cell
     val corpus = emb.select(
       col("vec_id").as("neighbor_id"), col("embedding"),
-      exprCol(NearestCells(expression(col("embedding")), cents, 1))(0).as("cell"))
+      exprCol(NearestCellsInt(expression(col("q")), cents, 1))(0).as("cell"))
     // probe side: fan out to the probeCells nearest cells
     val probes = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
-        explode(exprCol(NearestCells(expression(col("embedding")), cents, probeCells)))
+        explode(exprCol(NearestCellsInt(expression(col("q")), cents, probeCells)))
           .as("cell"))
     val scored = probes.join(corpus, "cell")
       .filter(col("probe_id") =!= col("neighbor_id"))

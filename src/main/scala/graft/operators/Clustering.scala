@@ -107,7 +107,7 @@ object Clustering {
   val QuantScale = 16777216.0
 
   /** Embedding column quantized to integers: floor(x * 2^24). */
-  private val quantized: Column =
+  val quantizedCol: Column =
     transform(col("embedding"), x =>
       floor(x.cast("double") * lit(QuantScale)).cast("long"))
 
@@ -134,22 +134,46 @@ object Clustering {
     * exact aggregates. */
   def kmeansQuantized(spark: SparkSession, dir: String, k: Int, iters: Int): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge.{column => exprColQ, expression => exprQ}
-    val vecs = Tables.embeddings(spark, dir)
-      .repartition(col("vec_id"))
-      .select(col("vec_id"), quantized.as("q"))
-      .persist()
-    var cents: Array[Array[Long]] = vecs
-      .orderBy(col("vec_id")).limit(k).collect()
-      .map(_.getAs[scala.collection.Seq[Long]]("q").toArray)
-    def assignQ = vecs.withColumn("asg",
+    val vecs = quantizedVecs(spark, dir).persist()
+    val cents = centroidsQuantizedOf(vecs, k, iters)
+    val result = vecs.withColumn("asg",
         exprColQ(graft.functions.NearestCentroidInt(exprQ(col("q")), cents)))
       .select(col("vec_id"), col("q"),
         col("asg.cluster").as("cluster"),
         col("asg.sq_dist").as("sq_dist"), col("asg.sq_dist2").as("sq_dist2"))
+      .localCheckpoint()
+    vecs.unpersist(blocking = false)
+    result
+  }
+
+  /** The quantized "model" alone: k x dim integer centroids —
+    * broadcast-sized, engine-reproducible (what the deterministic IVF
+    * index probes against). */
+  def centroidsQuantized(spark: SparkSession, dir: String, k: Int,
+      iters: Int): Array[Array[Long]] = {
+    val vecs = quantizedVecs(spark, dir).persist()
+    val cents = centroidsQuantizedOf(vecs, k, iters)
+    vecs.unpersist(blocking = false)
+    cents
+  }
+
+  /** (vec_id, q) frame of quantized embeddings. */
+  def quantizedVecs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .repartition(col("vec_id"))
+      .select(col("vec_id"), quantizedCol.as("q"))
+
+  private def centroidsQuantizedOf(vecs: DataFrame, k: Int,
+      iters: Int): Array[Array[Long]] = {
+    import org.apache.spark.sql.graftbridge.Bridge.{column => exprColQ, expression => exprQ}
+    var cents: Array[Array[Long]] = vecs
+      .orderBy(col("vec_id")).limit(k).collect()
+      .map(_.getAs[scala.collection.Seq[Long]]("q").toArray)
     var it = 0
     while (it < iters) {
-      val sums = assignQ
-        .select(col("cluster"), posexplode(col("q")).as(Seq("pos", "x")))
+      val sums = vecs.withColumn("asg",
+          exprColQ(graft.functions.NearestCentroidInt(exprQ(col("q")), cents)))
+        .select(col("asg.cluster").as("cluster"), posexplode(col("q")).as(Seq("pos", "x")))
         .groupBy(col("cluster"), col("pos"))
         .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
         .collect()
@@ -161,9 +185,7 @@ object Clustering {
       cents = next
       it += 1
     }
-    val result = assignQ.localCheckpoint()
-    vecs.unpersist(blocking = false)
-    result
+    cents
   }
 
   /** q32 gate query: deterministic quantized kmeans, k=10, 5
