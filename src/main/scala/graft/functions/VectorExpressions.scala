@@ -59,8 +59,7 @@ object VectorKernels {
     * bucket code per table. */
   def hyperplaneBuckets(v: ArrayData, nTables: Int, bitsPerTable: Int): ArrayData = {
     val dim = v.numElements()
-    require(dim <= 65535 && nTables * bitsPerTable <= 65535,
-      "plane keying supports dim and plane count up to 2^16")
+    require(dim <= 65535, "plane keying supports dim up to 2^16")
     val out = new Array[Long](nTables)
     var t = 0
     while (t < nTables) {
@@ -104,6 +103,11 @@ case class FloatVecCosine(left: Expression, right: Expression)
 case class HyperplaneBuckets(child: Expression, nTables: Int, bitsPerTable: Int)
     extends UnaryExpression {
   require(bitsPerTable <= 63, "bucket code must fit a long")
+  // constant-time half of the plane-key bound: fail at plan time, not
+  // as per-row task failures (the dim half is data-dependent and
+  // stays in the kernel)
+  require(nTables * bitsPerTable <= 65535,
+    "plane keying supports up to 2^16 planes")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     VectorKernels.hyperplaneBuckets(input.asInstanceOf[ArrayData], nTables, bitsPerTable)

@@ -44,7 +44,13 @@ object Clustering {
   }
 
   /** Just the trained centroid matrix (k*dim doubles — broadcast-sized
-    * by construction); the "model" an IVF index probes against. */
+    * by construction); the "model" an IVF index probes against.
+    * This float path is the GENERAL-RANGE fallback next to
+    * centroidsQuantized: quantization at 2^24 keeps int64 distances
+    * exact only while coordinates stay small (|x| up to ~2^5 for
+    * 64 dims); data outside that envelope trains here instead —
+    * deterministic but not cross-engine bit-reproducible
+    * (ClusteringSpec covers both paths). */
   def centroids(spark: SparkSession, dir: String, k: Int, iters: Int): Array[Array[Double]] = {
     val vecs = Tables.embeddings(spark, dir)
       .repartition(col("vec_id"))

@@ -42,16 +42,19 @@ object QueryCache {
     * giving up and building anyway (duplicate work beats deadlock). */
   private val LeaseWaitMillis: Long = 10L * 60 * 1000
 
-  /** Striped in-JVM build locks: N concurrent misses on one entry in
-    * one application compute ONCE (the reference's lock-protected
+  /** Per-entry in-JVM build locks: N concurrent misses on one entry
+    * in one application compute ONCE (the reference's lock-protected
     * refresh, connectors.py:367-452) — at scale a popular dashboard
-    * key must not launch the same multi-hour job N times. Striping
-    * (keyed by the FULL entry path, so distinct cacheDirs don't
-    * contend) bounds the lock table; rare stripe sharing only
-    * serializes, never breaks correctness. */
-  private val lockStripes = Array.fill(64)(new Object)
+    * key must not launch the same multi-hour job N times. Keyed by
+    * the FULL entry path (distinct cacheDirs never contend), one per
+    * distinct entry with NO false sharing — a stripe table would let
+    * an unrelated key block behind another's multi-hour build. The
+    * table grows by one small monitor object per distinct config per
+    * JVM lifetime: bounded by the query surface, not the data. */
+  private val entryLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def lockFor(entry: Path): Object =
-    lockStripes(math.floorMod(entry.toAbsolutePath.toString.hashCode, 64))
+    entryLocks.computeIfAbsent(entry.toAbsolutePath.toString, _ => new Object)
 
   /** Deterministic cache key from a canonical config string. Callers
     * serialize their query config (sorted keys!) into `config`. */
@@ -107,22 +110,40 @@ object QueryCache {
       (delta: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.col
     val entry = Paths.get(cacheDir, cacheKey(config))
-    // single-flight like cached(): read-modify-write under the entry
-    // lock, or two concurrent merges would each read the same base
-    // version and the last CURRENT swap would silently drop the
-    // other's delta
+    // the read-modify-write must be exclusive END TO END or a
+    // concurrent merge reads the same base version and the losing
+    // CURRENT swap silently drops a delta: in-JVM via the entry lock,
+    // cross-process via the .lease held across read+build+publish
+    // (cached() only leases the publish because its build is
+    // idempotent; a merge is not). A waiter that can't get the lease
+    // by the deadline proceeds anyway — duplicate-base merge risk
+    // beats deadlock behind a dead holder.
     lockFor(entry).synchronized {
-      val merged = currentVersion(entry)
-        .filter(v => System.currentTimeMillis() - versionMillis(v) <= ttlMillis)
-        .map { v =>
-          val current = spark.read.parquet(v.toString)
-          // anti-join keeps cached rows whose key is NOT replaced
-          current.join(delta.select(mergeKey.map(col): _*).distinct(),
-              mergeKey, "left_anti")
-            .unionByName(delta)
+      Files.createDirectories(entry)
+      val deadline = System.currentTimeMillis() + LeaseWaitMillis
+      var leased = tryAcquireLease(entry)
+      while (!leased && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200)
+        leased = tryAcquireLease(entry)
+      }
+      try {
+        val merged = currentVersion(entry)
+          .filter(v => System.currentTimeMillis() - versionMillis(v) <= ttlMillis)
+          .map { v =>
+            val current = spark.read.parquet(v.toString)
+            // anti-join keeps cached rows whose key is NOT replaced
+            current.join(delta.select(mergeKey.map(col): _*).distinct(),
+                mergeKey, "left_anti")
+              .unionByName(delta)
+          }
+          .getOrElse(delta)
+        publish(spark, entry, merged)
+      } finally {
+        if (leased) {
+          try Files.deleteIfExists(entry.resolve(".lease"))
+          catch { case _: java.io.IOException => }
         }
-        .getOrElse(delta)
-      publish(spark, entry, merged)
+      }
     }
   }
 
@@ -153,25 +174,33 @@ object QueryCache {
     * polls for a fresh CURRENT from the lease holder and only falls
     * back to building after the wait budget — the cross-process
     * equivalent of the reference's get_lock-protected refresh. */
+  /** One attempt to take the entry's `.lease` file: atomic create, or
+    * steal-by-mtime when the holder looks dead. Best-effort: an IO
+    * failure other than "already exists" reads as acquired (the lease
+    * must never block correctness, only duplicate work). */
+  private def tryAcquireLease(entry: Path): Boolean = {
+    val lease = entry.resolve(".lease")
+    val now = System.currentTimeMillis()
+    try { Files.createFile(lease); true }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        try {
+          if (now - Files.getLastModifiedTime(lease).toMillis > LeaseMillis) {
+            // holder died mid-build: steal by refreshing the mtime
+            Files.setLastModifiedTime(lease,
+              java.nio.file.attribute.FileTime.fromMillis(now))
+            true
+          } else false
+        } catch { case _: java.io.IOException => false }
+      case _: java.io.IOException => true // lease is best-effort only
+    }
+  }
+
   private def publishSingleFlight(spark: SparkSession, entry: Path,
       ttlMillis: Long, build: => DataFrame): DataFrame = {
     Files.createDirectories(entry)
     val lease = entry.resolve(".lease")
-    val now = System.currentTimeMillis()
-    val acquired =
-      try { Files.createFile(lease); true }
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          try {
-            if (now - Files.getLastModifiedTime(lease).toMillis > LeaseMillis) {
-              // holder died mid-build: steal by refreshing the mtime
-              Files.setLastModifiedTime(lease,
-                java.nio.file.attribute.FileTime.fromMillis(now))
-              true
-            } else false
-          } catch { case _: java.io.IOException => false }
-        case _: java.io.IOException => true // lease is best-effort only
-      }
+    val acquired = tryAcquireLease(entry)
     if (acquired) {
       try publish(spark, entry, build)
       finally {
@@ -180,7 +209,7 @@ object QueryCache {
       }
     } else {
       // another process is building: poll for its publish
-      val deadline = now + LeaseWaitMillis
+      val deadline = System.currentTimeMillis() + LeaseWaitMillis
       var result: Option[Path] = None
       while (result.isEmpty && System.currentTimeMillis() < deadline &&
              Files.exists(lease)) {

@@ -107,6 +107,20 @@ class ClusteringSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("float-path IVF machinery (general-range fallback) stays correct") {
+    // the float NearestCells/centroids remain the path for data whose
+    // coordinate range breaks the 2^24 quantization's int64 envelope
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val v = new GenericArrayData(Array.fill(8)(9.5f))
+    val cents = Array(Array.fill(8)(10.0), Array.fill(8)(-10.0))
+    val cells = graft.functions.ClusterKernels.nearestCells(v, cents, 2)
+    assert(cells.toIntArray().sameElements(Array(0, 1)))
+    val c1 = Clustering.centroids(spark, sfDir, k = 4, iters = 2)
+    val c2 = Clustering.centroids(spark, sfDir, k = 4, iters = 2)
+    assert(c1.length === 4 && c1.forall(_.length === 64))
+    assert(c1.map(_.toSeq).toSeq === c2.map(_.toSeq).toSeq, "deterministic training")
+  }
+
   test("kmeans is deterministic across runs") {
     val a = Clustering.q32Kmeans(spark, sfDir).orderBy("cluster").collect()
       .map(r => (r.getAs[Int]("cluster"), r.getAs[Long]("n")))
