@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to stdout (no "[info] " logger
+// prefix) and the trailing "[success] ..." banner is suppressed, so
+// the LAST stdout line of `sbt "runMain graft.Bench"` is Bench's raw
+// JSON line — line-oriented driver parsers can read either stream.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += run / outputStrategy
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
