@@ -68,6 +68,8 @@ object SparkEntry {
     "q50_zorder"              -> Olap.q50Zorder _,
     "q51_kmv_distinct"        -> Analytics.q51KmvDistinct _,
     "q52_balanced_sample"     -> Pipeline.q52BalancedSample _,
+    "q53_pagerank"            -> Graph.q53Pagerank _,
+    "q54_tfidf"               -> Similarity.q54TfidfTopTerms _,
   )
 
   /** Integer squared distance between a quantized vector and a
@@ -212,8 +214,64 @@ object SparkEntry {
       s"((($x >> $j) & 1) << ${2 * j}) + ((($y >> $j) & 1) << ${2 * j + 1})")
       .mkString(" + ")
 
+  /** DuckDB replay of the deterministic integer PageRank
+    * (operators/Graph.pagerank): same RankScale fractions, same
+    * floor-division contributions, same order-independent integer
+    * sums — iterations unrolled as chained CTEs (the q32 technique).
+    * All BIGINT casts keep DuckDB's HUGEINT sums out of the result. */
+  private def pagerankOracle(iters: Int): String = {
+    def step(i: Int): String =
+      s"""
+      r$i AS (
+        SELECT d.src AS node,
+          CAST((SELECT (15 * per) // 100 FROM meta)
+            + (85 * COALESCE(s.inc, 0)) // 100 AS BIGINT) AS rank
+        FROM deg d LEFT JOIN (
+          SELECT e.dst AS dst, CAST(SUM(r.rank // d2.outdeg) AS BIGINT) AS inc
+          FROM r${i - 1} r
+          JOIN deg d2 ON r.node = d2.src
+          JOIN e ON e.src = r.node
+          GROUP BY 1
+        ) s ON d.src = s.dst
+      )"""
+    s"""
+      WITH e AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      ),
+      deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+      meta AS (SELECT 1000000000000 // COUNT(*) AS per FROM deg),
+      r0 AS (SELECT src AS node, CAST((SELECT per FROM meta) AS BIGINT) AS rank FROM deg),
+      ${(1 to iters).map(step).mkString(",")}
+      SELECT r.node AS part_key, d.outdeg AS out_degree, r.rank
+      FROM r$iters r JOIN deg d ON r.node = d.src
+      ORDER BY r.rank DESC, part_key ASC LIMIT 20
+    """
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q32_kmeans" -> kmeansOracle(k = 10, iters = 5),
+    "q53_pagerank" -> pagerankOracle(iters = 3),
+    "q54_tfidf" -> """
+      WITH words AS (
+        SELECT doc_id, w AS term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY 1, 2
+      ),
+      docfreq AS (SELECT term, COUNT(*) AS df FROM words GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n FROM documents),
+      scored AS (
+        SELECT w.doc_id, w.term, w.tf, f.df,
+          w.tf * ((1000000 * (SELECT n FROM n)) // f.df) AS score
+        FROM words w JOIN docfreq f USING (term)
+      )
+      SELECT doc_id, term, tf, df, score, term_rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+          ORDER BY score DESC, term ASC) AS term_rank
+        FROM scored
+      ) WHERE term_rank <= 3
+    """,
     "q45_ann_ivf" -> s"""
       WITH ${kmeansCtes(k = 16, iters = 5)},
       e AS (

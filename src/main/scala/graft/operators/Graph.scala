@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Iterative graph scoring over a co-occurrence graph — the
+  * link-graph-derived quality signal of large-corpus curation (page
+  * importance over a web graph is a standard document-quality feature
+  * when filtering crawl data; the reference side of this is the
+  * entity-relationship scoring in tasks.py:105-563, which weights
+  * taxonomy entities by co-occurrence strength).
+  *
+  * PageRank here is DETERMINISTIC BY CONSTRUCTION: rank mass is an
+  * int64 scaled by 10^12, every update is integer floor-division and
+  * an order-independent integer sum, so the result is bit-identical
+  * under any partitioning — the same quantize/reduce-in-integers
+  * recipe as the q32 kmeans, and what makes the DuckDB oracle replay
+  * the iterations exactly (float PageRank diverges across engines in
+  * the last ulps and is unhashable).
+  *
+  * Scale shape: edges come from an equi-self-join on the order key
+  * (co-partitioned shuffle join; per-order line counts are bounded by
+  * the schema, so no quadratic group blowup), each iteration is one
+  * join on src + one groupBy dst — the canonical distributed PageRank
+  * step. Nothing corpus-sized reaches the driver (the only scalar is
+  * the node count).
+  */
+object Graph {
+
+  /** Rank mass scale: ranks are int64 fractions of 10^12. */
+  val RankScale = 1000000000000L
+
+  /** Co-purchase edges: parts linked when they appear in the same
+    * order, both directions, deduplicated. Bounded fan-out: an order
+    * has at most a handful of lines, so the per-order pair expansion
+    * is O(lines^2) with a small constant — never a hot-key hazard. */
+  def copurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    li.as("a")
+      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+  }
+
+  /** Integer PageRank over (src, dst) edges, `iters` fixed iterations,
+    * damping 0.85 expressed as exact integer arithmetic:
+    *
+    *   per      = RankScale div n
+    *   rank_0   = per
+    *   rank_t+1 = (15 * per) div 100
+    *              + (85 * sum_{u->v} (rank_t(u) div outdeg(u))) div 100
+    *
+    * Every node in the (symmetric) edge set has outdeg >= 1, so there
+    * are no dangling nodes; the damped leak (floor losses + the
+    * undistributed 15% remainder) is the standard simplified-PageRank
+    * contract and identical in any engine. Overflow audit: total rank
+    * mass <= RankScale = 10^12, so 85 * sum <= 8.5e13 << 2^63.
+    *
+    * The iteration state (node, outdeg, rank) is one frame; each round
+    * is a join on src + a groupBy dst + a left join back — fixed,
+    * small iteration count so the growing plan needs no checkpoint. */
+  def pagerank(edges: DataFrame, iters: Int): DataFrame = {
+    val deg = edges.groupBy(col("src"))
+      .agg(count(lit(1)).as("outdeg"))
+    // node count: the one driver-side scalar (an aggregate, not data)
+    val n = deg.count()
+    require(n > 0, "pagerank needs a non-empty edge set")
+    val per = RankScale / n
+    val base = 15L * per / 100L
+    var state = deg.select(col("src").as("node"), col("outdeg"),
+      lit(per).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = state.select(col("node"),
+        expr("rank div outdeg").as("c"))
+      val inc = edges.join(contrib, edges("src") === contrib("node"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("inc"))
+      state = deg.select(col("src").as("node"), col("outdeg"))
+        .join(inc, col("node") === col("dst"), "left")
+        .select(col("node"), col("outdeg"),
+          (lit(base) + expr("(85 * coalesce(inc, 0L)) div 100")).as("rank"))
+    }
+    state
+  }
+
+  /** Top 20 parts by co-purchase PageRank after 3 iterations —
+    * deterministic total order (rank DESC, part ASC), int64 ranks. */
+  def q53Pagerank(spark: SparkSession, dir: String): DataFrame =
+    pagerank(copurchaseEdges(spark, dir), iters = 3)
+      .select(col("node").as("part_key"), col("outdeg").as("out_degree"),
+        col("rank"))
+      .orderBy(col("rank").desc, col("part_key").asc)
+      .limit(20)
+}

@@ -168,6 +168,47 @@ object Similarity {
   def q17CosineTopK(spark: SparkSession, dir: String): DataFrame =
     cosineTopK(spark, dir, 5)
 
+  /** TF-IDF top terms per document — the keyword/feature-extraction
+    * pass of corpus analysis (the weighting step the reference's
+    * feature matrices imply before cosine scoring, tasks.py:384-464).
+    *
+    * The idf is INTEGER-SCALED instead of logarithmic:
+    * idf = (10^6 * N) div df — a monotone transform of 1/df, so term
+    * ordering within a document matches the classic tf*log(N/df) up to
+    * log's extra damping, and the score is exact int64 arithmetic that
+    * any engine reproduces bit-for-bit (ln() is not guaranteed
+    * correctly-rounded across engines, which would break the oracle
+    * hash for zero analytical gain here).
+    *
+    * Scale shape: postings groupBy for tf, a term-keyed groupBy for
+    * df (map-side combinable), one equi-join postings⋈df, then the
+    * per-doc top-k via the mergeable TopKAgg — the aggregate input per
+    * group is one doc's distinct terms, the regime where the O(k)
+    * typed buffer beats a window sort (see cosineTopK's note for the
+    * opposite regime). Overflow audit: idf <= 10^6 * N, tf <= doc
+    * length; at petabyte corpus sizes (N ~ 10^10) score fits int64 for
+    * any tf < 10^6. */
+  def q54TfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val k = 3
+    val post = postings(spark, dir)
+      .withColumnRenamed("word", "term").withColumnRenamed("cnt", "tf")
+    val docFreq = post.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val n = Tables.documents(spark, dir).count()
+    val scored = post.join(docFreq, "term")
+      .withColumn("score", col("tf") * expr(s"(${1000000L * n}L div df)"))
+    // order: score DESC, term ASC (total — (doc, term) rows are unique)
+    val ord: Ordering[(Long, String, Long, Long)] =
+      Ordering.by(t => (-t._1, t._2))
+    val topk = udaf(new graft.functions.TopKAgg[(Long, String, Long, Long)](k, ord))
+    scored.groupBy(col("doc_id"))
+      .agg(topk(col("score"), col("term"), col("tf"), col("df")).as("top"))
+      .select(col("doc_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("doc_id"), col("t._2").as("term"), col("t._3").as("tf"),
+        col("t._4").as("df"), col("t._1").as("score"),
+        (col("pos") + 1).cast("int").as("term_rank"))
+  }
+
   /** Blended recommendations with the reference's full output shape
     * (get_similar_content, tasks.py:480-538): separate similarity /
     * popularity / combined score columns (alpha*cos, (1-alpha)*minmax

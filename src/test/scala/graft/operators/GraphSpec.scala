@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkFixture
+
+class GraphSpec extends AnyFunSuite with SparkFixture {
+
+  test("pagerank matches the integer recurrence on a 3-node path graph") {
+    val ss = spark; import ss.implicits._
+    // path 1 - 2 - 3 as symmetric directed edges
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val got = Graph.pagerank(edges, iters = 1).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("rank")).toMap
+    val per = Graph.RankScale / 3
+    val base = 15L * per / 100L
+    // node 2 receives both endpoints' full rank; 1 and 3 receive half
+    // of node 2's (outdeg 2) — the recurrence evaluated by hand
+    assert(got(1L) === base + 85L * (per / 2) / 100L)
+    assert(got(2L) === base + 85L * (per + per) / 100L)
+    assert(got(3L) === base + 85L * (per / 2) / 100L)
+    assert(got.size === 3)
+  }
+
+  test("rank mass is conserved up to floor losses; all ranks positive") {
+    val pr = Graph.pagerank(Graph.copurchaseEdges(spark, sfDir), iters = 3)
+    val row = pr.agg(sum(col("rank")), min(col("rank")), count(lit(1))).collect()(0)
+    val (total, minRank, nodes) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(total <= Graph.RankScale, "mass can never exceed the scale")
+    // every floor loses < 1 unit per contribution per round; with
+    // |edges| + n losses per round against a 10^12 scale the total
+    // stays within 1% of full mass
+    assert(total >= Graph.RankScale - Graph.RankScale / 100)
+    assert(minRank > 0)
+    assert(nodes > 0)
+  }
+
+  test("co-purchase edges are symmetric, irreflexive and distinct") {
+    val e = Graph.copurchaseEdges(spark, sfDir)
+    assert(e.filter(col("src") === col("dst")).isEmpty)
+    val reversed = e.select(col("dst").as("src"), col("src").as("dst"))
+    assert(e.exceptAll(reversed).isEmpty, "every edge has its reverse")
+    assert(e.count() === e.distinct().count())
+  }
+
+  test("q53 emits 20 rows in total (rank DESC, part ASC) order") {
+    val rows = Graph.q53Pagerank(spark, sfDir).collect()
+    assert(rows.length === 20)
+    val keys = rows.map(r => (r.getAs[Long]("rank"), r.getAs[Long]("part_key")))
+    val sorted = keys.sortBy { case (rank, part) => (-rank, part) }
+    assert(keys.sameElements(sorted))
+    assert(rows.forall(_.getAs[Long]("out_degree") >= 1))
+  }
+}

@@ -40,6 +40,12 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
       "map-side partial top-k + final merge")
   }
 
+  test("q54: per-doc top-k runs as a partial aggregate, not a window sort") {
+    val p = plan("q54_tfidf")
+    assert(!p.matches("(?s).*\\bWindow\\b.*"),
+      "tf-idf top terms must use the mergeable TopKAgg, not a window")
+  }
+
   test("q13: the date spine joins without shuffling the fact rollup twice") {
     val p = plan("q13_date_intervals")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))

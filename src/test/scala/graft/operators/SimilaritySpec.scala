@@ -48,6 +48,30 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(dense === postings) // bit-identical scores, same tie-breaks
   }
 
+  test("q54 tf-idf matches a local single-threaded computation") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val n = docs.length.toLong
+    val tf = docs.map { case (id, t) =>
+      id -> t.split(" ").groupBy(identity).map { case (w, a) => w -> a.length.toLong }
+    }
+    val df = tf.flatMap(_._2.keys).groupBy(identity)
+      .map { case (w, a) => w -> a.length.toLong }
+    val expected = tf.flatMap { case (id, m) =>
+      m.toSeq
+        .map { case (w, f) => (w, f, df(w), f * ((1000000L * n) / df(w))) }
+        .sortBy { case (w, _, _, score) => (-score, w) }
+        .take(3).zipWithIndex
+        .map { case ((w, f, d, score), i) => (id, w, f, d, score, i + 1) }
+    }.toSet
+    val got = Similarity.q54TfidfTopTerms(spark, sfDir).collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("term"), r.getAs[Long]("tf"),
+        r.getAs[Long]("df"), r.getAs[Long]("score"), r.getAs[Int]("term_rank")))
+      .toSet
+    assert(got === expected)
+  }
+
   test("q18 combined score = similarity + popularity parts; junk filter holds") {
     val rows = Similarity.q18WeightedRecs(spark, sfDir).collect()
     assert(rows.nonEmpty)
