@@ -67,6 +67,18 @@ object Tables {
       .sortBy(bucketCol)
       .saveAsTable(table)
 
+  /** ORC sink/source — the second columnar format of the lake
+    * (ORC-resident warehouses are common JDBC-migration sources).
+    * Spark's native ORC reader supports the same predicate pushdown
+    * and column pruning as parquet (InfraSpec asserts PushedFilters
+    * on the ORC scan), so operators are format-agnostic: swap the
+    * loader, keep the plan. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Z-ordered layout sink: range-partition + sort the rows by the
     * Morton interleave of two integer columns (Exprs.zValue2), so
     * EVERY file covers a small rectangle of the (x, y) space and

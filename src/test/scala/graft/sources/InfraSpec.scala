@@ -308,6 +308,21 @@ class InfraSpec extends AnyFunSuite with SparkFixture {
     assert(back.count() === expected)
   }
 
+  test("orc sink/source round-trips with predicate pushdown and pruning") {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    val orders = Tables.orders(spark, sfDir)
+    Tables.writeOrc(orders, s"$dir/orders_orc")
+    val back = Tables.readOrc(spark, s"$dir/orders_orc")
+      .filter(col("o_totalprice") > 100000.0)
+      .select("o_orderkey", "o_totalprice")
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("o_totalprice"),
+      "the price predicate must reach the ORC scan")
+    assert(!plan.contains("o_custkey"), "unused columns must not be read")
+    assert(back.count() ===
+      orders.filter(col("o_totalprice") > 100000.0).count())
+  }
+
   test("bucketed tables join with zero exchange (co-located join)") {
     val orders = Tables.orders(spark, sfDir)
     val customer = Tables.customer(spark, sfDir)
