@@ -70,6 +70,8 @@ object SparkEntry {
     "q52_balanced_sample"     -> Pipeline.q52BalancedSample _,
     "q53_pagerank"            -> Graph.q53Pagerank _,
     "q54_tfidf"               -> Similarity.q54TfidfTopTerms _,
+    "q55_funnel"              -> Analytics.q55Funnel _,
+    "q56_retention"           -> Analytics.q56Retention _,
   )
 
   /** Integer squared distance between a quantized vector and a
@@ -439,6 +441,54 @@ object SparkEntry {
         CAST(SUM(CASE WHEN end_tok > (chunk + 1) * 512 THEN 1 ELSE 0 END) AS BIGINT)
           AS boundary_docs
       FROM d GROUP BY 1, 2
+    """,
+    "q55_funnel" -> """
+      WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY 1
+      ),
+      s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1
+      ),
+      s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1
+      ),
+      counts AS (
+        SELECT '1_view' AS step, COUNT(*) AS users FROM s1
+        UNION ALL SELECT '2_view_click', COUNT(*) FROM s2
+        UNION ALL SELECT '3_view_click_purchase', COUNT(*) FROM s3
+      )
+      SELECT step, users,
+        CAST(users AS DOUBLE) / (SELECT COUNT(*) FROM s1) AS conversion
+      FROM counts
+    """,
+    "q56_retention" -> """
+      WITH activity AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      ),
+      cohort AS (
+        SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY 1
+      ),
+      sizes AS (
+        SELECT cohort_day, COUNT(*) AS cohort_users FROM cohort GROUP BY 1
+      ),
+      j AS (
+        SELECT c.cohort_day,
+          CAST(date_diff('day', c.cohort_day, a.day) AS INTEGER) AS "offset",
+          a.user_id
+        FROM activity a JOIN cohort c ON a.user_id = c.user_id
+        WHERE date_diff('day', c.cohort_day, a.day) <= 7
+      )
+      SELECT j.cohort_day, j."offset",
+        COUNT(DISTINCT j.user_id) AS active_users,
+        s.cohort_users,
+        CAST(COUNT(DISTINCT j.user_id) AS DOUBLE) / s.cohort_users AS retention
+      FROM j JOIN sizes s ON j.cohort_day = s.cohort_day
+      GROUP BY 1, 2, 4
     """,
     "q01_agg_filter" -> """
       SELECT

@@ -250,6 +250,71 @@ object Analytics {
     * sort-based per group) matches DuckDB's quantile_cont definition;
     * for 100 TB the one-pass sketch variant is approx_percentile with
     * a bounded error knob — same API shape, no global sort either way. */
+  /** Funnel analysis — ordered-step conversion (view -> click ->
+    * purchase), the canonical product-analytics query of the
+    * reference's event domain (its HelixQuery dashboards compute
+    * per-step user counts; the ordered-sequence constraint is what a
+    * funnel adds). A user reaches step N when an event of that type
+    * happens STRICTLY AFTER their step-N-1 time; each step time is
+    * the earliest qualifying event (first-touch attribution).
+    *
+    * Shape: one filtered min-aggregate per step, each joined to the
+    * previous step's reach — three map-side-combinable aggregates
+    * over one event scan each, user-keyed equi-joins, no windows and
+    * no per-user event buffering; the reach frames shrink
+    * monotonically so later steps join ever-smaller sides (AQE
+    * broadcasts them at scale). */
+  def q55Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    val counts = Seq(("1_view", s1), ("2_view_click", s2),
+      ("3_view_click_purchase", s3)).map { case (name, df) =>
+      df.agg(count(lit(1)).as("users")).select(lit(name).as("step"), col("users"))
+    }.reduce(_ unionByName _)
+    val total = s1.agg(count(lit(1)).as("step1_users"))
+    counts.crossJoin(broadcast(total))
+      .select(col("step"), col("users"),
+        (col("users").cast("double") / col("step1_users")).as("conversion"))
+  }
+
+  /** Cohort retention — users grouped by first-activity day, retained
+    * = active again exactly `offset` days later (the other canonical
+    * BI query over the events domain). Exact arithmetic throughout:
+    * distinct (user, day) activity, an equi-join back to the cohort
+    * day, integer day offsets — any engine reproduces it bit-for-bit.
+    *
+    * Shape: the cohort table is one min-aggregate by user; activity
+    * is one distinct over (user, day); one user-keyed join + one
+    * (cohort, offset) aggregate. Nothing is windowed or per-user
+    * buffered, so it scales as two shuffles of the deduplicated
+    * activity table. */
+  def q56Retention(spark: SparkSession, dir: String): DataFrame = {
+    val activity = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val cohort = activity.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    val joined = activity.join(cohort, "user_id")
+      .withColumn("offset", datediff(col("day"), col("cohort_day")))
+      .filter(col("offset") <= 7)
+    val sizes = cohort.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("cohort_users"))
+    joined.groupBy(col("cohort_day"), col("offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .join(sizes, "cohort_day")
+      .select(col("cohort_day"), col("offset"), col("active_users"),
+        col("cohort_users"),
+        (col("active_users").cast("double") / col("cohort_users"))
+          .as("retention"))
+  }
+
   def q35Percentiles(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir)
       .groupBy(col("event_type"))

@@ -117,4 +117,50 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     val mom = r.getAs[Double]("mom_revenue")
     assert(math.abs(r.getAs[Double]("mom_pct") - (rev / mom - 1.0)) < 1e-12)
   }
+
+  test("q55 funnel matches a local ordered-step computation") {
+    val events = graft.sources.Tables.events(spark, sfDir)
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime))
+    val byUser = events.groupBy(_._1)
+    def reach: Map[Long, (Option[Long], Option[Long], Option[Long])] =
+      byUser.map { case (u, evs) =>
+        val t1 = evs.collect { case (_, "view", t) => t }.minOption
+        val t2 = t1.flatMap(a =>
+          evs.collect { case (_, "click", t) if t > a => t }.minOption)
+        val t3 = t2.flatMap(b =>
+          evs.collect { case (_, "purchase", t) if t > b => t }.minOption)
+        u -> ((t1, t2, t3))
+      }
+    val r = reach
+    val exp = Map(
+      "1_view" -> r.values.count(_._1.isDefined).toLong,
+      "2_view_click" -> r.values.count(_._2.isDefined).toLong,
+      "3_view_click_purchase" -> r.values.count(_._3.isDefined).toLong)
+    val got = Analytics.q55Funnel(spark, sfDir).collect()
+      .map(x => x.getAs[String]("step") ->
+        (x.getAs[Long]("users"), x.getAs[Double]("conversion"))).toMap
+    assert(got.keySet === exp.keySet)
+    exp.foreach { case (step, users) =>
+      assert(got(step)._1 === users, step)
+      assert(got(step)._2 === users.toDouble / exp("1_view"), step)
+    }
+    // funnel monotonicity
+    assert(exp("1_view") >= exp("2_view_click"))
+    assert(exp("2_view_click") >= exp("3_view_click_purchase"))
+  }
+
+  test("q56 retention: day-0 is total, rates bounded, offsets in range") {
+    val rows = Analytics.q56Retention(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val off = r.getAs[Int]("offset")
+      assert(off >= 0 && off <= 7)
+      assert(r.getAs[Long]("active_users") <= r.getAs[Long]("cohort_users"))
+      val ret = r.getAs[Double]("retention")
+      assert(ret > 0.0 && ret <= 1.0)
+      if (off == 0) // every cohort member is active on its cohort day
+        assert(r.getAs[Long]("active_users") === r.getAs[Long]("cohort_users"))
+    }
+  }
 }
