@@ -19,32 +19,34 @@ import graft.sources.Tables
   * the iterations exactly (float PageRank diverges across engines in
   * the last ulps and is unhashable).
   *
-  * Scale shape: edges come from an equi-self-join on the order key
-  * (co-partitioned shuffle join; per-order line counts are bounded by
-  * the schema, so no quadratic group blowup), each iteration is one
-  * join on src + one groupBy dst — the canonical distributed PageRank
-  * step. Nothing corpus-sized reaches the driver (the only scalar is
-  * the node count).
+  * Scale shape: the graph is held as ADJACENCY LISTS (node,
+  * neighbors[]) built in one groupBy — multi-edge dedup rides that
+  * same shuffle via array_distinct, the degree is size(neighbors)
+  * for free, and the cached graph is node-sized rows instead of an
+  * edge-sized table. Each iteration is a node-keyed join + a
+  * map-side explode + a partially-aggregated groupBy on dst — the
+  * canonical distributed PageRank step. Nothing corpus-sized reaches
+  * the driver (the only scalar is the node count).
   */
 object Graph {
 
   /** Rank mass scale: ranks are int64 fractions of 10^12. */
   val RankScale = 1000000000000L
 
-  /** Co-purchase edges: parts linked when they appear in the same
-    * order, both directions, deduplicated. Bounded fan-out: an order
-    * has at most a handful of lines, so the per-order pair expansion
-    * is O(lines^2) with a small constant — never a hot-key hazard.
+  /** Raw co-purchase pairs: parts linked when they appear in the same
+    * order, both directions, NOT deduplicated (pagerank's adjacency
+    * build dedups on its own shuffle — a separate distinct pass would
+    * pay one more edge-sized exchange for nothing). Bounded fan-out:
+    * an order has at most a handful of lines, so the per-order pair
+    * expansion is O(lines^2) with a small constant — never a hot-key
+    * hazard.
     *
     * Shape: ONE groupBy on the order key gathers each order's part
     * set (map-side combinable, bounded arrays by schema contract),
     * then the pair expansion is a per-row double explode — no
-    * self-join, no second pass over the fact table. The only
-    * fact-sized shuffles are the groupBy and the final edge distinct
-    * (measured 2x faster than the equi-self-join formulation, and it
-    * scans lineitem once instead of twice — at 100 TB the scan is the
-    * bill). */
-  def copurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
+    * self-join, no second pass over the fact table; lineitem is
+    * scanned exactly once (at 100 TB the scan is the bill). */
+  def copurchasePairs(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"))
       .groupBy(col("l_orderkey"))
@@ -52,11 +54,16 @@ object Graph {
       .select(explode(col("parts")).as("src"), col("parts"))
       .select(col("src"),
         explode(expr("filter(parts, p -> p != src)")).as("dst"))
-      .distinct()
   }
 
-  /** Integer PageRank over (src, dst) edges, `iters` fixed iterations,
-    * damping 0.85 expressed as exact integer arithmetic:
+  /** Deduplicated co-purchase edge set — the public (src, dst) view
+    * of the graph for edge-level consumers and the symmetry spec. */
+  def copurchaseEdges(spark: SparkSession, dir: String): DataFrame =
+    copurchasePairs(spark, dir).distinct()
+
+  /** Integer PageRank over (src, dst) edges (multi-edges collapse),
+    * `iters` fixed iterations, damping 0.85 expressed as exact
+    * integer arithmetic:
     *
     *   per      = RankScale div n
     *   rank_0   = per
@@ -69,51 +76,52 @@ object Graph {
     * contract and identical in any engine. Overflow audit: total rank
     * mass <= RankScale = 10^12, so 85 * sum <= 8.5e13 << 2^63.
     *
-    * The iteration state (node, outdeg, rank) is one frame; each round
-    * is a join on src + a groupBy dst + a left join back — fixed,
-    * small iteration count so the growing plan needs no checkpoint. */
+    * The graph caches as adjacency rows for the duration of the
+    * computation (the node-count job materializes it); the final
+    * node-sized state is truncated with localCheckpoint and the cache
+    * RELEASED — no immortal persist escapes this function. Fixed,
+    * small iteration count, so the growing plan needs no per-round
+    * checkpoint (a durable checkpoint dir replaces localCheckpoint on
+    * a real cluster, as in Pipeline.labelPropagate). */
   def pagerank(edges: DataFrame, iters: Int): DataFrame = {
-    // the edge derivation (here a self-join + distinct) feeds every
-    // iteration plus the degree table: cache both for the duration of
-    // the computation (the node-count job below materializes them),
-    // run the iterations over the cached frames, then truncate the
-    // final small state and RELEASE the caches — no immortal persist
-    // escapes this function (measured 5.2s -> 1.5s at sf0.1 vs
-    // recomputing the self-join per iteration)
-    val e = edges.persist()
-    val deg = e.groupBy(col("src"))
-      .agg(count(lit(1)).as("outdeg"))
+    // one shuffle builds adjacency + dedup + degree together; skew
+    // note: a node's neighbor array is bounded by the node count of
+    // its connected component's frontier — for real power-law graphs
+    // cap/sample neighbor lists upstream
+    val adj = edges.groupBy(col("src"))
+      .agg(array_distinct(collect_list(col("dst"))).as("nbrs"))
+      .select(col("src").as("node"), col("nbrs"),
+        size(col("nbrs")).cast("long").as("outdeg"))
       .persist()
-    // node count: the one driver-side scalar (an aggregate, not data);
-    // also forces both caches in a single job
-    val n = deg.count()
+    // node count: the one driver-side scalar (an aggregate, not
+    // data); also forces the cache
+    val n = adj.count()
     require(n > 0, "pagerank needs a non-empty edge set")
     val per = RankScale / n
     val base = 15L * per / 100L
-    var state = deg.select(col("src").as("node"), col("outdeg"),
-      lit(per).as("rank"))
+    var state = adj.select(col("node"), col("outdeg"), lit(per).as("rank"))
     for (_ <- 1 to iters) {
-      val contrib = state.select(col("node"),
+      val contrib = state.select(col("node").as("c_node"),
         expr("rank div outdeg").as("c"))
-      val inc = e.join(contrib, e("src") === contrib("node"))
+      val inc = adj.join(contrib, col("node") === col("c_node"))
+        .select(explode(col("nbrs")).as("dst"), col("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("inc"))
-      state = deg.select(col("src").as("node"), col("outdeg"))
+      state = adj.select(col("node"), col("outdeg"))
         .join(inc, col("node") === col("dst"), "left")
         .select(col("node"), col("outdeg"),
           (lit(base) + expr("(85 * coalesce(inc, 0L)) div 100")).as("rank"))
     }
-    // node-sized: one cheap materialization so the caches can drop
+    // node-sized: one cheap materialization so the cache can drop
     val out = state.localCheckpoint()
-    e.unpersist()
-    deg.unpersist()
+    adj.unpersist()
     out
   }
 
   /** Top 20 parts by co-purchase PageRank after 3 iterations —
     * deterministic total order (rank DESC, part ASC), int64 ranks. */
   def q53Pagerank(spark: SparkSession, dir: String): DataFrame =
-    pagerank(copurchaseEdges(spark, dir), iters = 3)
+    pagerank(copurchasePairs(spark, dir), iters = 3)
       .select(col("node").as("part_key"), col("outdeg").as("out_degree"),
         col("rank"))
       .orderBy(col("rank").desc, col("part_key").asc)
