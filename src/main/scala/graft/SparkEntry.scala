@@ -72,6 +72,7 @@ object SparkEntry {
     "q54_tfidf"               -> Similarity.q54TfidfTopTerms _,
     "q55_funnel"              -> Analytics.q55Funnel _,
     "q56_retention"           -> Analytics.q56Retention _,
+    "q57_vocab"               -> TextAnalysis.q57Vocab _,
   )
 
   /** Integer squared distance between a quantized vector and a
@@ -489,6 +490,24 @@ object SparkEntry {
         CAST(COUNT(DISTINCT j.user_id) AS DOUBLE) / s.cohort_users AS retention
       FROM j JOIN sizes s ON j.cohort_day = s.cohort_day
       GROUP BY 1, 2, 4
+    """,
+    "q57_vocab" -> """
+      WITH words AS (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents
+      ),
+      counts AS (SELECT term, COUNT(*) AS cnt FROM words GROUP BY 1),
+      total AS (SELECT COUNT(*) AS total_tokens FROM words),
+      ranked AS (
+        SELECT term, cnt,
+          CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) AS INTEGER)
+            AS vocab_rank,
+          CAST(cnt AS DOUBLE) / (SELECT total_tokens FROM total) AS coverage
+        FROM counts
+      )
+      SELECT term, cnt, vocab_rank, coverage,
+        SUM(coverage) OVER (ORDER BY vocab_rank
+          ROWS UNBOUNDED PRECEDING) AS cum_coverage
+      FROM ranked WHERE vocab_rank <= 24
     """,
     "q01_agg_filter" -> """
       SELECT

@@ -80,6 +80,40 @@ object TextAnalysis {
           size(split(col("text"), " "))).as("chars_per_token"))
   }
 
+  /** Vocabulary induction — the top-V corpus terms with frequency and
+    * coverage stats (the first step of tokenizer training: how much of
+    * the token stream does a V-term vocabulary cover?).
+    *
+    * Scale shape: term counts are one map-side-combinable groupBy;
+    * the global top-V is a SINGLE-GROUP TopKAgg — an O(V) mergeable
+    * buffer per partition, so the "global top" costs one k-sized
+    * reduce instead of a global sort of the term dictionary (the
+    * classic ORDER BY cnt DESC LIMIT V plan sorts every term on one
+    * node's merge). The only windowed work (cumulative coverage) runs
+    * over the V result rows — driver-scale by construction. */
+  def q57Vocab(spark: SparkSession, dir: String): DataFrame = {
+    val v = 24
+    val counts = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    // total token count: exact, rides the same scan pre-aggregation
+    val total = Tables.documents(spark, dir)
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum(col("n")).as("total_tokens"))
+    val ord: Ordering[(Long, String)] = Ordering.by(t => (-t._1, t._2))
+    val topv = udaf(new graft.functions.TopKAgg[(Long, String)](v, ord))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("vocab_rank"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    counts.agg(topv(col("cnt"), col("term")).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "t")))
+      .crossJoin(broadcast(total))
+      .select(col("t._2").as("term"), col("t._1").as("cnt"),
+        (col("pos") + 1).cast("int").as("vocab_rank"),
+        (col("t._1").cast("double") / col("total_tokens")).as("coverage"))
+      .withColumn("cum_coverage", sum(col("coverage")).over(w))
+  }
+
   /** PII redaction: strip emails / phone numbers / IPv4s and report
     * per-doc redaction counts plus a hash of the cleaned text — the
     * scrub pass every training corpus gets before release. Regexes are

@@ -67,6 +67,27 @@ object Tables {
       .sortBy(bucketCol)
       .saveAsTable(table)
 
+  /** Small-file compaction — the table-maintenance pass every
+    * long-lived 100 TB dataset needs: streaming/incremental writers
+    * leave thousands of KB-sized files whose per-file open/footer
+    * cost eventually dominates scans. Sizes the output by the INPUT'S
+    * actual bytes (filesystem metadata, no data pass), rewrites in
+    * one shuffle-round-robin repartition, and returns the file count.
+    * Round-robin (not coalesce) so output files are even regardless
+    * of input file skew; layout-sensitive tables should recompact
+    * through writeZOrdered/writeBucketed instead. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val bytes = fs.getContentSummary(p).getLength
+    val files = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.parquet(inPath)
+      .repartition(files)
+      .write.mode("overwrite").parquet(outPath)
+    files
+  }
+
   /** ORC sink/source — the second columnar format of the lake
     * (ORC-resident warehouses are common JDBC-migration sources).
     * Spark's native ORC reader supports the same predicate pushdown

@@ -76,6 +76,28 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q57 vocab matches a local term-frequency ranking with coverage") {
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val counts = texts.flatMap(_.split(" "))
+      .groupBy(identity).map { case (w, a) => w -> a.length.toLong }
+    val total = counts.values.sum
+    val expected = counts.toSeq.sortBy { case (w, c) => (-c, w) }.take(24)
+    val got = TextAnalysis.q57Vocab(spark, sfDir).collect()
+      .sortBy(_.getAs[Int]("vocab_rank"))
+    assert(got.length === math.min(24, counts.size))
+    var cum = 0.0
+    got.zip(expected).zipWithIndex.foreach { case ((r, (w, c)), i) =>
+      assert(r.getAs[String]("term") === w)
+      assert(r.getAs[Long]("cnt") === c)
+      assert(r.getAs[Int]("vocab_rank") === i + 1)
+      val cov = r.getAs[Double]("coverage")
+      assert(cov === c.toDouble / total)
+      cum += cov
+      assert(r.getAs[Double]("cum_coverage") === cum)
+    }
+  }
+
   test("token counting on synthetic mixed text") {
     import spark.implicits._
     val df = Seq((1L, "abc 123 d4e", 11L)).toDF("doc_id", "text", "n_chars")

@@ -308,6 +308,24 @@ class InfraSpec extends AnyFunSuite with SparkFixture {
     assert(back.count() === expected)
   }
 
+  test("compact rewrites a fragmented table into size-targeted files") {
+    val dir = Files.createTempDirectory("graft-compact").toString
+    val orders = Tables.orders(spark, sfDir)
+    orders.repartition(64).write.parquet(s"$dir/frag")
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(s"$dir/frag") === 64)
+    val files = Tables.compact(spark, s"$dir/frag", s"$dir/compacted",
+      targetFileBytes = 64L * 1024)
+    assert(parquetFiles(s"$dir/compacted") === files)
+    assert(files < 64 && files >= 1)
+    // content identical
+    val a = spark.read.parquet(s"$dir/frag")
+    val b = spark.read.parquet(s"$dir/compacted")
+    assert(a.count() === b.count())
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("orc sink/source round-trips with predicate pushdown and pruning") {
     val dir = Files.createTempDirectory("graft-orc").toString
     val orders = Tables.orders(spark, sfDir)
