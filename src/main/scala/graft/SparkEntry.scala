@@ -464,7 +464,7 @@ object SparkEntry {
         UNION ALL SELECT '3_view_click_purchase', COUNT(*) FROM s3
       )
       SELECT step, users,
-        CAST(users AS DOUBLE) / (SELECT COUNT(*) FROM s1) AS conversion
+        CAST(users AS DOUBLE) / NULLIF((SELECT COUNT(*) FROM s1), 0) AS conversion
       FROM counts
     """,
     "q56_retention" -> """

@@ -281,7 +281,11 @@ object Analytics {
     val total = s1.agg(count(lit(1)).as("step1_users"))
     counts.crossJoin(broadcast(total))
       .select(col("step"), col("users"),
-        (col("users").cast("double") / col("step1_users")).as("conversion"))
+        // NULL (not NaN) conversion on an empty funnel — matches the
+        // oracle's NULLIF(0) so the degenerate case hash-agrees too
+        when(col("step1_users") > 0,
+          col("users").cast("double") / col("step1_users"))
+          .as("conversion"))
   }
 
   /** Cohort retention — users grouped by first-activity day, retained

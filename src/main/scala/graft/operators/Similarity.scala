@@ -185,9 +185,14 @@ object Similarity {
     * per-doc top-k via the mergeable TopKAgg — the aggregate input per
     * group is one doc's distinct terms, the regime where the O(k)
     * typed buffer beats a window sort (see cosineTopK's note for the
-    * opposite regime). Overflow audit: idf <= 10^6 * N, tf <= doc
-    * length; at petabyte corpus sizes (N ~ 10^10) score fits int64 for
-    * any tf < 10^6. */
+    * opposite regime). Overflow audit: idf <= 10^6 * N (worst case
+    * df = 1), so score = tf * idf wraps int64 once tf exceeds
+    * 2^63 / (10^6 * N) — at corpus scale (N ~ 10^10) that is only
+    * tf > ~922, which real documents reach. There, shrink the idf
+    * scale factor (10^3 buys three tf orders of magnitude; a constant
+    * factor never reorders terms) or widen the score to decimal(38,0);
+    * 10^6 is sized for the bench corpora (N <= 10^5 → safe to
+    * tf ~ 9*10^6). */
   def q54TfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
     val k = 3
     val post = postings(spark, dir)

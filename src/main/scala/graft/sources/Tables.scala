@@ -80,7 +80,20 @@ object Tables {
       targetFileBytes: Long = 128L * 1024 * 1024): Int = {
     val p = new org.apache.hadoop.fs.Path(inPath)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val bytes = fs.getContentSummary(p).getLength
+    val out = new org.apache.hadoop.fs.Path(outPath)
+    // in-place would overwrite (delete) the input mid-read and lose
+    // the table; compact into a sibling dir and swap at the catalog
+    require(fs.makeQualified(p) != fs.makeQualified(out),
+      s"compact cannot run in-place: $inPath == $outPath")
+    // recursive walk, skipping _SUCCESS/.crc metadata so the size
+    // estimate counts only data bytes
+    var bytes = 0L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val s = it.next()
+      val n = s.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) bytes += s.getLen
+    }
     val files = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     spark.read.parquet(inPath)
       .repartition(files)
