@@ -73,6 +73,11 @@ object SparkEntry {
     "q55_funnel"              -> Analytics.q55Funnel _,
     "q56_retention"           -> Analytics.q56Retention _,
     "q57_vocab"               -> TextAnalysis.q57Vocab _,
+    "q58_cdc_merge"           -> Cdc.q58CdcMerge _,
+    "q59_scd2"                -> Cdc.q59Scd2 _,
+    "q60_transitions"         -> Analytics.q60Transitions _,
+    "q61_anomaly"             -> Analytics.q61Anomaly _,
+    "q62_bloom_prune"         -> BloomJoin.q62BloomPrune _,
   )
 
   /** Integer squared distance between a quantized vector and a
@@ -508,6 +513,136 @@ object SparkEntry {
         SUM(coverage) OVER (ORDER BY vocab_rank
           ROWS UNBOUNDED PRECEDING) AS cum_coverage
       FROM ranked WHERE vocab_rank <= 24
+    """,
+    "q58_cdc_merge" -> """
+      WITH log AS (
+        SELECT user_id AS key, event_id AS seq,
+          CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op,
+          value, ts
+        FROM events
+      )
+      SELECT key, MAX(seq) AS last_seq, COUNT(*) AS n_changes,
+        arg_max(value, seq) AS last_value,
+        epoch_us(arg_max(ts, seq)) AS last_ts_us
+      FROM log GROUP BY 1
+      HAVING arg_max(op, seq) <> 'D'
+    """,
+    "q59_scd2" -> """
+      WITH a AS (
+        SELECT user_id AS key, event_id AS seq, ts, event_type AS attr,
+          LAG(event_type) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id) AS prev_attr
+        FROM events
+      ),
+      t AS (
+        SELECT key, seq, ts, attr FROM a
+        WHERE prev_attr IS NULL OR attr <> prev_attr
+      ),
+      f AS (
+        SELECT key, attr, ts, seq,
+          LEAD(ts) OVER (PARTITION BY key ORDER BY ts, seq) AS eff_to
+        FROM t
+      )
+      SELECT key, attr, epoch_us(ts) AS effective_from_us,
+        epoch_us(eff_to) AS effective_to_us,
+        (eff_to IS NULL) AS is_current, seq AS from_seq
+      FROM f
+    """,
+    "q60_transitions" -> """
+      WITH s AS (
+        SELECT user_id, event_id, ts, event_type,
+          LEAD(event_type) OVER w AS next_type,
+          LEAD(ts) OVER w AS next_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ),
+      p AS (
+        SELECT event_type AS from_type, next_type AS to_type
+        FROM s
+        WHERE next_type IS NOT NULL AND next_ts <= ts + INTERVAL 30 MINUTE
+      ),
+      m AS (
+        SELECT from_type, to_type, COUNT(*) AS transitions
+        FROM p GROUP BY 1, 2
+      )
+      SELECT from_type, to_type, transitions,
+        CAST(SUM(transitions) OVER (PARTITION BY from_type) AS BIGINT)
+          AS from_total,
+        CAST(transitions AS DOUBLE) /
+          CAST(SUM(transitions) OVER (PARTITION BY from_type) AS DOUBLE)
+          AS probability
+      FROM m
+    """,
+    "q61_anomaly" -> """
+      WITH daily AS (
+        SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+          CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            AS revenue_cents,
+          COUNT(*) AS orders
+        FROM orders GROUP BY 1, 2
+      ),
+      w AS (
+        SELECT priority, day, revenue_cents, orders,
+          CAST(COUNT(*) OVER tr AS HUGEINT) AS n,
+          CAST(SUM(CAST(revenue_cents AS HUGEINT)) OVER tr AS HUGEINT) AS sx,
+          CAST(SUM(CAST(revenue_cents AS HUGEINT)
+            * CAST(revenue_cents AS HUGEINT)) OVER tr AS HUGEINT) AS sx2
+        FROM daily
+        WINDOW tr AS (PARTITION BY priority ORDER BY day
+                      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+      )
+      SELECT priority, day, revenue_cents, orders,
+        CAST(n AS BIGINT) AS trailing_days,
+        CAST(sx AS BIGINT) AS trailing_cents,
+        ((n * revenue_cents - sx) * (n * revenue_cents - sx)
+          > 9 * n * (n * sx2 - sx * sx)) AS is_anomaly
+      FROM w WHERE n >= 4
+    """,
+    "q62_bloom_prune" -> """
+      WITH uids AS (SELECT DISTINCT user_id FROM events),
+      k AS (
+        SELECT user_id, i, (user_id * 8 + i) & 4294967295 AS k32
+        FROM uids CROSS JOIN (SELECT unnest([0, 1, 2]) AS i)
+      ),
+      s1 AS (
+        SELECT user_id, i,
+          (((k32 >> 16) * 2654435761 % 4294967296) * 65536
+            + (k32 & 65535) * 2654435761) % 4294967296 AS a
+        FROM k
+      ),
+      s2 AS (SELECT user_id, i, xor(a, a >> 16) AS b FROM s1),
+      s3 AS (
+        SELECT user_id, i,
+          (((b >> 16) * 2246822519 % 4294967296) * 65536
+            + (b & 65535) * 2246822519) % 4294967296 AS d
+        FROM s2
+      ),
+      h AS (SELECT user_id, i, xor(d, d >> 13) % 4096 AS pos FROM s3),
+      flagged AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'purchase' AND value > 190
+      ),
+      bloom AS (SELECT DISTINCT pos FROM h JOIN flagged USING (user_id)),
+      usr AS (
+        SELECT h.user_id, BOOL_AND(bloom.pos IS NOT NULL) AS bloom_pass
+        FROM h LEFT JOIN bloom ON h.pos = bloom.pos
+        GROUP BY 1
+      ),
+      ev AS (
+        SELECT e.event_type, u.bloom_pass,
+          (f.user_id IS NOT NULL) AS flagged
+        FROM events e
+        JOIN usr u ON e.user_id = u.user_id
+        LEFT JOIN flagged f ON e.user_id = f.user_id
+      )
+      SELECT event_type, COUNT(*) AS total_events,
+        CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+          AS bloom_pass_events,
+        CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT)
+          AS flagged_events,
+        CAST(SUM(CASE WHEN bloom_pass AND NOT flagged THEN 1 ELSE 0 END)
+          AS BIGINT) AS false_positive_events
+      FROM ev GROUP BY 1
     """,
     "q01_agg_filter" -> """
       SELECT

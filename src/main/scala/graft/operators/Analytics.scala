@@ -288,6 +288,83 @@ object Analytics {
           .as("conversion"))
   }
 
+  /** Event-transition matrix (the Markov-chain view of user paths):
+    * counts and probabilities of (event_type → next event_type) steps
+    * within a 30-minute gap — the reference's session drill-downs
+    * (hit_depth, bounces) generalized to the full path structure.
+    *
+    * Shape: ONE window partitioned by user (per-key state only — a
+    * hot user costs one task, and the 100 TB variant splits by day
+    * exactly like sessionizeEventsScalable), then a
+    * map-side-combinable pair count. The probability normalization
+    * windows over the RESULT matrix — at most |event_type|^2 rows,
+    * driver-scale by construction. Order is (ts, seq) so timestamp
+    * ties resolve identically in any engine. */
+  def q60Transitions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val steps = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+      .withColumn("next_ts", lead(col("ts"), 1).over(byUser))
+      .filter(col("next_type").isNotNull &&
+        col("next_ts") <= col("ts") + expr("INTERVAL 30 MINUTES"))
+    val fromTotals = Window.partitionBy(col("from_type"))
+    steps
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("transitions"))
+      .withColumn("from_total", sum(col("transitions")).over(fromTotals))
+      .select(col("from_type"), col("to_type"), col("transitions"),
+        col("from_total"),
+        (col("transitions").cast("double") / col("from_total"))
+          .as("probability"))
+  }
+
+  /** Rolling z-score anomaly detection over the daily order-revenue
+    * series per priority class — the reference's threshold monitor
+    * (q14) upgraded from a fixed cutoff to a self-calibrating one.
+    *
+    * EXACT cross-engine arithmetic: revenue is floored to integer
+    * cents, and the z-test |x - mean| > z·stddev is evaluated with
+    * the sqrt and divisions multiplied out —
+    *   (n·x − Σx)² > z²·n·(n·Σx² − (Σx)²)
+    * — all integer math in decimal(38,0), so the flag is bit-identical
+    * in any engine (float stddev would hash-diverge). z = 3, and a
+    * day needs ≥ 4 trailing observations to be judged.
+    *
+    * Scale shape: the window runs over the PRE-AGGREGATED daily
+    * series — one row per (priority, day) regardless of fact-table
+    * size, so the sort under the window is bounded by the calendar,
+    * not the data; the heavy lifting is the map-side-combinable
+    * daily rollup. The trailing frame (7 preceding .. 1 preceding)
+    * never includes the tested value itself. */
+  def q61Anomaly(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val daily = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("priority"),
+        to_date(col("o_orderdate")).as("day"),
+        floor(col("o_totalprice") * 100).as("cents"))
+      .groupBy(col("priority"), col("day"))
+      .agg(sum(col("cents")).as("revenue_cents"), count(lit(1)).as("orders"))
+    val trailing = Window.partitionBy(col("priority")).orderBy(col("day"))
+      .rowsBetween(-7, -1)
+    val x = col("revenue_cents").cast(dec)
+    val stats = daily
+      .withColumn("n", count(lit(1)).over(trailing).cast(dec))
+      .withColumn("sx", sum(col("revenue_cents").cast(dec)).over(trailing))
+      .withColumn("sx2",
+        sum((col("revenue_cents").cast(dec) * col("revenue_cents").cast(dec)))
+          .over(trailing))
+    stats
+      .filter(col("n") >= 4)
+      .select(col("priority"), col("day"), col("revenue_cents"), col("orders"),
+        col("n").cast("bigint").as("trailing_days"),
+        col("sx").cast("bigint").as("trailing_cents"),
+        ((col("n") * x - col("sx")) * (col("n") * x - col("sx")) >
+          lit(9) * col("n") * (col("n") * col("sx2") - col("sx") * col("sx")))
+          .as("is_anomaly"))
+  }
+
   /** Cohort retention — users grouped by first-activity day, retained
     * = active again exactly `offset` days later (the other canonical
     * BI query over the events domain). Exact arithmetic throughout:
