@@ -78,6 +78,7 @@ object SparkEntry {
     "q60_transitions"         -> Analytics.q60Transitions _,
     "q61_anomaly"             -> Analytics.q61Anomaly _,
     "q62_bloom_prune"         -> BloomJoin.q62BloomPrune _,
+    "q63_boilerplate"         -> Dedup.q63Boilerplate _,
   )
 
   /** Integer squared distance between a quantized vector and a
@@ -643,6 +644,26 @@ object SparkEntry {
         CAST(SUM(CASE WHEN bloom_pass AND NOT flagged THEN 1 ELSE 0 END)
           AS BIGINT) AS false_positive_events
       FROM ev GROUP BY 1
+    """,
+    "q63_boilerplate" -> """
+      WITH t AS (
+        SELECT doc_id, list_distinct([array_to_string(w[i:i+7], ' ')
+                       for i in range(1, len(w) - 6)]) AS ng
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      ),
+      p AS (SELECT doc_id, unnest(ng) AS ng FROM t),
+      g AS (SELECT ng, COUNT(*) AS docs_with FROM p GROUP BY 1),
+      d AS (
+        SELECT p.doc_id, COUNT(*) AS total_ngrams,
+          CAST(SUM(CASE WHEN g.docs_with >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+            AS shared_ngrams
+        FROM p JOIN g USING (ng) GROUP BY 1
+      )
+      SELECT doc_id, total_ngrams, shared_ngrams,
+        CAST(shared_ngrams AS DOUBLE) / CAST(total_ngrams AS DOUBLE)
+          AS boilerplate_fraction,
+        (shared_ngrams * 2 >= total_ngrams) AS is_boilerplate
+      FROM d
     """,
     "q01_agg_filter" -> """
       SELECT

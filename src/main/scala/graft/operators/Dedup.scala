@@ -265,4 +265,42 @@ object Dedup {
       .withColumn("w", split(col("text"), " "))
       .withColumn("fingerprint", fingerprint8)
       .select(col("doc_id"), col("fingerprint"), size(col("w")).as("n_words"))
+
+  /** Within-corpus boilerplate detection: for each document, the
+    * fraction of its distinct 8-gram shingles that appear in at least
+    * one OTHER document — the signal behind template/boilerplate
+    * removal in web-corpus curation (a page whose text is mostly
+    * spans shared with other pages is navigation chrome, license
+    * blurbs, or mirrored content, not prose; cf. the exact-substring
+    * dedup stage of modern pretraining pipelines). Distinct from q23
+    * (pairwise similarity) and q44 (overlap vs an external benchmark
+    * set): this is a corpus-global per-span frequency view, no pair
+    * enumeration at all.
+    *
+    * Scale shape: hashed shingle postings (8-byte rows, q44's
+    * argument), ONE map-side-combinable count per shingle, one
+    * posting-keyed join back, one per-doc aggregate — never a
+    * doc-pair table, so cost is postings-linear at 100 TB. The
+    * is_boilerplate flag is integer arithmetic (2*shared >= total):
+    * exact in any engine.
+    *
+    * A shingle shared WITHIN one doc only does not count (postings
+    * are per-doc distinct, so docs_with = documents containing it).
+    * Docs shorter than 8 words have no shingles and no row. */
+  def q63Boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val post = docs(spark, dir)
+      .repartition(col("doc_id")) // parallelize shingling off the scan
+      .select(col("doc_id"), explode(ngramHash(8)).as("ng"))
+    val freq = post.groupBy(col("ng"))
+      .agg(count(lit(1)).as("docs_with"))
+    post.join(freq, "ng")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("total_ngrams"),
+        count(when(col("docs_with") >= 2, 1)).as("shared_ngrams"))
+      .select(col("doc_id"), col("total_ngrams"), col("shared_ngrams"),
+        (col("shared_ngrams").cast("double") /
+          col("total_ngrams").cast("double")).as("boilerplate_fraction"),
+        (col("shared_ngrams") * 2 >= col("total_ngrams")).as("is_boilerplate"))
+  }
 }

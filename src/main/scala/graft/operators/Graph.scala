@@ -99,21 +99,27 @@ object Graph {
     require(n > 0, "pagerank needs a non-empty edge set")
     val per = RankScale / n
     val base = 15L * per / 100L
-    var state = adj.select(col("node"), col("outdeg"), lit(per).as("rank"))
+    // the state CARRIES its adjacency (node, nbrs, outdeg, rank):
+    // the send step explodes straight from the state, so each
+    // iteration is ONE node-keyed join (reattach the new rank to the
+    // cached adjacency) + one partially-aggregated groupBy — not the
+    // two joins of the (node, rank)-only formulation, which had to
+    // join adj a second time just to find the neighbor lists
+    var state = adj.withColumn("rank", lit(per))
     for (_ <- 1 to iters) {
-      val contrib = state.select(col("node").as("c_node"),
-        expr("rank div outdeg").as("c"))
-      val inc = adj.join(contrib, col("node") === col("c_node"))
-        .select(explode(col("nbrs")).as("dst"), col("c"))
+      val inc = state
+        .select(explode(col("nbrs")).as("dst"), expr("rank div outdeg").as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("inc"))
-      state = adj.select(col("node"), col("outdeg"))
+      state = adj
         .join(inc, col("node") === col("dst"), "left")
-        .select(col("node"), col("outdeg"),
+        .select(col("node"), col("nbrs"), col("outdeg"),
           (lit(base) + expr("(85 * coalesce(inc, 0L)) div 100")).as("rank"))
     }
-    // node-sized: one cheap materialization so the cache can drop
-    val out = state.localCheckpoint()
+    // node-sized: drop the arrays, one cheap materialization so the
+    // cache can drop
+    val out = state.select(col("node"), col("outdeg"), col("rank"))
+      .localCheckpoint()
     adj.unpersist()
     out
   }

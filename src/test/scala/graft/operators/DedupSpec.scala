@@ -130,4 +130,26 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     // unless the new windows hash lower; the min can only decrease
     assert(df(3L) <= df(1L))
   }
+
+  test("q63 boilerplate: fractions match a local string-shingle replay") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def grams(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 8) Set.empty
+      else w.sliding(8).map(_.mkString(" ")).toSet
+    }
+    val sets = docs.map { case (id, t) => id -> grams(t) }.filter(_._2.nonEmpty)
+    val freq = sets.flatMap(_._2).groupBy(p => p).map { case (g, v) => g -> v.length }
+    val expected = sets.map { case (id, s) =>
+      val shared = s.count(g => freq(g) >= 2)
+      id -> ((s.size.toLong, shared.toLong))
+    }.toMap
+    val got = Dedup.q63Boilerplate(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expected)
+    // the seeded corpus contains near-dup docs: shared spans must exist
+    assert(expected.values.exists(_._2 > 0))
+  }
 }
