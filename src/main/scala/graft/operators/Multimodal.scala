@@ -17,9 +17,14 @@ import graft.sources.Tables
   *  - `fakeDecode` — a deterministic stand-in used by the
   *    oracle-checked q31 (the synthetic corpus has no real media, and
   *    the oracle must be engine-reproducible).
-  * Audio/video codecs aren't on the JVM: those decodes stay stubbed,
-  * with the schema / batching / frame-sampling plumbing real and
-  * tested, so swapping in an FFI decoder changes one function.
+  *  - `wavDecode` — a REAL audio decode via `javax.sound.sampled`
+  *    (WAV/AIFF/AU PCM are pure-JVM), extracting sample-rate/channel
+  *    metadata plus RMS energy and zero-crossing rate — the two
+  *    first-pass quality features of audio corpus filtering.
+  * Compressed audio (mp3/opus) and video codecs aren't on the JVM:
+  * those decodes stay stubbed, with the schema / batching /
+  * frame-sampling plumbing real and tested, so swapping in an FFI
+  * decoder changes one function.
   */
 object Multimodal {
 
@@ -76,6 +81,62 @@ object Multimodal {
   def decodeFeaturesImageIo(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions(rows => rows.flatMap(imageIoDecode))
+  }
+
+  case class AudioFeatures(doc_id: Long, sample_rate: Int, channels: Int,
+      bits: Int, n_samples: Long, duration_s: Double, rms: Double,
+      zero_crossings: Long)
+
+  /** Real audio decode via `javax.sound.sampled` — WAV/AIFF/AU PCM
+    * parse is pure JVM (no audio device, no native codecs). Computes
+    * the two standard first-pass corpus-quality features over channel
+    * 0: RMS energy (silence / clipping detection) and zero-crossing
+    * count (a crude spectral proxy). Returns None for payloads the
+    * audio system can't parse or non-16-bit PCM — mixed-quality
+    * corpora degrade to dropped rows, never dead tasks. */
+  def wavDecode(r: MediaRow): Option[AudioFeatures] = {
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.content))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 ||
+        fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) {
+        ais.close(); None
+      } else {
+        val bytes = ais.readAllBytes()
+        ais.close()
+        val frameSize = fmt.getFrameSize // bytes per frame, all channels
+        val n = bytes.length / frameSize
+        val big = fmt.isBigEndian
+        var sumSq = 0.0
+        var crossings = 0L
+        var prevNeg = false
+        var i = 0
+        while (i < n) {
+          val off = i * frameSize // channel 0 = first sample of frame
+          val s = if (big)
+            ((bytes(off) << 8) | (bytes(off + 1) & 0xff)).toShort
+          else ((bytes(off + 1) << 8) | (bytes(off) & 0xff)).toShort
+          val x = s / 32768.0
+          sumSq += x * x
+          val neg = s < 0
+          if (i > 0 && neg != prevNeg) crossings += 1
+          prevNeg = neg
+          i += 1
+        }
+        val rate = fmt.getSampleRate.toInt
+        Some(AudioFeatures(r.doc_id, rate, fmt.getChannels, 16, n,
+          if (rate > 0) n.toDouble / rate else 0.0,
+          if (n > 0) math.sqrt(sumSq / n) else 0.0, crossings))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Partition-wise real audio decode — the audio face of
+    * decodeFeaturesImageIo. */
+  def decodeFeaturesWav(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(rows => rows.flatMap(wavDecode))
   }
 
   /** Media table synthesized from documents: the text payload plays

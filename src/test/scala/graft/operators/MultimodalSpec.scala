@@ -44,6 +44,46 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(out(1L).media_len > 0)
   }
 
+  test("wav decoder: real PCM WAVs decode through the partition-wise pipeline") {
+    import spark.implicits._
+    import javax.sound.sampled._
+    // synthesize a real 1-second 440 Hz sine WAV at 8 kHz mono 16-bit
+    // and a half-second of silence, plus one corrupt payload
+    def wav(seconds: Double, freq: Double, amp: Double): Array[Byte] = {
+      val rate = 8000
+      val n = (rate * seconds).toInt
+      val pcm = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val s = (math.sin(2 * math.Pi * freq * i / rate) * amp * 32767).toShort
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val ds = Seq(
+      Multimodal.MediaRow(1L, "audio", wav(1.0, 440.0, 0.5)),
+      Multimodal.MediaRow(2L, "audio", wav(0.5, 440.0, 0.0)),
+      Multimodal.MediaRow(3L, "audio", Array[Byte](9, 9, 9))).toDS()
+      .repartition(2)
+    val out = Multimodal.decodeFeaturesWav(ds).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(out.keySet === Set(1L, 2L), "corrupt payload is dropped, not fatal")
+    assert(out(1L).sample_rate === 8000 && out(1L).channels === 1)
+    assert(out(1L).n_samples === 8000)
+    assert(math.abs(out(1L).duration_s - 1.0) < 1e-9)
+    // sine RMS = amp/sqrt(2); quantization keeps it within ~1%
+    assert(math.abs(out(1L).rms - 0.5 / math.sqrt(2)) < 0.005)
+    // 440 Hz over 1 s crosses zero ~880 times
+    assert(out(1L).zero_crossings >= 870 && out(1L).zero_crossings <= 890)
+    // silence: zero energy, no crossings
+    assert(out(2L).rms === 0.0 && out(2L).zero_crossings === 0L)
+  }
+
   test("frame sampling blocks the payload and keeps every k-th frame") {
     import spark.implicits._
     val payload = Array.tabulate[Byte](10)(_.toByte)
