@@ -79,6 +79,8 @@ object SparkEntry {
     "q61_anomaly"             -> Analytics.q61Anomaly _,
     "q62_bloom_prune"         -> BloomJoin.q62BloomPrune _,
     "q63_boilerplate"         -> Dedup.q63Boilerplate _,
+    "q67_correlation"         -> Stats.q67Correlation _,
+    "q68_experiment"          -> Stats.q68Experiment _,
   )
 
   /** Integer squared distance between a quantized vector and a
@@ -215,6 +217,19 @@ object SparkEntry {
     """list_reduce(list_transform(range(1, 65),
          i -> CAST(p.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)),
          (a, b) -> a + b) / (p.norm * n.norm)"""
+
+  /** DuckDB scalar replay of Exprs.mix32 (the engine-neutral 32-bit
+    * mix): nested text expansion of the same masked multiply-xorshift
+    * rounds the q51/q62 oracles spell out as CTE stages. */
+  private def mulMod32Sql(x: String, m: Long): String =
+    s"(((($x) >> 16) * $m % 4294967296) * 65536 + (($x) & 65535) * $m) % 4294967296"
+
+  private def mix32Sql(v: String): String = {
+    val a = mulMod32Sql(s"(($v) & 4294967295)", 2654435761L)
+    val b = s"xor(($a), ($a) >> 16)"
+    val d = mulMod32Sql(s"($b)", 2246822519L)
+    s"xor(($d), ($d) >> 13)"
+  }
 
   /** The 20-term Morton interleave, spelled out for DuckDB (matches
     * Exprs.zValue2 bit for bit — pure integer shifts). */
@@ -664,6 +679,90 @@ object SparkEntry {
           AS boilerplate_fraction,
         (shared_ngrams * 2 >= total_ngrams) AS is_boilerplate
       FROM d
+    """,
+    "q67_correlation" -> """
+      WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events),
+      daily AS (SELECT day, event_type, COUNT(*) AS cnt FROM e GROUP BY 1, 2),
+      grid AS (
+        SELECT d.day, t.event_type
+        FROM (SELECT DISTINCT day FROM e) d
+        CROSS JOIN (SELECT DISTINCT event_type FROM e) t
+      ),
+      dense AS (
+        SELECT g.day, g.event_type, COALESCE(daily.cnt, 0) AS cnt
+        FROM grid g LEFT JOIN daily USING (day, event_type)
+      ),
+      p AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+          CAST(a.cnt AS HUGEINT) AS x, CAST(b.cnt AS HUGEINT) AS y
+        FROM dense a JOIN dense b
+          ON a.day = b.day AND a.event_type < b.event_type
+      ),
+      s AS (
+        SELECT type_a, type_b, COUNT(*) AS n_days,
+          SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+          SUM(x * x) AS sxx, SUM(y * y) AS syy
+        FROM p GROUP BY 1, 2
+      )
+      SELECT type_a, type_b, n_days,
+        CAST(sx AS BIGINT) AS sum_a, CAST(sy AS BIGINT) AS sum_b,
+        CASE WHEN sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE))
+               * sqrt(CAST(n_days * syy - sy * sy AS DOUBLE)) > 0
+          THEN CAST(n_days * sxy - sx * sy AS DOUBLE)
+            / (sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE))
+               * sqrt(CAST(n_days * syy - sy * sy AS DOUBLE)))
+        END AS pearson_r
+      FROM s
+    """,
+    "q68_experiment" -> s"""
+      WITH pu AS (
+        SELECT user_id,
+          COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+          COALESCE(SUM(CAST(value AS DECIMAL(18,2)))
+            FILTER (WHERE event_type = 'purchase'), 0) AS rev
+        FROM events GROUP BY 1
+      ),
+      v AS (
+        SELECT ${mix32Sql("user_id")} % 2 AS variant,
+          CASE WHEN purchases > 0 THEN 1 ELSE 0 END AS converted, rev
+        FROM pu
+      ),
+      c AS (
+        SELECT
+          COUNT(*) FILTER (WHERE variant = 0) AS users_a,
+          COUNT(*) FILTER (WHERE variant = 1) AS users_b,
+          CAST(COALESCE(SUM(converted) FILTER (WHERE variant = 0), 0)
+            AS BIGINT) AS conv_a,
+          CAST(COALESCE(SUM(converted) FILTER (WHERE variant = 1), 0)
+            AS BIGINT) AS conv_b,
+          CAST(SUM(rev) FILTER (WHERE variant = 0) AS DOUBLE) AS rev_a,
+          CAST(SUM(rev) FILTER (WHERE variant = 1) AS DOUBLE) AS rev_b
+        FROM v
+      ),
+      z AS (
+        SELECT *,
+          CAST(conv_a AS DOUBLE) / CAST(users_a AS DOUBLE) AS rate_a_,
+          CAST(conv_b AS DOUBLE) / CAST(users_b AS DOUBLE) AS rate_b_,
+          CAST(conv_a + conv_b AS DOUBLE) / CAST(users_a + users_b AS DOUBLE)
+            AS pooled
+        FROM c
+      ),
+      z2 AS (
+        SELECT *, sqrt(pooled * (1.0 - pooled)
+          * (1.0 / CAST(users_a AS DOUBLE)
+             + 1.0 / CAST(users_b AS DOUBLE))) AS se
+        FROM z
+      )
+      SELECT users_a, users_b, conv_a, conv_b,
+        CASE WHEN users_a > 0 THEN rate_a_ END AS rate_a,
+        CASE WHEN users_b > 0 THEN rate_b_ END AS rate_b,
+        CASE WHEN users_a > 0 AND users_b > 0 AND se > 0
+          THEN (rate_a_ - rate_b_) / se END AS z_score,
+        CASE WHEN users_a > 0
+          THEN rev_a / CAST(users_a AS DOUBLE) END AS arpu_a,
+        CASE WHEN users_b > 0
+          THEN rev_b / CAST(users_b AS DOUBLE) END AS arpu_b
+      FROM z2
     """,
     "q01_agg_filter" -> """
       SELECT

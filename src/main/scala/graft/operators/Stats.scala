@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Statistical analysis operators: metric correlation and A/B
+  * experiment readout — the reference's dashboards chart metric
+  * series side by side (dash_app.py trend panels) and compare cohort
+  * conversion; these are the two computations behind those views.
+  *
+  * Numeric policy: every sum of products accumulates as
+  * decimal(38,0) (exact, order-independent — DuckDB's HUGEINT), and
+  * floats appear only in the final scalar arithmetic, written in the
+  * identical operation order in the oracle SQL so IEEE rounding
+  * matches bit for bit.
+  */
+object Stats {
+
+  private def bigint(c: Column): Column = c.cast("decimal(38,0)")
+
+  /** Pearson correlation matrix between the daily count series of
+    * every event-type pair.
+    *
+    * Spark-first shape: one groupBy builds the (day, type, cnt)
+    * series; a broadcast-sized day×type grid zero-fills days where a
+    * type is silent (a day with no events at all is absent for every
+    * type — there is nothing to anchor it to); the pair frame is a
+    * self-equi-join ON DAY (each side carries only the small daily
+    * series, never the fact table), and one map-side-combinable
+    * aggregate reduces each pair to the six exact sufficient sums
+    * (n, Σx, Σy, Σxy, Σx², Σy²). r is derived from those sums alone,
+    * so the result is independent of partitioning and row order. At
+    * 100 TB the fact scan happens once; everything after it is
+    * calendar×types-sized. Not built on `corr()`: float accumulation
+    * order varies with partitioning — integer sufficient sums are
+    * reproducible by construction. */
+  def q67Correlation(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("event_type"))
+    val daily = e.groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = e.select(col("day")).distinct()
+      .crossJoin(broadcast(e.select(col("event_type")).distinct()))
+    val dense = grid.join(daily, Seq("day", "event_type"), "left")
+      .select(col("day"), col("event_type"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val a = dense.select(col("day"), col("event_type").as("type_a"), col("cnt").as("x"))
+    val b = dense.select(col("day"), col("event_type").as("type_b"), col("cnt").as("y"))
+    val sums = a.join(b, "day")
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(bigint(col("x"))).as("sx"),
+        sum(bigint(col("y"))).as("sy"),
+        sum(bigint(col("x")) * bigint(col("y"))).as("sxy"),
+        sum(bigint(col("x")) * bigint(col("x"))).as("sxx"),
+        sum(bigint(col("y")) * bigint(col("y"))).as("syy"))
+    val n = bigint(col("n_days"))
+    val num = (n * col("sxy") - col("sx") * col("sy")).cast("double")
+    val den = sqrt((n * col("sxx") - col("sx") * col("sx")).cast("double")) *
+      sqrt((n * col("syy") - col("sy") * col("sy")).cast("double"))
+    sums.select(
+      col("type_a"), col("type_b"), col("n_days"),
+      col("sx").cast("bigint").as("sum_a"),
+      col("sy").cast("bigint").as("sum_b"),
+      when(den > 0, num / den).as("pearson_r"))
+  }
+
+  /** A/B experiment readout: deterministic hash assignment of users
+    * to two variants, per-variant conversion and revenue, and the
+    * two-proportion z statistic for the difference.
+    *
+    * Assignment is `mix32(user_id) % 2` — the engine-neutral mixed
+    * hash (NOT the raw Knuth multiplicative hash: multiplying by an
+    * odd constant preserves parity, so `% 2` of it would just be
+    * `user_id % 2`). The pipeline is two aggregates: per-user
+    * (conversion flag + revenue — map-side combinable on the user
+    * key) then one global conditional-sum row. No joins, no windows;
+    * at 100 TB this is a scan plus two exchanges, the second of which
+    * carries one row per partition. z and the rates are pure
+    * functions of six exact integers. */
+  def q68Experiment(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        count(when(col("event_type") === "purchase", 1)).as("purchases"),
+        sum(when(col("event_type") === "purchase",
+          col("value").cast("decimal(18,2)"))).as("rev"))
+      .select(
+        (Exprs.mix32(col("user_id")) % 2).as("variant"),
+        (col("purchases") > 0).cast("int").as("converted"),
+        coalesce(col("rev"), lit(0).cast("decimal(18,2)")).as("rev"))
+    val d = (c: Column) => c.cast("double")
+    val cells = perUser.agg(
+      count(when(col("variant") === 0, 1)).as("users_a"),
+      count(when(col("variant") === 1, 1)).as("users_b"),
+      sum(when(col("variant") === 0, col("converted")).otherwise(0)).as("conv_a"),
+      sum(when(col("variant") === 1, col("converted")).otherwise(0)).as("conv_b"),
+      sum(when(col("variant") === 0, col("rev"))).cast("double").as("rev_a"),
+      sum(when(col("variant") === 1, col("rev"))).cast("double").as("rev_b"))
+    val rateA = d(col("conv_a")) / d(col("users_a"))
+    val rateB = d(col("conv_b")) / d(col("users_b"))
+    val pooled = d(col("conv_a") + col("conv_b")) / d(col("users_a") + col("users_b"))
+    val se = sqrt(pooled * (lit(1.0) - pooled) *
+      (lit(1.0) / d(col("users_a")) + lit(1.0) / d(col("users_b"))))
+    cells.select(
+      col("users_a"), col("users_b"), col("conv_a"), col("conv_b"),
+      when(col("users_a") > 0, rateA).as("rate_a"),
+      when(col("users_b") > 0, rateB).as("rate_b"),
+      when(col("users_a") > 0 && col("users_b") > 0 && se > 0,
+        (rateA - rateB) / se).as("z_score"),
+      when(col("users_a") > 0, col("rev_a") / d(col("users_a"))).as("arpu_a"),
+      when(col("users_b") > 0, col("rev_b") / d(col("users_b"))).as("arpu_b"))
+  }
+}

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+
+/** Local ground truth for the statistical operators: both are
+  * re-derived from a collect of the sf0.001 events, independent of
+  * the Spark plan and the DuckDB oracle. */
+class StatsSpec extends AnyFunSuite with SparkFixture {
+
+  private lazy val events = graft.sources.Tables.events(spark, sfDir)
+    .selectExpr("user_id", "event_type", "value",
+      "CAST(CAST(ts AS DATE) AS STRING) AS day")
+    .collect()
+    .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+
+  test("q67: pearson r matches a local computation on the dense grid") {
+    val days = events.map(_._4).distinct.sorted
+    val types = events.map(_._2).distinct.sorted
+    val cnt = events.groupBy(e => (e._4, e._2)).map { case (k, v) => k -> v.length.toLong }
+    def series(t: String): Seq[Long] = days.map(d => cnt.getOrElse((d, t), 0L))
+    val expected = (for {
+      a <- types; b <- types if a < b
+    } yield {
+      val (xs, ys) = (series(a), series(b))
+      val n = xs.length.toLong
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+      val (sxx, syy) = (xs.map(x => x * x).sum, ys.map(y => y * y).sum)
+      val den = math.sqrt((n * sxx - sx * sx).toDouble) *
+        math.sqrt((n * syy - sy * sy).toDouble)
+      (a, b) -> (n, sx, sy,
+        if (den > 0) Some((n * sxy - sx * sy).toDouble / den) else None)
+    }).toMap
+    val got = Stats.q67Correlation(spark, sfDir).collect().map { r =>
+      (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)))
+    }.toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (k, (n, sx, sy, rv)) =>
+      val (en, esx, esy, erv) = expected(k)
+      assert((n, sx, sy) === (en, esx, esy), s"sums for $k")
+      (rv, erv) match {
+        case (Some(g), Some(e)) => assert(g === e, s"r for $k (exact)")
+        case (g, e)             => assert(g === e, s"r presence for $k")
+      }
+    }
+    // sanity: |r| <= 1 for every pair
+    got.values.flatMap(_._4).foreach(r => assert(math.abs(r) <= 1.0))
+  }
+
+  test("q68: variant cells and z match a local replay of the same hash") {
+    def mix32(v: Long): Long = {
+      val mask = 4294967295L
+      def mul(x: Long, m: Long): Long =
+        (((x >> 16) * m % 4294967296L) * 65536 + (x & 65535) * m) & mask
+      val a = mul(v & mask, 2654435761L)
+      val b = a ^ (a >> 16)
+      val d = mul(b, 2246822519L)
+      d ^ (d >> 13)
+    }
+    val perUser = events.groupBy(_._1).map { case (uid, rows) =>
+      val p = rows.filter(_._2 == "purchase")
+      (mix32(uid) % 2,
+        if (p.nonEmpty) 1L else 0L,
+        p.map(e => BigDecimal(e._3).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum)
+    }.toSeq
+    val (va, vb) = perUser.partition(_._1 == 0)
+    assert(va.nonEmpty && vb.nonEmpty, "both variants populated")
+    val (na, nb) = (va.length.toLong, vb.length.toLong)
+    val (ca, cb) = (va.map(_._2).sum, vb.map(_._2).sum)
+    val rateA = ca.toDouble / na.toDouble
+    val rateB = cb.toDouble / nb.toDouble
+    val pooled = (ca + cb).toDouble / (na + nb).toDouble
+    val se = math.sqrt(pooled * (1.0 - pooled) * (1.0 / na + 1.0 / nb))
+
+    val r = Stats.q68Experiment(spark, sfDir).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      === (na, nb, ca, cb))
+    assert(r.getDouble(4) === rateA)
+    assert(r.getDouble(5) === rateB)
+    if (se > 0) assert(r.getDouble(6) === (rateA - rateB) / se)
+    assert(r.getDouble(7) === (va.map(_._3).sum.toDouble / na.toDouble))
+    assert(r.getDouble(8) === (vb.map(_._3).sum.toDouble / nb.toDouble))
+  }
+
+  test("q68: assignment is not the parity split (the knuth32 trap)") {
+    val uids = events.map(_._1).distinct
+    def mix32(v: Long): Long = {
+      val mask = 4294967295L
+      def mul(x: Long, m: Long): Long =
+        (((x >> 16) * m % 4294967296L) * 65536 + (x & 65535) * m) & mask
+      val a = mul(v & mask, 2654435761L)
+      val b = a ^ (a >> 16)
+      val d = mul(b, 2246822519L)
+      d ^ (d >> 13)
+    }
+    assert(uids.exists(u => mix32(u) % 2 != u % 2),
+      "mix32 % 2 must not degenerate to user_id % 2")
+  }
+}
