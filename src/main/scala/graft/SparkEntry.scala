@@ -79,8 +79,12 @@ object SparkEntry {
     "q61_anomaly"             -> Analytics.q61Anomaly _,
     "q62_bloom_prune"         -> BloomJoin.q62BloomPrune _,
     "q63_boilerplate"         -> Dedup.q63Boilerplate _,
+    "q64_countmin"            -> Sketches.q64Countmin _,
+    "q65_session_paths"       -> Behavior.q65SessionPaths _,
+    "q66_gap_fill"            -> TimeSeries.q66GapFill _,
     "q67_correlation"         -> Stats.q67Correlation _,
     "q68_experiment"          -> Stats.q68Experiment _,
+    "q71_rfm"                 -> Behavior.q71Rfm _,
   )
 
   /** Integer squared distance between a quantized vector and a
@@ -679,6 +683,146 @@ object SparkEntry {
           AS boilerplate_fraction,
         (shared_ngrams * 2 >= total_ngrams) AS is_boilerplate
       FROM d
+    """,
+    "q64_countmin" -> s"""
+      WITH seeds AS (SELECT unnest([0, 1, 2, 3]) AS r),
+      h AS (
+        SELECT seeds.r,
+          ${mix32Sql("l_partkey + seeds.r * 1000003")} % 512 AS bucket
+        FROM lineitem CROSS JOIN seeds
+      ),
+      sk AS (SELECT r, bucket, COUNT(*) AS cnt FROM h GROUP BY 1, 2),
+      keys AS (SELECT p_partkey AS key FROM part WHERE p_partkey < 25),
+      kh AS (
+        SELECT key, seeds.r,
+          ${mix32Sql("key + seeds.r * 1000003")} % 512 AS bucket
+        FROM keys CROSS JOIN seeds
+      ),
+      est AS (
+        SELECT key, MIN(COALESCE(sk.cnt, 0)) AS cm_estimate
+        FROM kh LEFT JOIN sk USING (r, bucket) GROUP BY 1
+      ),
+      ex AS (
+        SELECT l_partkey AS key, COUNT(*) AS exact_cnt
+        FROM lineitem WHERE l_partkey < 25 GROUP BY 1
+      )
+      SELECT k.key AS p_partkey,
+        COALESCE(ex.exact_cnt, 0) AS exact_cnt,
+        est.cm_estimate,
+        est.cm_estimate - COALESCE(ex.exact_cnt, 0) AS overestimate
+      FROM keys k
+      LEFT JOIN ex USING (key)
+      JOIN est USING (key)
+    """,
+    "q65_session_paths" -> """
+      WITH r AS (
+        SELECT user_id, event_type,
+          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS rn
+        FROM events
+      ),
+      p AS (
+        SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path,
+          COUNT(*) AS depth
+        FROM r WHERE rn <= 3 GROUP BY 1
+      ),
+      t AS (SELECT COUNT(DISTINCT user_id) AS total_users FROM events)
+      SELECT path, depth, COUNT(*) AS n_users,
+        CAST(COUNT(*) AS DOUBLE) / CAST(MAX(total_users) AS DOUBLE) AS share
+      FROM p CROSS JOIN t
+      GROUP BY path, depth
+    """,
+    "q66_gap_fill" -> """
+      WITH daily AS (
+        SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+          CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            AS rev_cents,
+          COUNT(*) AS n_orders
+        FROM orders GROUP BY 1, 2
+      ),
+      span AS (
+        SELECT MIN(CAST(o_orderdate AS DATE)) AS d0,
+          MAX(CAST(o_orderdate AS DATE)) AS d1
+        FROM orders
+      ),
+      cal AS (
+        SELECT p.priority,
+          CAST(unnest(generate_series(span.d0, span.d1, INTERVAL 1 DAY))
+            AS DATE) AS day
+        FROM (SELECT DISTINCT o_orderpriority AS priority FROM orders) p
+        CROSS JOIN span
+      ),
+      dense AS (
+        SELECT c.priority, c.day,
+          COALESCE(d.rev_cents, 0) AS revenue_cents,
+          COALESCE(d.n_orders, 0) AS orders,
+          d.n_orders IS NULL AS is_gap,
+          d.rev_cents AS raw_rev,
+          CASE WHEN d.n_orders IS NOT NULL THEN c.day END AS data_day
+        FROM cal c LEFT JOIN daily d USING (priority, day)
+      )
+      SELECT priority, day, revenue_cents, orders, is_gap,
+        last_value(raw_rev IGNORE NULLS) OVER w AS carried_cents,
+        CAST(date_diff('day', last_value(data_day IGNORE NULLS) OVER w, day)
+          AS BIGINT) AS days_since_order
+      FROM dense
+      WINDOW w AS (PARTITION BY priority ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    "q71_rfm" -> """
+      WITH pc AS (
+        SELECT o_custkey,
+          MAX(CAST(o_orderdate AS DATE)) AS last_day,
+          COUNT(*) AS frequency,
+          CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            AS monetary_cents
+        FROM orders GROUP BY 1
+      ),
+      a AS (SELECT MAX(last_day) AS anchor FROM pc),
+      m AS (
+        SELECT o_custkey,
+          CAST(date_diff('day', last_day, anchor) AS BIGINT) AS recency_days,
+          frequency, monetary_cents
+        FROM pc CROSS JOIN a
+      ),
+      b AS (
+        SELECT quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS rq,
+          quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS fq,
+          quantile_cont(monetary_cents, [0.2, 0.4, 0.6, 0.8]) AS mq
+        FROM m
+      ),
+      s AS (
+        SELECT
+          CAST(1
+            + (CASE WHEN CAST(recency_days AS DOUBLE) < rq[1] THEN 1 ELSE 0 END)
+            + (CASE WHEN CAST(recency_days AS DOUBLE) < rq[2] THEN 1 ELSE 0 END)
+            + (CASE WHEN CAST(recency_days AS DOUBLE) < rq[3] THEN 1 ELSE 0 END)
+            + (CASE WHEN CAST(recency_days AS DOUBLE) < rq[4] THEN 1 ELSE 0 END)
+            AS BIGINT) AS r_score,
+          CAST(1
+            + (CASE WHEN CAST(frequency AS DOUBLE) > fq[1] THEN 1 ELSE 0 END)
+            + (CASE WHEN CAST(frequency AS DOUBLE) > fq[2] THEN 1 ELSE 0 END)
+            + (CASE WHEN CAST(frequency AS DOUBLE) > fq[3] THEN 1 ELSE 0 END)
+            + (CASE WHEN CAST(frequency AS DOUBLE) > fq[4] THEN 1 ELSE 0 END)
+            AS BIGINT) AS f_score,
+          CAST(1
+            + (CASE WHEN CAST(monetary_cents AS DOUBLE) > mq[1] THEN 1 ELSE 0 END)
+            + (CASE WHEN CAST(monetary_cents AS DOUBLE) > mq[2] THEN 1 ELSE 0 END)
+            + (CASE WHEN CAST(monetary_cents AS DOUBLE) > mq[3] THEN 1 ELSE 0 END)
+            + (CASE WHEN CAST(monetary_cents AS DOUBLE) > mq[4] THEN 1 ELSE 0 END)
+            AS BIGINT) AS m_score,
+          monetary_cents
+        FROM m CROSS JOIN b
+      )
+      SELECT r_score, f_score, m_score,
+        COUNT(*) AS customers,
+        CAST(SUM(monetary_cents) AS BIGINT) AS cell_cents,
+        CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+               THEN 'champion'
+             WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+             WHEN f_score >= 3 THEN 'loyal'
+             ELSE 'casual' END AS segment
+      FROM s GROUP BY 1, 2, 3
     """,
     "q67_correlation" -> """
       WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events),
