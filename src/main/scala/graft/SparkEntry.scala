@@ -84,7 +84,10 @@ object SparkEntry {
     "q66_gap_fill"            -> TimeSeries.q66GapFill _,
     "q67_correlation"         -> Stats.q67Correlation _,
     "q68_experiment"          -> Stats.q68Experiment _,
+    "q69_pacing"              -> Monitor.q69Pacing _,
+    "q70_refresh_select"      -> Monitor.q70RefreshSelect _,
     "q71_rfm"                 -> Behavior.q71Rfm _,
+    "q72_corpus_rarity"       -> TextAnalysis.q72CorpusRarity _,
   )
 
   /** Integer squared distance between a quantized vector and a
@@ -1575,6 +1578,119 @@ object SparkEntry {
         COUNT(DISTINCT b.bdoc) AS benchmark_docs
       FROM c JOIN b ON c.ng = b.ng
       GROUP BY 1
+    """,
+    "q69_pacing" -> """
+      WITH o AS (
+        SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+          CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+      ),
+      a AS (
+        SELECT
+          CAST(date_trunc('month', MAX(day)) AS DATE) AS cur_m,
+          CAST(date_trunc('month', MAX(day)) - INTERVAL 1 MONTH AS DATE)
+            AS prev_m,
+          CAST(EXTRACT(day FROM MAX(day)) AS BIGINT) AS days_elapsed,
+          CAST(EXTRACT(day FROM last_day(MAX(day))) AS BIGINT)
+            AS days_in_month
+        FROM o
+      ),
+      g AS (
+        SELECT priority,
+          CAST(SUM(CASE WHEN day >= prev_m AND day < cur_m
+                        THEN cents ELSE 0 END) AS BIGINT)
+            AS prev_month_cents,
+          CAST(SUM(CASE WHEN day >= cur_m THEN cents ELSE 0 END) AS BIGINT)
+            AS mtd_cents,
+          MAX(days_elapsed) AS days_elapsed,
+          MAX(days_in_month) AS days_in_month
+        FROM o CROSS JOIN a GROUP BY 1
+      ),
+      d AS (
+        SELECT *,
+          (prev_month_cents * 11) // 10 AS forecast_cents,
+          (mtd_cents * days_in_month) // days_elapsed AS projected_cents
+        FROM g
+      )
+      SELECT priority, prev_month_cents, mtd_cents, days_elapsed,
+        days_in_month, forecast_cents, projected_cents,
+        CASE WHEN forecast_cents > 0
+          THEN (mtd_cents * 10000) // forecast_cents END AS attainment_bp,
+        CASE WHEN forecast_cents > 0
+          THEN (projected_cents * 10000) // forecast_cents END AS pace_bp,
+        CASE WHEN forecast_cents <= 0 THEN 'no_forecast'
+             WHEN (projected_cents * 10000) // forecast_cents >= 10000
+               THEN 'on_track'
+             ELSE 'behind' END AS status
+      FROM d
+    """,
+    "q70_refresh_select" -> s"""
+      WITH a AS (SELECT MAX(ts) AS anchor_ts FROM events),
+      t AS (
+        SELECT user_id, COUNT(*) AS events_30d,
+          CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+            AS value_cents_30d,
+          MAX(ts) AS last_seen,
+          MAX(anchor_ts) AS anchor_ts
+        FROM events CROSS JOIN a
+        WHERE ts >= anchor_ts - INTERVAL 30 DAY
+        GROUP BY 1
+        HAVING COUNT(*) >= 5
+      ),
+      ig AS (
+        SELECT c_custkey AS user_id FROM customer
+        WHERE ${mix32Sql("c_custkey")} % 20 = 0
+      ),
+      m AS (
+        SELECT c_custkey AS user_id, c_mktsegment AS segment,
+          (c_acctbal >= 0) AS is_monetized
+        FROM customer
+      )
+      SELECT t.user_id, t.events_30d, t.value_cents_30d, m.segment,
+        epoch_us(t.last_seen) AS last_seen_us,
+        (m.segment IS NULL
+         OR t.last_seen <= t.anchor_ts - INTERVAL 6 DAY) AS needs_refresh
+      FROM t LEFT JOIN m ON t.user_id = m.user_id
+      WHERE t.user_id NOT IN (SELECT user_id FROM ig)
+        AND (m.is_monetized IS NULL OR NOT m.is_monetized)
+    """,
+    "q72_corpus_rarity" -> """
+      WITH words AS (
+        SELECT doc_id, w AS word, COUNT(*) AS cnt
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY 1, 2
+      ),
+      u AS (SELECT word, CAST(SUM(cnt) AS BIGINT) AS ctf
+            FROM words GROUP BY 1),
+      tot AS (SELECT CAST(SUM(ctf) AS BIGINT) AS n_total FROM u),
+      d AS (
+        SELECT w.doc_id,
+          CAST(SUM(w.cnt) AS BIGINT) AS n_tokens,
+          CAST(SUM(w.cnt * ((1000000 * u.ctf) // (SELECT n_total FROM tot)))
+            AS BIGINT) AS ppm_sum,
+          CAST(SUM(CASE WHEN u.ctf = 1 THEN w.cnt ELSE 0 END) AS BIGINT)
+            AS hapax_tokens
+        FROM words w JOIN u USING (word)
+        GROUP BY 1
+      ),
+      s AS (
+        SELECT doc_id, n_tokens,
+          ppm_sum // n_tokens AS mean_ppm,
+          (hapax_tokens * 10000) // n_tokens AS hapax_bp
+        FROM d
+      ),
+      q AS (
+        SELECT quantile_cont(mean_ppm, 0.25) AS p25,
+          quantile_cont(mean_ppm, 0.75) AS p75
+        FROM s
+      )
+      SELECT doc_id, n_tokens, mean_ppm, hapax_bp,
+        CASE WHEN hapax_bp > 2500 THEN 'noisy'
+             WHEN CAST(mean_ppm AS DOUBLE) < p25 THEN 'rare'
+             WHEN CAST(mean_ppm AS DOUBLE) > p75 THEN 'common'
+             ELSE 'mid' END AS bucket
+      FROM s CROSS JOIN q
     """,
   )
 }

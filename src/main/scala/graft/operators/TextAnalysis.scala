@@ -187,4 +187,58 @@ object TextAnalysis {
         col("dup_word_frac") > 0.9 || col("dup_tri_frac") > 0.5 ||
           col("top_word_frac") > 0.3)
   }
+
+  /** q72: corpus-frequency document scoring — the language-model
+    * quality filter of a CCNet-style pipeline, with the LM replaced
+    * by the corpus's own unigram distribution so the score is exact
+    * integer arithmetic (a real KenLM plugs in at the same join).
+    * Per doc: mean token commonness in ppm of the corpus (low = the
+    * doc is made of rare/garbage tokens) and the hapax share in basis
+    * points (high = tokens that appear nowhere else — mojibake, ids,
+    * binary spill). Buckets are RELATIVE to the corpus (quality
+    * filters keep/drop by percentile, not absolute perplexity):
+    * noisy = hapax share above 25% absolute (a hard garbage floor),
+    * rare = mean commonness below the corpus p25, common = above the
+    * p75, else mid. The quartile frame is one 1-row exact-percentile
+    * aggregate broadcast into the bucket expression (the q71
+    * pattern; approx_percentile is the 100 TB drop-in).
+    *
+    * Scale shape: per-doc term counts reduce BEFORE the unigram
+    * aggregate (both map-side combinable); the score join is
+    * postings-keyed (term), linear in the postings table — the same
+    * shape as q54/q63, never a doc×vocab product. The corpus-total
+    * frame is one broadcast row. Overflow audit: ppm ≤ 10^6 by
+    * construction, so ppm_sum ≤ 10^6·doc_len; with doc_len < 10^7
+    * tokens the per-doc sum stays under 10^13 « 2^63, and the
+    * 10^6·ctf numerator needs ctf < 9.2·10^12 — both hold at 100 TB
+    * (ctf is bounded by total corpus tokens only for THE most common
+    * token; widen ppm's numerator to decimal(38,0) past ~10^12-token
+    * corpora). */
+  def q72CorpusRarity(spark: SparkSession, dir: String): DataFrame = {
+    val post = Similarity.postings(spark, dir) // doc_id, word, cnt
+    val unigram = post.groupBy(col("word")).agg(sum(col("cnt")).as("ctf"))
+    val total = unigram.agg(sum(col("ctf")).as("n_total"))
+    val scored = post.join(unigram, "word")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * expr("(1000000 * ctf) div n_total")).as("ppm_sum"),
+        sum(when(col("ctf") === 1, col("cnt")).otherwise(lit(0L)))
+          .as("hapax_tokens"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        expr("ppm_sum div n_tokens").as("mean_ppm"),
+        expr("(hapax_tokens * 10000) div n_tokens").as("hapax_bp"))
+    val quartiles = scored.agg(
+      percentile(col("mean_ppm"), lit(0.25)).as("p25"),
+      percentile(col("mean_ppm"), lit(0.75)).as("p75"))
+    scored.crossJoin(broadcast(quartiles))
+      .withColumn("bucket",
+        when(col("hapax_bp") > 2500, lit("noisy"))
+          .when(col("mean_ppm").cast("double") < col("p25"), lit("rare"))
+          .when(col("mean_ppm").cast("double") > col("p75"), lit("common"))
+          .otherwise(lit("mid")))
+      .drop("p25", "p75")
+  }
 }

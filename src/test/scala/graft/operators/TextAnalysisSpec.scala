@@ -109,4 +109,44 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     // regex splits d4e into d, 4, e -> abc, 123, d, 4, e
     assert(out.getAs[Int]("re") === 5)
   }
+
+  test("q72: corpus-rarity scores match a local unigram replay") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    val unigram = docs.flatMap(_._2).groupBy(identity)
+      .map { case (w, a) => w -> a.length.toLong }
+    val nTotal = unigram.values.sum
+    val raw = docs.map { case (id, ws) =>
+      val n = ws.length.toLong
+      val ppmSum = ws.map(w => 1000000L * unigram(w) / nTotal).sum
+      val hapax = ws.count(w => unigram(w) == 1).toLong
+      (id, n, ppmSum / n, hapax * 10000 / n)
+    }
+    // exact interpolated quartiles of mean_ppm (Spark `percentile`)
+    def quantile(sorted: Seq[Long], q: Double): Double = {
+      val pos = q * (sorted.length - 1)
+      val lo = pos.toInt
+      val hi = math.min(lo + 1, sorted.length - 1)
+      sorted(lo) + (pos - lo) * (sorted(hi) - sorted(lo))
+    }
+    val means = raw.map(_._3).sorted
+    val (p25, p75) = (quantile(means, 0.25), quantile(means, 0.75))
+    val expected = raw.map { case (id, n, meanPpm, hapaxBp) =>
+      val bucket =
+        if (hapaxBp > 2500) "noisy"
+        else if (meanPpm.toDouble < p25) "rare"
+        else if (meanPpm.toDouble > p75) "common"
+        else "mid"
+      id -> (n, meanPpm, hapaxBp, bucket)
+    }.toMap
+    val got = TextAnalysis.q72CorpusRarity(spark, sfDir).collect().map { r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))
+    }.toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (id, v) => assert(v === expected(id), s"doc $id") }
+    // the synthetic corpus must exercise more than one bucket
+    assert(got.values.map(_._4).toSet.size > 1)
+  }
 }
