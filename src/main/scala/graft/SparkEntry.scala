@@ -88,6 +88,8 @@ object SparkEntry {
     "q70_refresh_select"      -> Monitor.q70RefreshSelect _,
     "q71_rfm"                 -> Behavior.q71Rfm _,
     "q72_corpus_rarity"       -> TextAnalysis.q72CorpusRarity _,
+    "q73_incremental_dedup"   -> Dedup.q73IncrementalDedup _,
+    "q74_token_budget"        -> Pipeline.q74TokenBudget _,
   )
 
   /** Integer squared distance between a quantized vector and a
@@ -1691,6 +1693,61 @@ object SparkEntry {
              WHEN CAST(mean_ppm AS DOUBLE) > p75 THEN 'common'
              ELSE 'mid' END AS bucket
       FROM s CROSS JOIN q
+    """,
+    "q73_incremental_dedup" -> """
+      WITH t AS (
+        SELECT doc_id, text,
+          list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                         for i in range(1, len(w) - 1)]) AS tri
+        FROM (SELECT doc_id, text, string_split(text, ' ') AS w
+              FROM documents)
+      ),
+      b AS (SELECT * FROM t WHERE doc_id % 10 = 0),
+      ix AS (SELECT * FROM t WHERE doc_id % 10 <> 0),
+      ex AS (
+        SELECT b.doc_id, COUNT(*) AS exact_hits
+        FROM b JOIN ix ON b.text = ix.text GROUP BY 1
+      ),
+      nd AS (
+        SELECT doc_id, COUNT(*) AS near_dups, MAX(j) AS max_jaccard FROM (
+          SELECT b.doc_id AS doc_id,
+            CAST(len(list_intersect(b.tri, ix.tri)) AS DOUBLE) /
+              len(list_distinct(b.tri || ix.tri)) AS j
+          FROM b JOIN ix ON len(b.tri) > 0 AND len(ix.tri) > 0
+        ) WHERE j >= 0.5 GROUP BY 1
+      )
+      SELECT b.doc_id,
+        (ex.exact_hits IS NOT NULL) AS dup_exact,
+        CAST(COALESCE(nd.near_dups, 0) AS BIGINT) AS near_dups,
+        nd.max_jaccard,
+        (ex.exact_hits IS NOT NULL OR nd.near_dups IS NOT NULL) AS is_dup
+      FROM b LEFT JOIN ex ON b.doc_id = ex.doc_id
+      LEFT JOIN nd ON b.doc_id = nd.doc_id
+    """,
+    "q74_token_budget" -> s"""
+      WITH s AS (
+        SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents
+      ),
+      q AS (
+        SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+          CAST(FLOOR((least(CAST(len(w) AS DOUBLE)/50.0, 1.0) * 0.4
+            + (1.0 - CAST(len(list_filter(w, x -> x IN ('join','hash','row')))
+                     AS DOUBLE)/len(w)) * 0.3
+            + least((CAST(n_chars - len(w) + 1 AS DOUBLE)/len(w))/6.0, 1.0)
+              * 0.3) * 10) AS BIGINT) AS tier,
+          ${mix32Sql("doc_id")} AS hv
+        FROM s
+      ),
+      bdg AS (SELECT (SUM(n_tokens) * 6) // 10 AS budget_toks FROM q),
+      c AS (
+        SELECT doc_id, tier, n_tokens,
+          COALESCE(SUM(n_tokens) OVER (ORDER BY tier DESC, hv ASC, doc_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+        FROM q
+      )
+      SELECT doc_id, tier, n_tokens, CAST(start_tok AS BIGINT) AS start_tok,
+        (start_tok + n_tokens > (SELECT budget_toks FROM bdg)) AS partial
+      FROM c WHERE start_tok < (SELECT budget_toks FROM bdg)
     """,
   )
 }

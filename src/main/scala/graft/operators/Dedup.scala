@@ -303,4 +303,83 @@ object Dedup {
           col("total_ngrams").cast("double")).as("boilerplate_fraction"),
         (col("shared_ngrams") * 2 >= col("total_ngrams")).as("is_boilerplate"))
   }
+
+  /** q73: INCREMENTAL dedup — screen an incoming batch against the
+    * existing corpus index without comparing the index to itself (the
+    * production shape: dedup today's crawl against the historical
+    * collection; rescanning history pairwise is the cost that kills
+    * naive dedup at 100 TB). Batch = doc_id % 10 == 0 (the q44 split
+    * convention), index = the rest.
+    *
+    * Two screens, both asymmetric (batch-sized output, index touched
+    * once): exact = content-hash equi-join (hash first, text-equality
+    * confirm, so the shuffle carries 8-byte keys, not documents);
+    * near = MinHash band claims — the batch's band hashes equi-join
+    * the index's band table (a tiny per-band bucket probe, never
+    * batch×index), then ONLY candidates verify exact trigram Jaccard.
+    * At scale the index's band table is the precomputed, persisted
+    * artifact (the batch side is the only fresh computation) — here
+    * both derive in-query from the same table since the test corpus
+    * has no history to persist.
+    *
+    * Oracle is the EXACT batch×index J >= 0.5 set (q21's promoted-
+    * oracle argument: 32×4 LSH has full recall on these corpora and
+    * hashed-trigram Jaccard is bit-equal to string-trigram), so the
+    * driver hash-checks set equality, not plausibility. */
+  def q73IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val nPerm = 128
+    val bands = 32
+    val base = docs(spark, dir).repartition(col("doc_id"))
+      .select(col("doc_id"), col("text"))
+    val batch = base.filter(col("doc_id") % 10 === 0)
+    val index = base.filter(col("doc_id") % 10 =!= 0)
+
+    // exact screen: content-hash join + text confirm (collision-safe)
+    val exact = batch
+      .select(col("doc_id"), xxhash64(col("text")).as("h"), col("text"))
+      .join(index.select(xxhash64(col("text")).as("h"),
+        col("text").as("i_text")), "h")
+      .filter(col("text") === col("i_text"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("exact_hits"))
+
+    // near screen: band claims batch→index, exact verify on candidates
+    import org.apache.spark.sql.graftbridge.Bridge.{column => exprCol, expression}
+    def banded(df: DataFrame): (DataFrame, DataFrame) = {
+      val sh = df.withColumn("shingles", triHash)
+        .filter(size(col("shingles")) > 0)
+        .select(col("doc_id"), col("shingles"))
+      val bh = exprCol(graft.functions.MinhashBandHashes(
+        expression(col("shingles")), nPerm, bands))
+      (sh, sh.select(col("doc_id"), posexplode(bh).as(Seq("band", "bh"))))
+    }
+    val (bSh, bBands) = banded(batch)
+    val (iSh, iBands) = banded(index)
+    val cand = bBands.as("a")
+      .join(iBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("index_doc"))
+      .dropDuplicates("doc_id", "index_doc")
+    val near = cand
+      .join(bSh.select(col("doc_id"), col("shingles").as("sh_b")), "doc_id")
+      .join(iSh.select(col("doc_id").as("index_doc"),
+        col("shingles").as("sh_i")), "index_doc")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_b"), col("sh_i"))).cast("double") /
+          size(array_union(col("sh_b"), col("sh_i"))))
+      .filter(col("jaccard") >= 0.5)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("near_dups"), max(col("jaccard")).as("max_jaccard"))
+
+    batch.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("exact_hits").isNotNull.as("dup_exact"),
+        coalesce(col("near_dups"), lit(0L)).as("near_dups"),
+        col("max_jaccard"),
+        (col("exact_hits").isNotNull || col("near_dups").isNotNull)
+          .as("is_dup"))
+  }
 }

@@ -248,4 +248,54 @@ object Pipeline {
         sum(when(col("kept"), 1L).otherwise(0L)).as("kept_docs"),
         sum(when(!col("kept"), 1L).otherwise(0L)).as("removed_docs"),
         countDistinct(col("rep")).as("clusters"))
+
+  /** q74: quality-weighted corpus subsetting to a token budget — the
+    * data-mixing step of training-set assembly: keep the best
+    * documents, in a deterministic unbiased order, until the target
+    * token count (60% of the corpus here) is reached.
+    *
+    * Global order = (quality tier DESC, mix32(doc_id), doc_id): tier
+    * from the q27 quality score (floor(score*10) — integer, engine-
+    * exact because the score itself is oracle-exact), hash order
+    * within a tier so the cut is unbiased, doc_id breaking hash ties.
+    *
+    * Scale shape — the cumulative token position comes from a SHARDED
+    * prefix sum, not a global sort (the q49 machinery upgraded with
+    * cross-shard offsets): shard = (tier, hv div 2^26) is a PREFIX of
+    * the global order, so per-shard windows + broadcast cumulative
+    * shard offsets reproduce the exact global running total with
+    * ≤ 11×64 metadata rows on the driver-side window and the corpus
+    * only ever shuffled by shard. The budget is one broadcast scalar.
+    * Docs are emitted iff they START inside the budget; the boundary
+    * doc is flagged partial (truncate or keep whole downstream). */
+  def q74TokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val subshardDiv = 67108864L // 2^26 → 64 subshards over the 32-bit hash
+    val base = TextAnalysis.q27QualityScore(spark, dir)
+      .select(col("doc_id"), col("n_words").cast("long").as("n_tokens"),
+        floor(col("quality_score") * 10).cast("long").as("tier"))
+      .withColumn("hv", Exprs.mix32(col("doc_id")))
+      .withColumn("subshard", expr(s"hv div $subshardDiv"))
+    val totals = base.groupBy(col("tier"), col("subshard"))
+      .agg(sum(col("n_tokens")).as("shard_toks"))
+    // offsets: cumulative shard totals in global order — a window over
+    // the ≤ tiers×subshards metadata frame, never over the corpus
+    val wOff = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tier").desc, col("subshard").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("off", coalesce(sum(col("shard_toks")).over(wOff), lit(0L)))
+      .select(col("tier"), col("subshard"), col("off"))
+    val budget = totals.agg(expr("(sum(shard_toks) * 6) div 10").as("budget_toks"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tier"), col("subshard"))
+      .orderBy(col("hv").asc, col("doc_id").asc)
+    base
+      .join(broadcast(offsets), Seq("tier", "subshard"))
+      .crossJoin(broadcast(budget))
+      .withColumn("start_tok",
+        col("off") + sum(col("n_tokens")).over(wIn) - col("n_tokens"))
+      .filter(col("start_tok") < col("budget_toks"))
+      .select(col("doc_id"), col("tier"), col("n_tokens"), col("start_tok"),
+        (col("start_tok") + col("n_tokens") > col("budget_toks")).as("partial"))
+  }
 }

@@ -152,4 +152,41 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     // the seeded corpus contains near-dup docs: shared spans must exist
     assert(expected.values.exists(_._2 > 0))
   }
+
+  test("q73 incremental dedup: flags match an exact batch-vs-index replay") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def tri(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 3) Set.empty
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val batch = docs.filter(_._1 % 10 == 0)
+    val index = docs.filter(_._1 % 10 != 0)
+    val expected = batch.map { case (id, t) =>
+      val exact = index.count(_._2 == t).toLong
+      val s = tri(t)
+      val near: Seq[Double] = if (s.isEmpty) Seq.empty
+        else index.toSeq.flatMap { case (_, it) =>
+          val si = tri(it)
+          if (si.isEmpty) None
+          else {
+            val j = (s & si).size.toDouble / (s | si).size
+            if (j >= 0.5) Some(j) else None
+          }
+        }
+      id -> ((exact > 0, near.length.toLong,
+        if (near.isEmpty) None else Some(near.max),
+        exact > 0 || near.nonEmpty))
+    }.toMap
+    val got = Dedup.q73IncrementalDedup(spark, sfDir).collect().map { r =>
+      r.getLong(0) -> ((r.getBoolean(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getBoolean(4)))
+    }.toMap
+    assert(got.keySet === expected.keySet, "one row per batch doc, dup or not")
+    got.foreach { case (id, v) => assert(v === expected(id), s"batch doc $id") }
+    // the seeded corpus must exercise the near-dup path
+    assert(expected.values.exists(_._4))
+  }
 }

@@ -155,6 +155,49 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       "no global single-partition sort anywhere in the packing plan")
   }
 
+  test("q74 token budget: selection matches the global order's prefix sum") {
+    def mix32(v: Long): Long = {
+      val mask = 4294967295L
+      def mul(x: Long, m: Long): Long =
+        (((x >> 16) * m % 4294967296L) * 65536 + (x & 65535) * m) & mask
+      val a = mul(v & mask, 2654435761L)
+      val b = a ^ (a >> 16)
+      val d = mul(b, 2246822519L)
+      d ^ (d >> 13)
+    }
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val scored = docs.map { case (id, t, nChars) =>
+      val w = t.split(" ", -1)
+      val n = w.length.toLong
+      val stop = w.count(Set("join", "hash", "row")).toDouble / n
+      val q = math.min(n.toDouble / 50.0, 1.0) * 0.4 + (1.0 - stop) * 0.3 +
+        math.min(((nChars - n + 1).toDouble / n) / 6.0, 1.0) * 0.3
+      (id, n, math.floor(q * 10).toLong, mix32(id))
+    }
+    val total = scored.map(_._2).sum
+    val budget = total * 6 / 10
+    val ordered = scored.sortBy { case (id, _, tier, hv) => (-tier, hv, id) }
+    var cum = 0L
+    val expected = ordered.flatMap { case (id, n, tier, _) =>
+      val start = cum; cum += n
+      if (start < budget) Some(id -> ((tier, n, start, start + n > budget)))
+      else None
+    }.toMap
+    val got = Pipeline.q74TokenBudget(spark, sfDir).collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    }.toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (id, v) => assert(v === expected(id), s"doc $id") }
+    // budget semantics: selection covers the budget, at most one partial
+    val selTokens = got.values.map(_._2).sum
+    assert(selTokens >= budget, "selected docs must cover the budget")
+    assert(got.values.count(_._4) <= 1, "at most one boundary doc")
+    // the cut is a real subset — quality weighting must drop something
+    assert(got.size < docs.length)
+  }
+
   test("dedup pipeline: representatives are cluster minima; kept = distinct reps") {
     val labels = Pipeline.dedupCorpus(spark, sfDir).cache()
     // every rep is itself kept, and rep <= doc_id

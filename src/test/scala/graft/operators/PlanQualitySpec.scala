@@ -131,4 +131,45 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
       "the bucket self-join must reuse the signature pipeline's exchange")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q69: pacing is one conditional-aggregation scan, no window, no month self-join") {
+    val p = plan("q69_pacing")
+    assert(!p.matches("(?s).*\\bWindow\\b.*"))
+    assert("Scan parquet".r.findAllIn(p).length === 2,
+      "one fact scan for the groups + one for the broadcast anchor row")
+    assert(!p.contains("SortMergeJoin"), "the anchor frame must broadcast")
+  }
+
+  test("q70: ignore list and metadata broadcast; traffic aggregates once") {
+    val p = plan("q70_refresh_select")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      "anti-join and metadata join must both broadcast")
+    assert(!p.contains("SortMergeJoin"))
+    // one aggregate pair (partial+final) over events — no re-shuffle after
+    assert("HashAggregate".r.findAllIn(p).length <= 4)
+  }
+
+  test("q72: score join is postings-keyed; quartile frame broadcasts") {
+    val p = plan("q72_corpus_rarity")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.matches("(?s).*\\bWindow\\b.*"),
+      "bucketing must come from the broadcast quartile frame, not a rank window")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the 1-row total/quartile frames must broadcast")
+  }
+
+  test("q73: batch-index screens are equi-joins, never batch x index") {
+    val p = plan("q73_incremental_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidates must come from hash/band equality joins only")
+  }
+
+  test("q74: corpus window is sharded; offsets and budget broadcast") {
+    val p = plan("q74_token_budget")
+    assert(p.contains("windowspecdefinition(tier"),
+      "the corpus prefix-sum window must partition by (tier, subshard)")
+    assert(p.contains("BroadcastHashJoin"), "shard offsets must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus must never shuffle for a join — only by shard for its window")
+  }
 }
