@@ -121,8 +121,6 @@ object Similarity {
     */
   def cosineTopKDense(spark: SparkSession, dir: String, k: Int,
       maxVocab: Int = 65536): DataFrame = {
-    import org.apache.spark.sql.graftbridge.Bridge.{column => exprCol, expression}
-    val post = postings(spark, dir)
     // Vocab-size gate: this path collects the dictionary to the driver
     // and densifies every row over it — only valid for broadcast-sized
     // dictionaries. limit(maxVocab+1) bounds what the driver can ever
@@ -130,11 +128,40 @@ object Similarity {
     // OOMing; use cosineTopK (the postings join) for general corpora.
     // (Not persisted: vocab discovery and scoring each scan once —
     // two scans beat an immortal cache entry.)
-    val vocab = post.select(col("word")).distinct()
-      .orderBy(col("word")).limit(maxVocab + 1).collect().map(_.getString(0))
+    val vocab = discoverVocab(spark, dir, maxVocab)
     require(vocab.length <= maxVocab,
       s"dense cosine path requires a dictionary <= $maxVocab terms " +
         s"(got more); use cosineTopK, the postings-join general path")
+    cosineTopKDenseWith(spark, dir, k, vocab)
+  }
+
+  /** Bounded dictionary discovery: at most maxVocab+1 words ever reach
+    * the driver, whatever the corpus size. */
+  private def discoverVocab(spark: SparkSession, dir: String,
+      maxVocab: Int): Array[String] =
+    postings(spark, dir).select(col("word")).distinct()
+      .orderBy(col("word")).limit(maxVocab + 1).collect().map(_.getString(0))
+
+  /** Adaptive default: probe the dictionary (the bounded collect
+    * above — one metadata-scale job); a broadcast-sized dictionary
+    * takes the dense kernel path (measured 2.1x the postings join at
+    * sf0.1 — the pair scoring collapses to one broadcast join over a
+    * single corpus pass), anything larger falls back to the postings
+    * join, the formulation that holds at unbounded vocabulary. Same
+    * contract either way, scores bit-identical (SimilaritySpec
+    * agreement test) — the q44 runtime-broadcast principle applied to
+    * vocabulary size. */
+  def cosineTopKAdaptive(spark: SparkSession, dir: String, k: Int,
+      maxVocab: Int = 4096): DataFrame = {
+    val vocab = discoverVocab(spark, dir, maxVocab)
+    if (vocab.length <= maxVocab) cosineTopKDenseWith(spark, dir, k, vocab)
+    else cosineTopK(spark, dir, k)
+  }
+
+  private def cosineTopKDenseWith(spark: SparkSession, dir: String, k: Int,
+      vocab: Array[String]): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge.{column => exprCol, expression}
+    val post = postings(spark, dir)
     val vocabArr = array(vocab.map(lit(_)): _*)
     val vecs = post.groupBy(col("doc_id"))
       .agg(map_from_entries(collect_list(struct(col("word"), col("cnt")))).as("m"))
@@ -159,14 +186,14 @@ object Similarity {
       .select(col("probe_doc"), col("neighbor_doc"), col("rank"), col("cosine"))
   }
 
-  /** q17 runs the postings join — the formulation that holds at scale:
-    * candidate pairs come only from shared terms, the shuffle is
-    * bounded by the postings table, and nothing corpus-sized ever
-    * reaches the driver. cosineTopKDense stays as an explicit opt-in
-    * for broadcast-sized dictionaries (bit-identical scores — see the
-    * SimilaritySpec agreement test). */
+  /** q17 is ADAPTIVE on dictionary size (cosineTopKAdaptive): dense
+    * kernel when the vocabulary is broadcast-sized, postings join —
+    * candidate pairs only from shared terms, shuffle bounded by the
+    * postings table, nothing corpus-sized on the driver — for the
+    * general case. The probe itself is bounded (≤ maxVocab+1 words
+    * collect), so no corpus makes the gate unsafe. */
   def q17CosineTopK(spark: SparkSession, dir: String): DataFrame =
-    cosineTopK(spark, dir, 5)
+    cosineTopKAdaptive(spark, dir, 5)
 
   /** TF-IDF top terms per document — the keyword/feature-extraction
     * pass of corpus analysis (the weighting step the reference's
@@ -236,7 +263,7 @@ object Similarity {
       .select(col("neighbor_doc"), col("lang"), col("source"), col("n_chars"),
         ((col("n_chars") - col("min_chars")).cast("double") /
           (col("max_chars") - col("min_chars"))).as("pop_norm"))
-    val sim = cosineTopK(spark, dir, 20)
+    val sim = cosineTopKAdaptive(spark, dir, 20)
     val scored = sim.join(pop, "neighbor_doc")
       .filter(col("n_chars") > 0) // reference: users > 0
       .withColumn("similarity_score", lit(alpha) * col("cosine"))

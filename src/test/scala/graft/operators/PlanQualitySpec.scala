@@ -77,10 +77,18 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("q17: postings join by default — no all-pairs scoring, no vocab collect") {
+  test("q17: adaptive gate picks the dense kernel on a broadcast-sized dictionary") {
     val p = plan("q17_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "broadcast-sized vocab must take the dense broadcast-probe path")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q17: over-limit dictionary falls back to the postings join") {
+    val p = Similarity.cosineTopKAdaptive(spark, sfDir, 5, maxVocab = 1)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastNestedLoopJoin"),
-      "q17 must not score all probe x doc pairs")
+      "the fallback must not score all probe x doc pairs")
     assert(!p.contains("CartesianProduct"))
   }
 
