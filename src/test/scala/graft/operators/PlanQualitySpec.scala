@@ -166,6 +166,31 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
       "the 1-row total/quartile frames must broadcast")
   }
 
+  test("q65: first-k per user is a partial aggregate, not an event-wide window") {
+    val p = plan("q65_session_paths")
+    assert(!p.matches("(?s).*\\bWindow\\b.*"),
+      "row_number() <= 3 would shuffle and sort every event")
+    assert("ObjectHashAggregate".r.findAllIn(p).length === 2,
+      "map-side partial top-k + final merge")
+    assert(!p.contains("SortMergeJoin"), "the 1-row denominator must broadcast")
+  }
+
+  test("q66: carry-forward windows partition by group on the dense series") {
+    val p = plan("q66_gap_fill")
+    assert(p.contains("windowspecdefinition(priority"),
+      "LOCF must run per group on the calendar-bounded dense frame")
+    assert("\\bWindow\\b".r.findAllIn(p).length === 1)
+    assert(!p.contains("SortMergeJoin"), "span and calendar frames broadcast")
+  }
+
+  test("q68: readout reduces to aggregates only — no window, no join shuffle") {
+    val p = plan("q68_experiment")
+    assert(!p.matches("(?s).*\\bWindow\\b.*"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("Join"),
+      "per-user pre-aggregate then one conditional aggregate — no join at all")
+    assert("Scan parquet".r.findAllIn(p).length === 1, "one fact scan")
+  }
+
   test("q73: batch-index screens are equi-joins, never batch x index") {
     val p = plan("q73_incremental_dedup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
