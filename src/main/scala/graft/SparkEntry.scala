@@ -90,6 +90,7 @@ object SparkEntry {
     "q72_corpus_rarity"       -> TextAnalysis.q72CorpusRarity _,
     "q73_incremental_dedup"   -> Dedup.q73IncrementalDedup _,
     "q74_token_budget"        -> Pipeline.q74TokenBudget _,
+    "q75_chunking"            -> Pipeline.q75Chunking _,
   )
 
   /** Integer squared distance between a quantized vector and a
@@ -1748,6 +1749,25 @@ object SparkEntry {
       SELECT doc_id, tier, n_tokens, CAST(start_tok AS BIGINT) AS start_tok,
         (start_tok + n_tokens > (SELECT budget_toks FROM bdg)) AS partial
       FROM c WHERE start_tok < (SELECT budget_toks FROM bdg)
+    """,
+    "q75_chunking" -> """
+      WITH s AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        FROM documents
+      ),
+      c AS (
+        SELECT doc_id, w, n,
+          CASE WHEN n <= 64 THEN 1 ELSE 1 + (n - 64 + 47) // 48 END
+            AS n_chunks
+        FROM s
+      )
+      SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        CAST(i * 48 AS BIGINT) AS start_tok,
+        CAST(LEAST(64, n - i * 48) AS BIGINT) AS chunk_toks,
+        array_to_string(w[i * 48 + 1 : i * 48 + LEAST(64, n - i * 48)], ' ')
+          AS chunk_text
+      FROM c CROSS JOIN unnest(range(0, n_chunks)) AS t(i)
     """,
   )
 }

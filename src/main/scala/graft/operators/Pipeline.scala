@@ -249,6 +249,40 @@ object Pipeline {
         sum(when(!col("kept"), 1L).otherwise(0L)).as("removed_docs"),
         countDistinct(col("rep")).as("clusters"))
 
+  /** q75: document chunking — split each document into fixed-size
+    * overlapping token windows (64-token chunks, 16-token overlap →
+    * stride 48), the segmentation step in front of embedding /
+    * retrieval indexing. Emits (chunk_idx, start_tok, chunk_toks,
+    * chunk_text) per chunk; a short doc is one whole chunk.
+    *
+    * Scale shape: pure per-row expressions — one tokenize, one
+    * chunk-start sequence, one posexplode; ZERO shuffles (plan-
+    * guarded no-Exchange, like q46/q47). The output is ~n_tokens/48
+    * rows per doc, produced streaming through the scan. */
+  def q75Chunking(spark: SparkSession, dir: String): DataFrame = {
+    val chunkSize = 64
+    val stride = 48 // chunkSize - overlap(16)
+    Tables.documents(spark, dir)
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n", size(col("w")).cast("long"))
+      .withColumn("n_chunks",
+        when(col("n") <= chunkSize, lit(1L))
+          .otherwise(lit(1L) +
+            expr(s"(n - $chunkSize + ${stride - 1}) div $stride")))
+      .select(col("doc_id"), col("w"), col("n"),
+        posexplode(expr(s"sequence(0L, (n_chunks - 1) * $stride, $stride)"))
+          .as(Seq("chunk_idx", "start_tok")))
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start_tok"),
+        least(lit(chunkSize.toLong), col("n") - col("start_tok"))
+          .as("chunk_toks"),
+        array_join(expr(
+          s"slice(w, start_tok + 1, least($chunkSize, n - start_tok))"), " ")
+          .as("chunk_text"))
+  }
+
   /** q74: quality-weighted corpus subsetting to a token budget — the
     * data-mixing step of training-set assembly: keep the best
     * documents, in a deterministic unbiased order, until the target

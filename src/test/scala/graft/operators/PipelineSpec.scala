@@ -198,6 +198,40 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(got.size < docs.length)
   }
 
+  test("q75 chunking: windows match a local replay and reconstruct the doc") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expected = docs.flatMap { case (id, t) =>
+      val w = t.split(" ", -1)
+      val n = w.length
+      val nChunks = if (n <= 64) 1 else 1 + (n - 64 + 47) / 48
+      (0 until nChunks).map { i =>
+        val start = i * 48
+        val len = math.min(64, n - start)
+        (id, i.toLong) -> ((start.toLong, len.toLong,
+          w.slice(start, start + len).mkString(" ")))
+      }
+    }.toMap
+    val got = Pipeline.q75Chunking(spark, sfDir).collect().map { r =>
+      (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))
+    }.toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (k, v) => assert(v === expected(k), s"chunk $k") }
+    // stride semantics: dropping each chunk's 16-token overlap tail
+    // reconstructs the original token stream
+    docs.foreach { case (id, t) =>
+      val chunks = got.collect { case ((d, i), v) if d == id => (i, v) }
+        .toSeq.sortBy(_._1)
+      val rebuilt = chunks.map { case (i, (_, _, text)) =>
+        val ws = text.split(" ", -1)
+        if (i < chunks.length - 1) ws.take(48) else ws
+      }.flatten.mkString(" ")
+      assert(rebuilt === t, s"doc $id must reconstruct from its chunks")
+    }
+  }
+
   test("dedup pipeline: representatives are cluster minima; kept = distinct reps") {
     val labels = Pipeline.dedupCorpus(spark, sfDir).cache()
     // every rep is itself kept, and rep <= doc_id

@@ -191,6 +191,12 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     assert("Scan parquet".r.findAllIn(p).length === 1, "one fact scan")
   }
 
+  test("q75: chunking is a pure map over the scan — no shuffle at all") {
+    val p = plan("q75_chunking")
+    assert(!p.contains("Exchange"), "chunk windows are per-row expressions")
+    assert("Scan parquet".r.findAllIn(p).length === 1)
+  }
+
   test("q73: batch-index screens are equi-joins, never batch x index") {
     val p = plan("q73_incremental_dedup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
