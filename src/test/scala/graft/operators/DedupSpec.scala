@@ -189,4 +189,22 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     // the seeded corpus must exercise the near-dup path
     assert(expected.values.exists(_._4))
   }
+
+  test("q73 and q21 agree: incremental near-dups = corpus pairs cut to batch x index") {
+    // two independent formulations (batch->index band claims vs full
+    // corpus self-join) must see exactly the same cross-split pairs
+    val corpusPairs = Dedup.q21DedupMinhash(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val crossSplit = corpusPairs.flatMap { case (a, b, j) =>
+      if (a % 10 == 0 && b % 10 != 0) Some((a, j))
+      else if (b % 10 == 0 && a % 10 != 0) Some((b, j))
+      else None
+    }.groupBy(_._1).map { case (id, v) =>
+      id -> ((v.length.toLong, v.map(_._2).max))
+    }
+    val q73near = Dedup.q73IncrementalDedup(spark, sfDir).collect()
+      .filter(_.getLong(2) > 0)
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(q73near === crossSplit)
+  }
 }
