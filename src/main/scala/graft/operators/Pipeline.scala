@@ -259,10 +259,14 @@ object Pipeline {
     * chunk-start sequence, one posexplode; ZERO shuffles (plan-
     * guarded no-Exchange, like q46/q47). The output is ~n_tokens/48
     * rows per doc, produced streaming through the scan. */
-  def q75Chunking(spark: SparkSession, dir: String): DataFrame = {
-    val chunkSize = 64
-    val stride = 48 // chunkSize - overlap(16)
-    Tables.documents(spark, dir)
+  def q75Chunking(spark: SparkSession, dir: String): DataFrame =
+    chunkDocs(Tables.documents(spark, dir), chunkSize = 64, stride = 48)
+
+  /** Library form of q75: chunk any (doc_id, text) frame. */
+  def chunkDocs(df: DataFrame, chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize >= 1 && stride >= 1 && stride <= chunkSize,
+      "need 1 <= stride <= chunkSize (overlap = chunkSize - stride)")
+    df
       .withColumn("w", split(col("text"), " "))
       .withColumn("n", size(col("w")).cast("long"))
       .withColumn("n_chunks",
@@ -302,11 +306,21 @@ object Pipeline {
     * only ever shuffled by shard. The budget is one broadcast scalar.
     * Docs are emitted iff they START inside the budget; the boundary
     * doc is flagged partial (truncate or keep whole downstream). */
-  def q74TokenBudget(spark: SparkSession, dir: String): DataFrame = {
+  def q74TokenBudget(spark: SparkSession, dir: String): DataFrame =
+    tokenBudget(
+      TextAnalysis.q27QualityScore(spark, dir)
+        .select(col("doc_id"), col("n_words").cast("long").as("n_tokens"),
+          floor(col("quality_score") * 10).cast("long").as("tier")),
+      budgetNum = 6, budgetDen = 10)
+
+  /** Library form of q74: subset any (doc_id, n_tokens, tier) frame to
+    * budgetNum/budgetDen of its total tokens, in (tier DESC, mix32,
+    * doc_id) order, via the sharded prefix sum. */
+  def tokenBudget(scored: DataFrame, budgetNum: Int, budgetDen: Int)
+      : DataFrame = {
+    require(budgetNum >= 0 && budgetDen > 0, "budget must be a valid fraction")
     val subshardDiv = 67108864L // 2^26 → 64 subshards over the 32-bit hash
-    val base = TextAnalysis.q27QualityScore(spark, dir)
-      .select(col("doc_id"), col("n_words").cast("long").as("n_tokens"),
-        floor(col("quality_score") * 10).cast("long").as("tier"))
+    val base = scored
       .withColumn("hv", Exprs.mix32(col("doc_id")))
       .withColumn("subshard", expr(s"hv div $subshardDiv"))
     val totals = base.groupBy(col("tier"), col("subshard"))
@@ -319,7 +333,8 @@ object Pipeline {
     val offsets = totals
       .withColumn("off", coalesce(sum(col("shard_toks")).over(wOff), lit(0L)))
       .select(col("tier"), col("subshard"), col("off"))
-    val budget = totals.agg(expr("(sum(shard_toks) * 6) div 10").as("budget_toks"))
+    val budget = totals.agg(
+      expr(s"(sum(shard_toks) * $budgetNum) div $budgetDen").as("budget_toks"))
     val wIn = org.apache.spark.sql.expressions.Window
       .partitionBy(col("tier"), col("subshard"))
       .orderBy(col("hv").asc, col("doc_id").asc)

@@ -336,4 +336,71 @@ class PropertySpec extends AnyFunSuite with graft.SparkFixture {
         === evs.length.toLong)
     }
   }
+
+  test("sharded token budget equals the global-order prefix sum on random corpora") {
+    import spark.implicits._
+    def mix32(v: Long): Long = {
+      val mask = 4294967295L
+      def mul(x: Long, m: Long): Long =
+        (((x >> 16) * m % 4294967296L) * 65536 + (x & 65535) * m) & mask
+      val a = mul(v & mask, 2654435761L)
+      val b = a ^ (a >> 16)
+      val d = mul(b, 2246822519L)
+      d ^ (d >> 13)
+    }
+    val gen = for {
+      n <- Gen.choose(1, 400)
+      rows <- Gen.listOfN(n, for {
+        toks <- Gen.choose(1L, 500L)
+        tier <- Gen.choose(0L, 10L)
+      } yield (toks, tier))
+      parts <- Gen.choose(1, 7)
+      num <- Gen.choose(0, 5)
+    } yield (rows.zipWithIndex.map { case ((t, q), i) => (i.toLong, t, q) },
+      parts, num)
+    samples(gen, 12).foreach { case (rows, parts, num) =>
+      val df = rows.toDF("doc_id", "n_tokens", "tier").repartition(parts)
+      val got = operators.Pipeline.tokenBudget(df, num, 10).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getBoolean(4))))
+        .toMap
+      val budget = rows.map(_._2).sum * num / 10
+      var cum = 0L
+      val expected = rows
+        .sortBy { case (id, _, tier) => (-tier, mix32(id), id) }
+        .flatMap { case (id, t, _) =>
+          val start = cum; cum += t
+          if (start < budget) Some(id -> ((t, start, start + t > budget)))
+          else None
+        }.toMap
+      assert(got === expected,
+        s"parts=$parts num=$num n=${rows.length}")
+    }
+  }
+
+  test("chunking reconstructs arbitrary token streams at any (size, stride)") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 300)
+      words <- Gen.listOfN(n, Gen.oneOf("a", "bb", "ccc", "dddd", "x1"))
+      chunkSize <- Gen.choose(1, 80)
+      stride <- Gen.choose(1, chunkSize)
+    } yield (words.mkString(" "), chunkSize, stride)
+    samples(gen, 15).foreach { case (text, chunkSize, stride) =>
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      val chunks = operators.Pipeline.chunkDocs(df, chunkSize, stride)
+        .collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+        .sortBy(_._1)
+      val w = text.split(" ", -1)
+      // every chunk is the exact slice it claims to be
+      chunks.foreach { case (_, start, len, ct) =>
+        assert(ct === w.slice(start.toInt, (start + len).toInt).mkString(" "))
+      }
+      // chunk starts advance by stride from 0; coverage reaches the end
+      assert(chunks.map(_._2) === chunks.indices.map(_.toLong * stride))
+      val last = chunks.last
+      assert(last._2 + last._3 === w.length.toLong,
+        s"size=$chunkSize stride=$stride must cover the full stream")
+    }
+  }
 }
