@@ -447,4 +447,36 @@ class InfraSpec extends AnyFunSuite with SparkFixture {
     val back = CsvIngest.readCsv(spark, s"$dir/out", schema)
     assert(back.count() === 3)
   }
+
+  test("persisted IVF index: probe equals the in-query q45; cells prune files") {
+    val path = Files.createTempDirectory("graft-ivf").toString
+    IvfIndex.build(spark, sfDir, path, k = 16, iters = 5)
+
+    // cell layout on disk: one directory per cell
+    val cellDirs = new java.io.File(s"$path/corpus").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName).sorted
+    assert(cellDirs.nonEmpty)
+
+    // serving from the artifact reproduces the in-query index exactly
+    val probes = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 50 === 0).select("vec_id", "embedding")
+    val served = IvfIndex.probe(spark, path, probes, nProbeCells = 6, topK = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    val inQuery = graft.operators.Ann
+      .annIvf(spark, sfDir, k = 16, iters = 5, probeCells = 6, topK = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    assert(served === inQuery)
+
+    // literal cell reads prune at the partition level
+    val pruned = IvfIndex.readCells(spark, path, Seq(0, 1))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"cell filter must prune partitions, got:\n$plan")
+    val cells = pruned.select("cell").distinct().collect().map(_.getInt(0)).toSet
+    assert(cells.subsetOf(Set(0, 1)))
+  }
 }
