@@ -91,6 +91,7 @@ object SparkEntry {
     "q73_incremental_dedup"   -> Dedup.q73IncrementalDedup _,
     "q74_token_budget"        -> Pipeline.q74TokenBudget _,
     "q75_chunking"            -> Pipeline.q75Chunking _,
+    "q76_mixture_report"      -> TextAnalysis.q76MixtureReport _,
   )
 
   /** Integer squared distance between a quantized vector and a
@@ -1768,6 +1769,24 @@ object SparkEntry {
         array_to_string(w[i * 48 + 1 : i * 48 + LEAST(64, n - i * 48)], ' ')
           AS chunk_text
       FROM c CROSS JOIN unnest(range(0, n_chunks)) AS t(i)
+    """,
+    "q76_mixture_report" -> """
+      WITH base AS (
+        SELECT lang, source, COUNT(*) AS docs,
+          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        FROM documents GROUP BY 1, 2
+      ),
+      t AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_domains,
+          CAST(SUM(tokens) AS BIGINT) AS total_tokens
+        FROM base
+      )
+      SELECT lang, source, docs, tokens,
+        (tokens * 1000000) // total_tokens AS share_ppm,
+        LEAST((1000000 // n_domains) * 100
+                // ((tokens * 1000000) // total_tokens),
+              1000) AS uniform_weight_pct
+      FROM base CROSS JOIN t
     """,
   )
 }

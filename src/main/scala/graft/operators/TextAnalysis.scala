@@ -214,6 +214,34 @@ object TextAnalysis {
     * (ctf is bounded by total corpus tokens only for THE most common
     * token; widen ppm's numerator to decimal(38,0) past ~10^12-token
     * corpora). */
+  /** q76: corpus mixture report (the data card every corpus release
+    * ships, and the input of mixture rebalancing): per (lang, source)
+    * domain — docs, tokens, token share in ppm, and the integer
+    * resampling weight that would rebalance the corpus to a UNIFORM
+    * domain mixture (weight_pct = 100·target_share/current_share,
+    * capped at 10x — the standard up-sampling cap; DoReMi-style
+    * learned weights plug in at the same column).
+    *
+    * Scale shape: ONE map-side-combinable groupBy over the corpus;
+    * the domain-count and total-token frames are 1-row broadcasts;
+    * output is |domains| rows. All arithmetic integer (ppm, pct,
+    * floor division) — oracle-exact. */
+  def q76MixtureReport(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("tokens"))
+    val totals = base.agg(
+      count(lit(1)).as("n_domains"),
+      sum(col("tokens")).as("total_tokens"))
+    base.crossJoin(broadcast(totals))
+      .select(col("lang"), col("source"), col("docs"), col("tokens"),
+        expr("(tokens * 1000000) div total_tokens").as("share_ppm"),
+        least(
+          expr("(1000000 div n_domains) * 100 div ((tokens * 1000000) div total_tokens)"),
+          lit(1000L)).as("uniform_weight_pct"))
+  }
+
   def q72CorpusRarity(spark: SparkSession, dir: String): DataFrame = {
     val post = Similarity.postings(spark, dir) // doc_id, word, cnt
     val unigram = post.groupBy(col("word")).agg(sum(col("cnt")).as("ctf"))

@@ -110,6 +110,32 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert(out.getAs[Int]("re") === 5)
   }
 
+  test("q76: mixture report matches a local replay; weights cap at 10x") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .selectExpr("lang", "source", "size(split(text, ' ')) AS n")
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getInt(2).toLong))
+    val domains = docs.groupBy(_._1).map { case (k, v) =>
+      k -> ((v.length.toLong, v.map(_._2).sum))
+    }
+    val totalToks = domains.values.map(_._2).sum
+    val nDomains = domains.size.toLong
+    val got = TextAnalysis.q76MixtureReport(spark, sfDir).collect().map { r =>
+      (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    }.toMap
+    assert(got.keySet === domains.keySet)
+    got.foreach { case (k, (d, t, ppm, w)) =>
+      val (ed, et) = domains(k)
+      assert((d, t) === (ed, et), s"domain $k")
+      assert(ppm === t * 1000000 / totalToks)
+      assert(w === math.min(1000000 / nDomains * 100 / ppm, 1000L))
+      assert(w <= 1000L, "up-sampling cap")
+    }
+    // shares account for (almost) the whole corpus: floor loss < |domains| ppm
+    val ppmSum = got.values.map(_._3).sum
+    assert(ppmSum <= 1000000L && ppmSum > 1000000L - nDomains)
+  }
+
   test("q72: corpus-rarity scores match a local unigram replay") {
     val docs = graft.sources.Tables.documents(spark, sfDir)
       .selectExpr("doc_id", "text").collect()
