@@ -325,7 +325,17 @@ object Dedup {
     * Oracle is the EXACT batch×index J >= 0.5 set (q21's promoted-
     * oracle argument: 32×4 LSH has full recall on these corpora and
     * hashed-trigram Jaccard is bit-equal to string-trigram), so the
-    * driver hash-checks set equality, not plausibility. */
+    * driver hash-checks set equality, not plausibility.
+    *
+    * Measured trade-off (sf0.1): filtering each side BEFORE shingling
+    * recomputes the signature per side but lets AQE broadcast the
+    * small batch frames — 0.22s; the q21-style shared key-partitioned
+    * frame (one signature pass, both sides ReusedExchange) forces the
+    * corpus through two full shuffles and loses the broadcasts —
+    * 0.69s. The shared pass wins only when signature compute dominates
+    * shuffle cost, which is exactly the regime where the index's band
+    * table should be the PERSISTED artifact anyway — so the in-query
+    * form keeps the broadcast-friendly shape. */
   def q73IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     val nPerm = 128
     val bands = 32
