@@ -92,6 +92,7 @@ object SparkEntry {
     "q74_token_budget"        -> Pipeline.q74TokenBudget _,
     "q75_chunking"            -> Pipeline.q75Chunking _,
     "q76_mixture_report"      -> TextAnalysis.q76MixtureReport _,
+    "q77_incremental_rollup"  -> Olap.q77IncrementalRollup _,
   )
 
   /** Integer squared distance between a quantized vector and a
@@ -1787,6 +1788,19 @@ object SparkEntry {
                 // ((tokens * 1000000) // total_tokens),
               1000) AS uniform_weight_pct
       FROM base CROSS JOIN t
+    """,
+    // the oracle is the FULL-history rollup: hash equality proves the
+    // merged incremental state equals a complete recompute
+    "q77_incremental_rollup" -> """
+      SELECT o_orderpriority AS priority,
+        CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+          AS total_cents,
+        COUNT(*) AS n_orders,
+        MIN(CAST(o_orderdate AS DATE)) AS first_day,
+        MAX(CAST(o_orderdate AS DATE)) AS last_day,
+        CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+          // COUNT(*) AS avg_cents
+      FROM orders GROUP BY 1
     """,
   )
 }

@@ -201,4 +201,39 @@ object Olap {
         min(col("zv")).as("z_min"),
         max(col("zv")).as("z_max"))
   }
+
+  /** q77: incremental rollup maintenance — refresh a stored aggregate
+    * by merging it with the new partitions' partial aggregate instead
+    * of recomputing over all history (the reference refreshes its
+    * 30-day rollups wholesale on a Celery schedule; at 100 TB the
+    * only viable refresh reads the DELTA). The mergeable state here
+    * is (sum, count, min, max) — every derived metric (the average)
+    * comes from the merged sums, never from averaging averages.
+    *
+    * The two sides both derive in-query because the test corpus has
+    * no lifecycle: "prior" = orders older than 7 days before the
+    * anchor (in production, the STORED aggregate — metadata-sized,
+    * zero fact I/O), "delta" = the trailing week (in production, the
+    * only partitions scanned). The ORACLE is the direct full-history
+    * rollup, so the driver's hash gate IS the proof that merged
+    * incremental state equals a full recompute, column for column. */
+  def q77IncrementalRollup(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderpriority").as("priority"),
+      to_date(col("o_orderdate")).as("day"),
+      floor(col("o_totalprice") * 100).cast("bigint").as("cents"))
+    val anchor = o.agg(date_sub(max(col("day")), 7).as("cutoff"))
+    val withCut = o.crossJoin(broadcast(anchor))
+    def partial(side: DataFrame): DataFrame = side
+      .groupBy(col("priority"))
+      .agg(sum(col("cents")).as("s"), count(lit(1)).as("n"),
+        min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val prior = partial(withCut.filter(col("day") < col("cutoff")))
+    val delta = partial(withCut.filter(col("day") >= col("cutoff")))
+    prior.unionAll(delta)
+      .groupBy(col("priority"))
+      .agg(sum(col("s")).as("total_cents"), sum(col("n")).as("n_orders"),
+        min(col("d0")).as("first_day"), max(col("d1")).as("last_day"))
+      .withColumn("avg_cents", expr("total_cents div n_orders"))
+  }
 }

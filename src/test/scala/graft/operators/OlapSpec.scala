@@ -73,6 +73,32 @@ class OlapSpec extends AnyFunSuite with SparkFixture {
     assert(grand(0).getAs[Long]("suppliers") === detailSum)
   }
 
+  test("q77: merged incremental rollup equals the full recompute; split is real") {
+    import org.apache.spark.sql.functions._
+    val o = graft.sources.Tables.orders(spark, sfDir)
+    // the prior/delta split must both carry rows, or the merge proves nothing
+    val cutoff = o.agg(date_sub(max(to_date(col("o_orderdate"))), 7))
+      .collect()(0).getDate(0)
+    val prior = o.filter(to_date(col("o_orderdate")) < lit(cutoff)).count()
+    val delta = o.filter(to_date(col("o_orderdate")) >= lit(cutoff)).count()
+    assert(prior > 0 && delta > 0, "both merge sides must be non-empty")
+    val merged = Olap.q77IncrementalRollup(spark, sfDir).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDate(3).toString, r.getDate(4).toString, r.getLong(5)))
+    }.toMap
+    val full = o.groupBy(col("o_orderpriority"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("bigint")).as("s"),
+        count(lit(1)).as("n"),
+        min(to_date(col("o_orderdate"))).as("d0"),
+        max(to_date(col("o_orderdate"))).as("d1"))
+      .collect().map { r =>
+        val (s, n) = (r.getLong(1), r.getLong(2))
+        r.getString(0) -> ((s, n, r.getDate(3).toString,
+          r.getDate(4).toString, s / n))
+      }.toMap
+    assert(merged === full)
+  }
+
   test("running window is monotone and ma7 bounded by window extremes") {
     val rows = Olap.q37RunningWindow(spark, sfDir).collect()
       .groupBy(_.getAs[String]("event_type"))
