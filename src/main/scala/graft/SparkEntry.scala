@@ -93,6 +93,7 @@ object SparkEntry {
     "q75_chunking"            -> Pipeline.q75Chunking _,
     "q76_mixture_report"      -> TextAnalysis.q76MixtureReport _,
     "q77_incremental_rollup"  -> Olap.q77IncrementalRollup _,
+    "q78_session_funnel"      -> Analytics.q78SessionFunnel _,
   )
 
   /** Integer squared distance between a quantized vector and a
@@ -1801,6 +1802,56 @@ object SparkEntry {
         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
           // COUNT(*) AS avg_cents
       FROM orders GROUP BY 1
+    """,
+    "q78_session_funnel" -> """
+      WITH flagged AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+          CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                 OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+               THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      ),
+      sess AS (
+        SELECT user_id, event_id, event_type, ts_us,
+          SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flagged
+      ),
+      s1 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts_us END)
+          OVER (PARTITION BY user_id, session_seq) AS v
+        FROM sess
+      ),
+      s2 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'click' AND ts_us >= v
+                           THEN ts_us END)
+          OVER (PARTITION BY user_id, session_seq) AS c
+        FROM s1
+      ),
+      s3 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts_us >= c
+                           THEN ts_us END)
+          OVER (PARTITION BY user_id, session_seq) AS p
+        FROM s2
+      ),
+      per AS (
+        SELECT user_id, session_seq, MAX(v) AS v, MAX(c) AS c, MAX(p) AS p
+        FROM s3 GROUP BY 1, 2
+      ),
+      agg AS (
+        SELECT COUNT(*) AS sessions,
+          COUNT(v) AS with_view,
+          COUNT(c) AS view_then_click,
+          COUNT(p) AS full_path
+        FROM per
+      )
+      SELECT sessions, with_view, view_then_click, full_path,
+        CASE WHEN with_view > 0
+          THEN (view_then_click * 10000) // with_view END AS click_conv_bp,
+        CASE WHEN view_then_click > 0
+          THEN (full_path * 10000) // view_then_click END AS purchase_conv_bp
+      FROM agg
     """,
   )
 }

@@ -264,6 +264,61 @@ object Analytics {
     * no per-user event buffering; the reach frames shrink
     * monotonically so later steps join ever-smaller sides (AQE
     * broadcasts them at scale). */
+  /** q78: SESSION-scoped ordered funnel — conversion measured inside a
+    * single visit (q55 measures lifetime first-touch conversion; a
+    * product dashboard wants both). Sessions are the q06 gap
+    * definition (30 min); a session converts a step only if the step
+    * event happens AT OR AFTER the previous step's first event in
+    * that same session.
+    *
+    * Scale shape: the gap sessionizer is one user-keyed window; the
+    * three step times are stacked window expressions over the SAME
+    * (user, session) partitioning — Catalyst plans them as chained
+    * Window operators behind ONE exchange+sort, so the whole funnel
+    * costs two shuffles and a 1-row final aggregate, with no joins at
+    * all (q55's per-step shrinking-join shape inverted: here steps
+    * are columns, not frames). All times integer microseconds,
+    * conversion in basis points — oracle-exact. */
+  def q78SessionFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val gapUs = 30L * 60 * 1000 * 1000
+    val sessions = ev
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("session_seq", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wSess = Window.partitionBy(col("user_id"), col("session_seq"))
+    val stepped = sessions
+      .withColumn("v",
+        min(when(col("event_type") === "view", col("ts_us"))).over(wSess))
+      .withColumn("c",
+        min(when(col("event_type") === "click" && col("ts_us") >= col("v"),
+          col("ts_us"))).over(wSess))
+      .withColumn("p",
+        min(when(col("event_type") === "purchase" && col("ts_us") >= col("c"),
+          col("ts_us"))).over(wSess))
+    stepped
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(max(col("v")).as("v"), max(col("c")).as("c"), max(col("p")).as("p"))
+      .agg(
+        count(lit(1)).as("sessions"),
+        count(col("v")).as("with_view"),
+        count(col("c")).as("view_then_click"),
+        count(col("p")).as("full_path"))
+      .select(col("sessions"), col("with_view"), col("view_then_click"),
+        col("full_path"),
+        when(col("with_view") > 0,
+          expr("(view_then_click * 10000) div with_view")).as("click_conv_bp"),
+        when(col("view_then_click") > 0,
+          expr("(full_path * 10000) div view_then_click")).as("purchase_conv_bp"))
+  }
+
   def q55Funnel(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val s1 = ev.filter(col("event_type") === "view")

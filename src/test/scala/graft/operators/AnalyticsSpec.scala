@@ -163,4 +163,40 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
         assert(r.getAs[Long]("active_users") === r.getAs[Long]("cohort_users"))
     }
   }
+
+  test("q78 session funnel matches a local sessionize-and-step replay") {
+    val events = graft.sources.Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_id", "event_type", "unix_micros(ts) AS us")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val gapUs = 30L * 60 * 1000 * 1000
+    val perSession = events.groupBy(_._1).values.flatMap { rows =>
+      val sorted = rows.sortBy(e => (e._4, e._2))
+      val sessions = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer(sorted.head))
+      sorted.sliding(2).foreach { pair =>
+        if (pair.length == 2) {
+          val (a, b) = (pair(0), pair(1))
+          if (b._4 - a._4 > gapUs)
+            sessions += scala.collection.mutable.ArrayBuffer(b)
+          else sessions.last += b
+        }
+      }
+      sessions.map { s =>
+        val v = s.collect { case e if e._3 == "view" => e._4 }
+          .minOption
+        val c = v.flatMap(vt => s.collect {
+          case e if e._3 == "click" && e._4 >= vt => e._4 }.minOption)
+        val p = c.flatMap(ct => s.collect {
+          case e if e._3 == "purchase" && e._4 >= ct => e._4 }.minOption)
+        (v, c, p)
+      }
+    }.toSeq
+    val r = Analytics.q78SessionFunnel(spark, sfDir).collect()(0)
+    assert(r.getLong(0) === perSession.length.toLong)
+    assert(r.getLong(1) === perSession.count(_._1.nonEmpty).toLong)
+    assert(r.getLong(2) === perSession.count(_._2.nonEmpty).toLong)
+    assert(r.getLong(3) === perSession.count(_._3.nonEmpty).toLong)
+    assert(r.getLong(1) > 0, "the corpus must reach the funnel's first step")
+  }
 }

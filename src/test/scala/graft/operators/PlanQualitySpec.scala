@@ -197,6 +197,13 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     assert("Scan parquet".r.findAllIn(p).length === 1)
   }
 
+  test("q78: stacked step windows share one session exchange; no joins") {
+    val p = plan("q78_session_funnel")
+    assert(!p.contains("Join"), "steps are window columns, not joined frames")
+    assert("Exchange".r.findAllIn(p).length <= 3,
+      "user window + session window + 1-row final aggregate only")
+  }
+
   test("q73: batch-index screens are equi-joins, never batch x index") {
     val p = plan("q73_incremental_dedup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
