@@ -94,6 +94,7 @@ object SparkEntry {
     "q76_mixture_report"      -> TextAnalysis.q76MixtureReport _,
     "q77_incremental_rollup"  -> Olap.q77IncrementalRollup _,
     "q78_session_funnel"      -> Analytics.q78SessionFunnel _,
+    "q79_containment"         -> Dedup.q79Containment _,
   )
 
   /** Integer squared distance between a quantized vector and a
@@ -1852,6 +1853,28 @@ object SparkEntry {
         CASE WHEN view_then_click > 0
           THEN (full_path * 10000) // view_then_click END AS purchase_conv_bp
       FROM agg
+    """,
+    "q79_containment" -> """
+      WITH t AS (
+        SELECT doc_id,
+          list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                         for i in range(1, len(w) - 2)]) AS ng
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      ),
+      p AS (
+        SELECT a.doc_id AS da, b.doc_id AS db,
+          CAST(len(list_intersect(a.ng, b.ng)) AS BIGINT) AS inter,
+          CAST(len(a.ng) AS BIGINT) AS na, CAST(len(b.ng) AS BIGINT) AS nb
+        FROM t a JOIN t b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.ng, b.ng)) > 0
+      )
+      SELECT doc_src, doc_tgt, inter, size_src,
+        CAST(inter AS DOUBLE) / size_src AS containment
+      FROM (
+        SELECT da AS doc_src, db AS doc_tgt, inter, na AS size_src FROM p
+        UNION ALL
+        SELECT db AS doc_src, da AS doc_tgt, inter, nb AS size_src FROM p
+      ) WHERE CAST(inter AS DOUBLE) / size_src >= 0.5
     """,
   )
 }

@@ -392,4 +392,46 @@ object Dedup {
         (col("exact_hits").isNotNull || col("near_dups").isNotNull)
           .as("is_dup"))
   }
+
+  /** N-gram CONTAINMENT detection — the directional complement of
+    * q23's symmetric Jaccard: containment(src in tgt) =
+    * |ngrams(src) ∩ ngrams(tgt)| / |ngrams(src)|. High containment at
+    * low Jaccard is the excerpt/quote signature (a short doc embedded
+    * in a long one), the relation contamination checks and quote
+    * dedup care about and symmetric similarity misses.
+    *
+    * Same scale shape as q23: shared 4-gram counts come from the
+    * postings self-join (shuffle volume = the postings table, never
+    * the doc×doc matrix; pairs sharing zero 4-grams can't reach the
+    * 0.5 floor, so the postings join loses nothing). Each undirected
+    * join pair then fans into its two directed readings via one
+    * explode — the intersection is computed once per pair, not once
+    * per direction. */
+  def q79Containment(spark: SparkSession, dir: String): DataFrame = {
+    val withNg = docs(spark, dir)
+      .repartition(col("doc_id")) // parallelize shingling off the scan
+      .withColumn("ng", ngramHash(4))
+      .select(col("doc_id"), col("ng"))
+    val sizes = withNg.select(col("doc_id"), size(col("ng")).cast("long").as("n"))
+    val post = withNg.select(col("doc_id"), explode(col("ng")).as("g"))
+      // join-key shuffle -> ReusedExchange dedupes the postings build
+      .repartition(col("g"))
+    val inter = post.as("a")
+      .join(post.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .select(explode(array(
+        struct(col("da").as("doc_src"), col("db").as("doc_tgt"),
+          col("inter"), col("na").as("size_src")),
+        struct(col("db").as("doc_src"), col("da").as("doc_tgt"),
+          col("inter"), col("nb").as("size_src")))).as("r"))
+      .select(col("r.doc_src").as("doc_src"), col("r.doc_tgt").as("doc_tgt"),
+        col("r.inter").as("inter"), col("r.size_src").as("size_src"),
+        (col("r.inter").cast("double") / col("r.size_src")).as("containment"))
+      .filter(col("containment") >= 0.5)
+  }
 }

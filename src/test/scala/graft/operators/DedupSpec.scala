@@ -207,4 +207,26 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
     assert(q73near === crossSplit)
   }
+
+  test("q79 containment matches an exact string-4-gram replay and is direction-aware") {
+    // ground truth: string 4-gram sets, all ordered pairs
+    val withNg = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("ng", Dedup.shingles(4))
+      .select(col("doc_id"), col("ng"))
+    val truth = withNg.as("a").join(withNg.as("b"), col("a.doc_id") =!= col("b.doc_id"))
+      .withColumn("inter", size(array_intersect(col("a.ng"), col("b.ng"))))
+      .withColumn("c", col("inter").cast("double") / size(col("a.ng")))
+      .filter(col("c") >= 0.5)
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("tgt"), col("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val got = Dedup.q79Containment(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_src"), r.getAs[Long]("doc_tgt")) ->
+        r.getAs[Double]("containment")).toMap
+    assert(got === truth)
+    assert(got.nonEmpty)
+    // directionality: containment(a in b) uses |a|'s size, so a pair of
+    // unequal-sized docs has different scores per direction when both appear
+    val bothDirs = got.keySet.filter { case (a, b) => got.contains((b, a)) }
+    assert(bothDirs.nonEmpty)
+  }
 }
