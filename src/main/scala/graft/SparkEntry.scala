@@ -95,6 +95,7 @@ object SparkEntry {
     "q77_incremental_rollup"  -> Olap.q77IncrementalRollup _,
     "q78_session_funnel"      -> Analytics.q78SessionFunnel _,
     "q79_containment"         -> Dedup.q79Containment _,
+    "q80_tokenize"            -> TextAnalysis.q80TokenizeVocab _,
   )
 
   /** Integer squared distance between a quantized vector and a
@@ -1875,6 +1876,25 @@ object SparkEntry {
         UNION ALL
         SELECT db AS doc_src, da AS doc_tgt, inter, nb AS size_src FROM p
       ) WHERE CAST(inter AS DOUBLE) / size_src >= 0.5
+    """,
+    "q80_tokenize" -> """
+      WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      ),
+      vocab AS (
+        SELECT w AS term FROM (
+          SELECT w, COUNT(*) AS cnt FROM words GROUP BY 1
+        ) ORDER BY cnt DESC, w ASC LIMIT 24
+      )
+      SELECT doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_words,
+        CAST(COUNT(CASE WHEN v.term IS NULL THEN 1 END) AS BIGINT) AS oov_words,
+        CAST(SUM(CASE WHEN v.term IS NOT NULL THEN 1 ELSE len(w) END) AS BIGINT)
+          AS n_tokens,
+        CAST(COUNT(CASE WHEN v.term IS NULL THEN 1 END) AS DOUBLE) / COUNT(*)
+          AS oov_rate
+      FROM words LEFT JOIN vocab v ON words.w = v.term
+      GROUP BY doc_id
     """,
   )
 }

@@ -269,4 +269,40 @@ object TextAnalysis {
           .otherwise(lit("mid")))
       .drop("p25", "p75")
   }
+
+  /** Tokenizer APPLICATION — the step after q57's vocab induction:
+    * tokenize every document against the induced top-V word vocab
+    * with character-level fallback for out-of-vocab words (an in-vocab
+    * word is one token; an OOV word decomposes into its characters,
+    * the wordpiece-style worst case). Per-doc readout: word count,
+    * OOV words, realized token count, and the OOV rate — the numbers
+    * that decide whether a vocab is big enough before an expensive
+    * tokenizer run at corpus scale.
+    *
+    * Scale shape: the vocab is V rows BY CONSTRUCTION (TakeOrdered,
+    * deterministic count-desc/term-asc order — exactly q57's ranking),
+    * so the membership join broadcasts; everything else is one
+    * explode + one map-side-combinable groupBy over the corpus scan.
+    * Token arithmetic is integer; the only double is one final
+    * division — oracle-exact. */
+  def q80TokenizeVocab(spark: SparkSession, dir: String): DataFrame = {
+    val v = 24
+    val words = Tables.documents(spark, dir)
+      .repartition(col("doc_id")) // parallelize the explode off the scan
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val vocab = words.groupBy(col("w").as("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc)
+      .limit(v)
+      .select(col("term"))
+    words.join(broadcast(vocab), words("w") === vocab("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        count(when(col("term").isNull, 1)).as("oov_words"),
+        sum(when(col("term").isNotNull, lit(1L))
+          .otherwise(length(col("w")).cast("long"))).as("n_tokens"))
+      .select(col("doc_id"), col("n_words"), col("oov_words"), col("n_tokens"),
+        (col("oov_words").cast("double") / col("n_words")).as("oov_rate"))
+  }
 }

@@ -175,4 +175,23 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     // the synthetic corpus must exercise more than one bucket
     assert(got.values.map(_._4).toSet.size > 1)
   }
+
+  test("q80 tokenization matches a local vocab-apply replay; OOV chars counted") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    val counts = docs.flatMap(_._2).groupBy(identity).map { case (w, v) => w -> v.length }
+    val vocab = counts.toSeq.sortBy { case (w, c) => (-c, w) }.take(24).map(_._1).toSet
+    val expected = docs.map { case (id, ws) =>
+      val oov = ws.count(w => !vocab(w))
+      val tokens = ws.map(w => if (vocab(w)) 1L else w.length.toLong).sum
+      id -> (ws.length.toLong, oov.toLong, tokens, oov.toDouble / ws.length)
+    }.toMap
+    val got = TextAnalysis.q80TokenizeVocab(spark, sfDir).collect().map { r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    }.toMap
+    assert(got === expected)
+    // the fallback must fire: some doc has an OOV word
+    assert(got.values.exists(_._2 > 0))
+  }
 }
