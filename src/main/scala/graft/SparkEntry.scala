@@ -96,6 +96,7 @@ object SparkEntry {
     "q78_session_funnel"      -> Analytics.q78SessionFunnel _,
     "q79_containment"         -> Dedup.q79Containment _,
     "q80_tokenize"            -> TextAnalysis.q80TokenizeVocab _,
+    "q81_chisq_drift"         -> Stats.q81ChisqDrift _,
   )
 
   /** Integer squared distance between a quantized vector and a
@@ -1895,6 +1896,40 @@ object SparkEntry {
           AS oov_rate
       FROM words LEFT JOIN vocab v ON words.w = v.term
       GROUP BY doc_id
+    """,
+    "q81_chisq_drift" -> """
+      WITH cells AS (
+        SELECT source, w AS term, CAST(COUNT(*) AS BIGINT) AS o
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY 1, 2
+      ),
+      rt AS (SELECT source, CAST(SUM(o) AS BIGINT) AS r_tot FROM cells GROUP BY 1),
+      ct AS (
+        SELECT term, CAST(SUM(o) AS BIGINT) AS c_tot,
+          CAST(COUNT(*) AS BIGINT) AS n_sources
+        FROM cells GROUP BY 1
+      ),
+      nt AS (SELECT CAST(SUM(r_tot) AS BIGINT) AS n_tot FROM rt),
+      contrib AS (
+        SELECT c.term, ct.c_tot, ct.n_sources,
+          CAST(floor((CAST(c.o AS DOUBLE) - e) * (CAST(c.o AS DOUBLE) - e) / e
+            * 1000000.0) AS BIGINT) AS chi2_micro
+        FROM (
+          SELECT c.source, c.term, c.o,
+            CAST(rt.r_tot AS DOUBLE) * CAST(ct.c_tot AS DOUBLE)
+              / CAST((SELECT n_tot FROM nt) AS DOUBLE) AS e
+          FROM cells c JOIN rt USING (source) JOIN ct USING (term)
+        ) c JOIN ct USING (term)
+      )
+      SELECT term, chi2_micro_sum, term_total, n_sources, drift_rank FROM (
+        SELECT term,
+          CAST(SUM(chi2_micro) AS BIGINT) AS chi2_micro_sum,
+          MAX(c_tot) AS term_total,
+          MAX(n_sources) AS n_sources,
+          ROW_NUMBER() OVER (ORDER BY SUM(chi2_micro) DESC, term ASC)
+            AS drift_rank
+        FROM contrib GROUP BY term
+      ) WHERE drift_rank <= 20
     """,
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -112,5 +113,57 @@ object Stats {
         (rateA - rateB) / se).as("z_score"),
       when(col("users_a") > 0, col("rev_a") / d(col("users_a"))).as("arpu_a"),
       when(col("users_b") > 0, col("rev_b") / d(col("users_b"))).as("arpu_b"))
+  }
+
+  /** Chi-square TERM DRIFT across corpus sources — the distribution
+    * check a training pipeline runs when a new crawl/source lands: a
+    * source×term contingency table, each cell's chi-square
+    * contribution (o-e)²/e, and the top drifted terms. A term whose
+    * usage is uniform across sources contributes ~0; a term
+    * concentrated in one source dominates — exactly the "did this
+    * source shift the vocabulary distribution" question (PSI needs
+    * ln(); the chi-square statistic answers the same question in
+    * div/mul-only arithmetic that reproduces bit-for-bit across
+    * engines).
+    *
+    * Scale shape: one corpus scan → explode → the (source, term)
+    * contingency cells via a map-side-combinable groupBy; marginals
+    * are two aggregations of the CELLS (sources×vocab rows, not the
+    * corpus); the readout quantizes each cell's double contribution
+    * to integer micro-units (identical IEEE ops on exact integer
+    * inputs → identical doubles → identical floor), so the cross-
+    * source sum is an order-free integer sum and the top-20 ranking
+    * is engine-exact. */
+  def q81ChisqDrift(spark: SparkSession, dir: String): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val cells = Tables.documents(spark, dir)
+      .repartition(col("doc_id")) // parallelize the explode off the scan
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("o"))
+    val rowTot = cells.groupBy(col("source")).agg(sum(col("o")).as("r_tot"))
+    val colTot = cells.groupBy(col("term"))
+      .agg(sum(col("o")).as("c_tot"), count(lit(1)).as("n_sources"))
+    val nTot = rowTot.agg(sum(col("r_tot")).as("n_tot"))
+    // e and the contribution use doubles, but every input is an exact
+    // int64 (< 2^53) and the op sequence (*, /, -, *, /) is written
+    // identically in the oracle — bit-identical, then floored to µ-units
+    val contrib = cells
+      .join(broadcast(rowTot), "source")
+      .join(colTot, "term")
+      .crossJoin(broadcast(nTot))
+      .withColumn("e", d(col("r_tot")) * d(col("c_tot")) / d(col("n_tot")))
+      .withColumn("chi2_micro",
+        floor((d(col("o")) - col("e")) * (d(col("o")) - col("e")) / col("e")
+          * lit(1000000.0)).cast("long"))
+    val w = Window.orderBy(col("chi2_micro_sum").desc, col("term").asc)
+    contrib
+      .groupBy(col("term"))
+      .agg(
+        sum(col("chi2_micro")).as("chi2_micro_sum"),
+        max(col("c_tot")).as("term_total"),
+        max(col("n_sources")).as("n_sources"))
+      .withColumn("drift_rank", row_number().over(w))
+      .filter(col("drift_rank") <= 20)
   }
 }

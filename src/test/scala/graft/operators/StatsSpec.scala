@@ -99,4 +99,30 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     assert(uids.exists(u => mix32(u) % 2 != u % 2),
       "mix32 % 2 must not degenerate to user_id % 2")
   }
+
+  test("q81: chi-square drift matches a local contingency replay") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("source", "text").collect()
+      .flatMap(r => r.getString(1).split(" ").map(w => (r.getString(0), w)))
+    val cells = docs.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val rowTot = cells.groupBy(_._1._1).map { case (s, m) => s -> m.values.sum }
+    val colTot = cells.groupBy(_._1._2).map { case (t, m) => t -> m.values.sum }
+    val nSources = cells.groupBy(_._1._2).map { case (t, m) => t -> m.size.toLong }
+    val nTot = rowTot.values.sum
+    val chi = cells.toSeq.map { case ((s, t), o) =>
+      val e = rowTot(s).toDouble * colTot(t).toDouble / nTot.toDouble
+      t -> math.floor((o.toDouble - e) * (o.toDouble - e) / e * 1000000.0).toLong
+    }.groupBy(_._1).map { case (t, v) => t -> v.map(_._2).sum }
+    val expected = chi.toSeq.sortBy { case (t, c) => (-c, t) }.take(20)
+      .zipWithIndex.map { case ((t, c), i) =>
+        t -> ((c, colTot(t), nSources(t), i + 1))
+      }.toMap
+    val got = Stats.q81ChisqDrift(spark, sfDir).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4)))
+    }.toMap
+    assert(got === expected)
+    // a non-degenerate corpus must show nonzero drift somewhere
+    assert(got.values.exists(_._1 > 0))
+  }
 }
