@@ -97,6 +97,7 @@ object SparkEntry {
     "q79_containment"         -> Dedup.q79Containment _,
     "q80_tokenize"            -> TextAnalysis.q80TokenizeVocab _,
     "q81_chisq_drift"         -> Stats.q81ChisqDrift _,
+    "q82_pq_ann"              -> Ann.q82Pq _,
   )
 
   /** Integer squared distance between a quantized vector and a
@@ -148,6 +149,65 @@ object SparkEntry {
       c0 AS (
         SELECT rn - 1 AS cluster, q AS cq FROM (
           SELECT q, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM v
+        ) WHERE rn <= $k
+      ),${(1 to iters).map(iterCte).mkString(",")}"""
+  }
+
+  /** Exact int64 squared distance between two quantized SUBVECTORS
+    * (dsub dims) — the per-subspace unit of the PQ oracle. */
+  private def pqSdist(a: String, b: String, dsub: Int): String =
+    s"list_sum(list_transform(range(1, ${dsub + 1}), j -> ($a[j]-$b[j])*($a[j]-$b[j])))"
+
+  /** DuckDB replay of the deterministic PQ codebook training
+    * (operators/Ann.pqCodebooks): the kmeansCtes recipe with a `sub`
+    * dimension folded into every key, so all m subspaces train in one
+    * CTE chain — same quantization, integer argmin tie-breaks, and
+    * floor-division update. Ends in `pc$iters(sub, code, cq)` plus
+    * `vs(vec_id, sub, sq)`. */
+  private def pqCtes(m: Int, k: Int, iters: Int): String = {
+    val dsub = 64 / m
+    def iterCte(i: Int): String = {
+      val prev = s"pc${i - 1}"
+      s"""
+      pa$i AS (
+        SELECT vec_id, sub, sq, code FROM (
+          SELECT vs.vec_id, vs.sub, vs.sq, c.code,
+            ROW_NUMBER() OVER (PARTITION BY vs.vec_id, vs.sub
+              ORDER BY ${pqSdist("vs.sq", "c.cq", dsub)} ASC, c.code ASC) AS rn
+          FROM vs JOIN $prev c ON vs.sub = c.sub
+        ) WHERE rn = 1
+      ),
+      ps$i AS (
+        SELECT sub, code, j, SUM(sq[j]) AS s, COUNT(*) AS cnt
+        FROM pa$i CROSS JOIN (SELECT unnest(range(1, ${dsub + 1})) AS j) dims
+        GROUP BY 1, 2, 3
+      ),
+      pn$i AS (
+        SELECT sub, code,
+          list((s - ((s % cnt + cnt) % cnt)) // cnt ORDER BY j) AS cq
+        FROM ps$i GROUP BY 1, 2
+      ),
+      pc$i AS (
+        SELECT p.sub, p.code, COALESCE(x.cq, p.cq) AS cq
+        FROM $prev p LEFT JOIN pn$i x ON p.sub = x.sub AND p.code = x.code
+      )"""
+    }
+    s"""v AS (
+        SELECT vec_id,
+          list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 16777216.0) AS BIGINT)) AS q
+        FROM embeddings
+      ),
+      vs AS (
+        SELECT vec_id, sub,
+          list_slice(q, sub * $dsub + 1, sub * $dsub + $dsub) AS sq
+        FROM v CROSS JOIN (SELECT unnest(range(0, $m)) AS sub) subs
+      ),
+      pc0 AS (
+        SELECT sub, rn - 1 AS code, sq AS cq FROM (
+          SELECT sub, sq,
+            ROW_NUMBER() OVER (PARTITION BY sub ORDER BY vec_id) AS rn
+          FROM vs
         ) WHERE rn <= $k
       ),${(1 to iters).map(iterCte).mkString(",")}"""
   }
@@ -1930,6 +1990,48 @@ object SparkEntry {
             AS drift_rank
         FROM contrib GROUP BY term
       ) WHERE drift_rank <= 20
+    """,
+    "q82_pq_ann" -> s"""
+      WITH ${pqCtes(m = 8, k = 16, iters = 3)},
+      enc AS (
+        SELECT vec_id, sub, code FROM (
+          SELECT vs.vec_id, vs.sub, c.code,
+            ROW_NUMBER() OVER (PARTITION BY vs.vec_id, vs.sub
+              ORDER BY ${pqSdist("vs.sq", "c.cq", 8)} ASC, c.code ASC) AS rn
+          FROM vs JOIN pc3 c ON vs.sub = c.sub
+        ) WHERE rn = 1
+      ),
+      adc AS (
+        SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+          CAST(SUM(${pqSdist("p.sq", "cb.cq", 8)}) AS BIGINT) AS adc_dist
+        FROM vs p
+        JOIN enc e ON p.sub = e.sub
+        JOIN pc3 cb ON cb.sub = e.sub AND cb.code = e.code
+        WHERE p.vec_id % 50 = 0 AND e.vec_id <> p.vec_id
+        GROUP BY 1, 2
+      ),
+      short AS (
+        SELECT probe_id, neighbor_id, adc_dist FROM (
+          SELECT probe_id, neighbor_id, adc_dist,
+            ROW_NUMBER() OVER (PARTITION BY probe_id
+              ORDER BY adc_dist ASC, neighbor_id ASC) AS adc_rank
+          FROM adc
+        ) WHERE adc_rank <= 100
+      ),
+      rerank AS (
+        SELECT s.probe_id, s.neighbor_id, s.adc_dist,
+          CAST(list_sum(list_transform(range(1, 65),
+            j -> (p.q[j]-n.q[j])*(p.q[j]-n.q[j]))) AS BIGINT) AS dist
+        FROM short s
+        JOIN v p ON s.probe_id = p.vec_id
+        JOIN v n ON s.neighbor_id = n.vec_id
+      )
+      SELECT probe_id, neighbor_id, "rank", adc_dist, dist FROM (
+        SELECT probe_id, neighbor_id, adc_dist, dist,
+          ROW_NUMBER() OVER (PARTITION BY probe_id
+            ORDER BY dist ASC, neighbor_id ASC) AS "rank"
+        FROM rerank
+      ) WHERE "rank" <= 10
     """,
   )
 }

@@ -146,6 +146,86 @@ object ClusterKernels {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** Product-quantization ENCODE: for each of the m subspaces, the
+    * nearest code (exact int64 distance on the quantized subvector,
+    * ties → lower code id). codebooks is m × k × (dim/m). One pass
+    * per row — the whole corpus compresses to m small ints per
+    * vector. */
+  def pqCodes(v: ArrayData, codebooks: Array[Array[Array[Long]]]): ArrayData = {
+    val m = codebooks.length
+    val dsub = v.numElements() / m
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val codes = codebooks(s)
+      val base = s * dsub
+      var best = -1
+      var bestD = Long.MaxValue
+      var c = 0
+      while (c < codes.length) {
+        val cent = codes(c)
+        var d = 0L
+        var i = 0
+        while (i < dsub) {
+          val diff = v.getLong(base + i) - cent(i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Exact int64 squared distance between two quantized vectors —
+    * the PQ rerank unit (and the ground truth ADC approximates). */
+  def intSqDist(a: ArrayData, b: ArrayData): Long = {
+    val dim = a.numElements()
+    var d = 0L
+    var i = 0
+    while (i < dim) {
+      val t = a.getLong(i) - b.getLong(i)
+      d += t * t
+      i += 1
+    }
+    d
+  }
+
+  /** Product-quantization ADC distance table for one probe: entry
+    * s*k + c = exact int64 squared distance between the probe's s-th
+    * quantized subvector and code c of subspace s. Computed ONCE per
+    * probe; scoring a candidate is then m table lookups + m-1 adds —
+    * the asymmetric-distance trick that makes PQ scans cheap. */
+  def pqDistTable(v: ArrayData, codebooks: Array[Array[Array[Long]]]): ArrayData = {
+    val m = codebooks.length
+    val k = codebooks(0).length
+    val dsub = v.numElements() / m
+    val out = new Array[Long](m * k)
+    var s = 0
+    while (s < m) {
+      val codes = codebooks(s)
+      val base = s * dsub
+      var c = 0
+      while (c < k) {
+        val cent = codes(c)
+        var d = 0L
+        var i = 0
+        while (i < dsub) {
+          val diff = v.getLong(base + i) - cent(i)
+          d += diff * diff
+          i += 1
+        }
+        out(s * k + c) = d
+        c += 1
+      }
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** Assign a float vector to its nearest centroid — the per-row half of
@@ -205,6 +285,55 @@ case class NearestCellsInt(child: Expression, centroids: Array[Array[Long]], p: 
   override protected def withNewChildInternal(newChild: Expression): NearestCellsInt =
     copy(child = newChild)
   override def prettyName: String = "nearest_cells_int"
+}
+
+/** Product-quantization codes of a QUANTIZED (array<long>) vector —
+  * one small int per subspace; see ClusterKernels.pqCodes. */
+case class PqCodesInt(child: Expression, codebooks: Array[Array[Array[Long]]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    ClusterKernels.pqCodes(input.asInstanceOf[ArrayData], codebooks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "long[][][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ClusterKernels.pqCodes($c, $ref);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqCodesInt =
+    copy(child = newChild)
+  override def prettyName: String = "pq_codes_int"
+}
+
+/** Per-probe PQ ADC distance table (m*k exact int64 entries) — see
+  * ClusterKernels.pqDistTable. */
+case class PqDistTableInt(child: Expression, codebooks: Array[Array[Array[Long]]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    ClusterKernels.pqDistTable(input.asInstanceOf[ArrayData], codebooks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "long[][][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ClusterKernels.pqDistTable($c, $ref);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqDistTableInt =
+    copy(child = newChild)
+  override def prettyName: String = "pq_dist_table_int"
+}
+
+/** Exact int64 squared distance between two quantized vectors. */
+case class IntVecSqDist(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ClusterKernels.intSqDist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.ClusterKernels.intSqDist($a, $b);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntVecSqDist =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "int_vec_sq_dist"
 }
 
 /** The p nearest centroid ids for a float vector — IVF cell probes. */

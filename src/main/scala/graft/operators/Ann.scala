@@ -120,6 +120,125 @@ object Ann {
       .select(col("probe_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** Product-quantization codebooks: m per-subspace code tables
+    * trained by the same DETERMINISTIC quantized Lloyd's recipe as
+    * Clustering.centroidsQuantized (exact int64 distances, ties →
+    * lower code, integer floor-div centroid update, init = the k
+    * lowest vec_ids' subvectors, fixed iterations) — run on all m
+    * subspaces AT ONCE: each iteration is ONE corpus pass (PqCodesInt
+    * assigns every subspace in a single codegen'd expression) and one
+    * (m·k·dsub)-row reduction to the driver. The "model" is
+    * m·k·(dim/m) = k·dim longs — broadcast-sized regardless of corpus
+    * size, and bit-reproducible on any engine (the q82 oracle replays
+    * the identical iterations in DuckDB). */
+  def pqCodebooks(spark: SparkSession, dir: String, m: Int, k: Int,
+      iters: Int): Array[Array[Array[Long]]] = {
+    import org.apache.spark.sql.graftbridge.Bridge.{column => exprColQ, expression => exprQ}
+    val vecs = Clustering.quantizedVecs(spark, dir).persist()
+    val initRows: Array[Array[Long]] = vecs
+      .orderBy(col("vec_id")).limit(k).collect()
+      .map(_.getAs[scala.collection.Seq[Long]]("q").toArray)
+    val dim = initRows(0).length
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val dsub = dim / m
+    var cents: Array[Array[Array[Long]]] = Array.tabulate(m)(s =>
+      Array.tabulate(k)(c => initRows(c).slice(s * dsub, (s + 1) * dsub)))
+    var it = 0
+    while (it < iters) {
+      val sums = vecs
+        .withColumn("codes", exprColQ(graft.functions.PqCodesInt(exprQ(col("q")), cents)))
+        .select(col("codes"), posexplode(col("q")).as(Seq("pos", "x")))
+        .select(
+          expr(s"pos div $dsub").cast("int").as("sub"),
+          element_at(col("codes"), expr(s"pos div $dsub").cast("int") + 1).as("code"),
+          expr(s"pos % $dsub").cast("int").as("j"),
+          col("x"))
+        .groupBy(col("sub"), col("code"), col("j"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.map(_.clone()))
+      sums.foreach { r =>
+        next(r.getAs[Int]("sub"))(r.getAs[Int]("code"))(r.getAs[Int]("j")) =
+          Math.floorDiv(r.getAs[Long]("s"), r.getAs[Long]("n"))
+      }
+      cents = next
+      it += 1
+    }
+    vecs.unpersist(blocking = false)
+    cents
+  }
+
+  /** Product-quantization ANN (the memory-bound half of a production
+    * IVF-PQ index), in its standard two-stage shape:
+    *
+    *  1. ADC SCAN — the corpus compresses to m=8 code ids per vector
+    *     (4 bits each here; 64 floats originally), each probe
+    *     precomputes its m×k ADC distance table ONCE, and scoring a
+    *     candidate is m table lookups + adds — no per-pair O(dim)
+    *     loop. The scan keeps a per-probe SHORTLIST (top-100 by adc,
+    *     neighbor asc).
+    *  2. EXACT RERANK — only shortlist candidates fetch their full
+    *     quantized vectors; exact int64 distances re-rank them and
+    *     top-10 survive. Recall is then "is the true neighbor in the
+    *     ADC shortlist" (0.83 measured on the near-random sf0.01
+    *     corpus, 0.61 at sf0.1 where the fixed 100-candidate
+    *     shortlist is a 4x smaller corpus fraction — AnnSpec) rather
+    *     than "does 32-bit-compressed ADC
+    *     rank it exactly" (~0.2 — random data is PQ's worst case).
+    *
+    * Every distance is exact int64 on quantized vectors end-to-end,
+    * so both stages' rankings are engine-exact and the whole query —
+    * codebook training included — is oracle-checked, unlike typical
+    * float-ADC implementations whose ranking drifts with accumulation
+    * order.
+    *
+    * Scale: training is one scan per iteration reducing to k·dim
+    * longs; the encode pass streams once; probes broadcast (small by
+    * the q24 contract); the rerank fetch is |probes|·shortlist rows —
+    * at 100 TB the ADC scan reads m·4 bits per row instead of the
+    * raw vectors (the classic PQ bandwidth win), and only the
+    * shortlist touches full vectors. */
+  def q82Pq(spark: SparkSession, dir: String): DataFrame =
+    pqScan(spark, dir, m = 8, k = 16, iters = 3, shortlist = 100, topK = 10)
+
+  def pqScan(spark: SparkSession, dir: String, m: Int, k: Int, iters: Int,
+      shortlist: Int, topK: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge.{column => exprColQ, expression => exprQ}
+    val cents = pqCodebooks(spark, dir, m, k, iters)
+    val vecs = Clustering.quantizedVecs(spark, dir)
+    val corpus = vecs
+      .select(col("vec_id").as("neighbor_id"),
+        exprColQ(graft.functions.PqCodesInt(exprQ(col("q")), cents)).as("codes"))
+    val probes = vecs.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("probe_id"),
+        exprColQ(graft.functions.PqDistTableInt(exprQ(col("q")), cents)).as("dtab"))
+    val adc = (0 until m).map(s =>
+        element_at(col("dtab"), lit(s * k + 1) + element_at(col("codes"), s + 1)))
+      .reduce(_ + _)
+    val wAdc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    val short = corpus.join(broadcast(probes), col("probe_id") =!= col("neighbor_id"))
+      .withColumn("adc_dist", adc)
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= shortlist)
+      .select(col("probe_id"), col("neighbor_id"), col("adc_dist"))
+    // exact rerank: only shortlist rows fetch full vectors
+    val pq = vecs.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("probe_id"), col("q").as("pq"))
+    val nq = vecs.select(col("vec_id").as("neighbor_id"), col("q").as("nq"))
+    val wExact = Window.partitionBy(col("probe_id"))
+      .orderBy(col("dist").asc, col("neighbor_id").asc)
+    short
+      .join(nq, "neighbor_id")
+      .join(broadcast(pq), "probe_id")
+      .withColumn("dist",
+        exprColQ(graft.functions.IntVecSqDist(exprQ(col("pq")), exprQ(col("nq")))))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= topK)
+      .select(col("probe_id"), col("neighbor_id"), col("rank"),
+        col("adc_dist"), col("dist"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold.
     * Candidates come from random-hyperplane LSH bucket collisions
     * (HyperplaneBuckets — the q25 machinery), verified by exact

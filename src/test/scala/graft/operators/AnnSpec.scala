@@ -125,4 +125,84 @@ class AnnSpec extends AnyFunSuite with SparkFixture {
     info(s"LSH near-dup recall at sf0.1 = $recall")
     assert(recall >= 0.95, s"recall $recall below floor")
   }
+
+  /** Exact top-k by quantized int distance — the ranking PQ's ADC
+    * approximates; measures codebook quality, not float noise. */
+  private def pqRecall(dir: String, topK: Int): Double = {
+    val q = spark.read.parquet(s"$dir/embeddings.parquet").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding").map(x =>
+          math.floor(x.toDouble * Clustering.QuantScale).toLong).toArray)
+      .toMap
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var d = 0L; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
+      d
+    }
+    val probes = q.keys.filter(_ % 50 == 0)
+    val exact = probes.flatMap { p =>
+      q.toSeq.filter(_._1 != p)
+        .map { case (id, v) => (id, d2(q(p), v)) }
+        .sortBy { case (id, dd) => (dd, id) }.take(topK)
+        .map { case (id, _) => (p, id) }
+    }.toSet
+    val got = Ann.q82Pq(spark, dir).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    (got & exact).size.toDouble / exact.size
+  }
+
+  test("q82 PQ: adc + exact distances match a local codebook replay; ranks dense") {
+    val m = 8
+    val cents = Ann.pqCodebooks(spark, sfDir, m = m, k = 16, iters = 3)
+    val q = spark.read.parquet(s"$sfDir/embeddings.parquet").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding").map(x =>
+          math.floor(x.toDouble * Clustering.QuantScale).toLong).toArray)
+      .toMap
+    val dsub = 64 / m
+    def subDist(v: Array[Long], s: Int, cent: Array[Long]): Long = {
+      var d = 0L; var i = 0
+      while (i < dsub) { val t = v(s * dsub + i) - cent(i); d += t * t; i += 1 }
+      d
+    }
+    def encode(v: Array[Long]): Array[Int] =
+      Array.tabulate(m) { s =>
+        cents(s).zipWithIndex.minBy { case (c, i) => (subDist(v, s, c), i) }._2
+      }
+    def exactDist(a: Array[Long], b: Array[Long]): Long = {
+      var d = 0L; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
+      d
+    }
+    val rows = Ann.q82Pq(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p = q(r.getAs[Long]("probe_id"))
+      val n = q(r.getAs[Long]("neighbor_id"))
+      val codes = encode(n)
+      val adc = (0 until m).map(s => subDist(p, s, cents(s)(codes(s)))).sum
+      assert(r.getAs[Long]("adc_dist") === adc,
+        s"adc mismatch for ${r.getAs[Long]("probe_id")}->${r.getAs[Long]("neighbor_id")}")
+      assert(r.getAs[Long]("dist") === exactDist(p, n))
+    }
+    rows.groupBy(_.getAs[Long]("probe_id")).values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.sameElements(1 to rs.length))
+      val ds = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("dist"))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("q82 PQ recall@10 vs the exact quantized ranking at both corpus sizes") {
+    // measured 0.83 (sf0.01) / 0.61 (sf0.1) on the deterministic
+    // near-random corpus — PQ's hardest regime (on clustered data the
+    // codebooks adapt and recall rises); the recall lever is the ADC
+    // shortlist (100 — at sf0.1 that's 5% of the corpus vs 20% at
+    // sf0.01, hence the drop), which the exact rerank then orders
+    val r1 = pqRecall(sfDir, 10)
+    info(s"PQ recall@10 = $r1")
+    assert(r1 >= 0.70, s"recall $r1")
+    val r2 = pqRecall("/root/testdata/sf0.1", 10)
+    info(s"PQ recall@10 at sf0.1 = $r2")
+    assert(r2 >= 0.60, s"recall $r2")
+  }
 }

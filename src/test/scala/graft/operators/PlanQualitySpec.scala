@@ -218,4 +218,30 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("SortMergeJoin"),
       "the corpus must never shuffle for a join — only by shard for its window")
   }
+
+  test("q79: containment candidates come from the postings equi-join") {
+    val df = graft.SparkEntry.queries("q79_containment")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      "the postings self-join must reuse one shingling pass")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q80: the induced vocab broadcasts; the corpus never sorts globally") {
+    val p = plan("q80_tokenize")
+    assert(p.contains("BroadcastHashJoin"), "V-row vocab must broadcast")
+    assert(p.contains("TakeOrderedAndProject"),
+      "vocab selection must be TakeOrdered, not a global sort")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q82: PQ probe tables broadcast; rerank fetch is an equi-join") {
+    val p = plan("q82_pq_ann")
+    // ADC scan: probes (dtab) broadcast against the coded corpus via
+    // the non-equi probe != neighbor condition — the q24 contract
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    // rerank: shortlist ids fetch vectors through hash joins only
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+  }
 }
