@@ -244,4 +244,15 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     // rerank: shortlist ids fetch vectors through hash joins only
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
   }
+
+  test("rank-filtered windows compile to WindowGroupLimit in the ANN family") {
+    // Spark 4.x pushes a row_number() <= k filter into per-partition
+    // top-k pruning (WindowGroupLimit) ahead of the window sort — the
+    // property that keeps window top-k viable at scale, pinned here so
+    // a formulation change can't silently fall back to full sorts
+    Seq("q24_ann_bruteforce", "q45_ann_ivf", "q82_pq_ann").foreach { q =>
+      assert(plan(q).contains("WindowGroupLimit"),
+        s"$q must prune per-partition before the window sort")
+    }
+  }
 }
