@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.Bridge.{column => exprCol, expression}
-import graft.functions.{FloatVecCosine, NearestCellsInt}
-import graft.operators.Clustering
+import graft.functions.{FloatVecCosine, IntVecSqDist, NearestCellsInt, PqCodesInt, PqDistTableInt}
+import graft.operators.{Ann, Clustering}
 
 /** Persisted IVF index — the production shape of ANN at 100 TB: train
   * the coarse quantizer ONCE, write the corpus partitioned by cell,
@@ -83,4 +83,103 @@ object IvfIndex {
   def readCells(spark: SparkSession, path: String, cells: Seq[Int]): DataFrame =
     spark.read.parquet(s"$path/corpus")
       .filter(col("cell").isin(cells: _*))
+
+  // ---- IVF-PQ: the compressed index ----------------------------------
+
+  /** Build the IVF-PQ artifact — the full production ANN index shape:
+    * coarse quantizer (k cells) for pruning + per-subspace PQ
+    * codebooks (operators/Ann.pqCodebooks) for in-cell scanning.
+    * Layout adds to build()'s:
+    *  - `<path>/codebooks` = (sub, code, cq) rows — m·pqK subvector
+    *    centroids, broadcast-sized;
+    *  - `<path>/corpus_pq` = (vec_id, codes) PARTITIONED BY cell —
+    *    m small ints per vector, NO raw vectors: the scan a probe
+    *    actually reads is both partition-pruned (IVF) and ~64×
+    *    narrower than the float corpus (PQ);
+    *  - `<path>/vectors` = (vec_id, q) — the quantized vectors, read
+    *    ONLY by the shortlist rerank fetch.
+    * Everything is exact integer arithmetic end-to-end, so a rebuild
+    * on any engine reproduces the identical artifact. */
+  def buildPq(spark: SparkSession, dir: String, path: String,
+      k: Int, iters: Int, m: Int, pqK: Int, pqIters: Int): Unit = {
+    import spark.implicits._
+    val cents = Clustering.centroidsQuantized(spark, dir, k, iters)
+    cents.zipWithIndex
+      .map { case (cq, cell) => (cell, cq.toSeq) }.toSeq
+      .toDF("cell", "cq")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    val books = Ann.pqCodebooks(spark, dir, m, pqK, pqIters)
+    books.zipWithIndex.flatMap { case (codes, sub) =>
+      codes.zipWithIndex.map { case (cq, code) => (sub, code, cq.toSeq) }
+    }.toSeq
+      .toDF("sub", "code", "cq")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    val vecs = Clustering.quantizedVecs(spark, dir)
+    vecs
+      .withColumn("cell", exprCol(NearestCellsInt(expression(col("q")), cents, 1))(0))
+      .withColumn("codes", exprCol(PqCodesInt(expression(col("q")), books)))
+      .select(col("vec_id"), col("codes"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/corpus_pq")
+    vecs.write.mode("overwrite").parquet(s"$path/vectors")
+  }
+
+  /** The stored PQ codebooks, (sub, code)-ordered. */
+  def readCodebooks(spark: SparkSession, path: String): Array[Array[Array[Long]]] =
+    spark.read.parquet(s"$path/codebooks")
+      .orderBy(col("sub"), col("code")).collect()
+      .map(r => (r.getAs[Int]("sub"),
+        r.getAs[scala.collection.Seq[Long]]("cq").toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.map(_._2)).toArray
+
+  /** Serve top-k against the IVF-PQ artifact: probes assign their own
+    * cells and ADC tables from the two tiny stored models; the
+    * cell-joined scan reads ONLY probed partitions and ONLY the code
+    * columns; a per-probe ADC shortlist then fetches full vectors
+    * from `<path>/vectors` for the exact integer rerank (the q82
+    * two-stage contract, served from disk). */
+  def probePq(spark: SparkSession, path: String, probes: DataFrame,
+      nProbeCells: Int, shortlist: Int, topK: Int): DataFrame = {
+    val cents = readCentroids(spark, path)
+    val books = readCodebooks(spark, path)
+    val m = books.length
+    val pqK = books(0).length
+    val p = probes
+      .select(col("vec_id").as("probe_id"),
+        Clustering.quantizedCol.as("pq_vec"))
+      .select(col("probe_id"), col("pq_vec"),
+        exprCol(PqDistTableInt(expression(col("pq_vec")), books)).as("dtab"),
+        explode(exprCol(NearestCellsInt(expression(col("pq_vec")), cents,
+          nProbeCells))).as("cell"))
+    val corpus = spark.read.parquet(s"$path/corpus_pq")
+      .select(col("vec_id").as("neighbor_id"), col("codes"), col("cell"))
+    val adc = (0 until m).map(s =>
+        element_at(col("dtab"), lit(s * pqK + 1) + element_at(col("codes"), s + 1)))
+      .reduce(_ + _)
+    val wAdc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    val short = p.join(corpus, "cell")
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("adc_dist", adc)
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= shortlist)
+      .select(col("probe_id"), col("pq_vec"), col("neighbor_id"), col("adc_dist"))
+      // no pair dedup needed: each corpus vector lives in exactly one
+      // cell, so (probe, neighbor) meets at most once across the fan-out
+    val nq = spark.read.parquet(s"$path/vectors")
+      .select(col("vec_id").as("neighbor_id"), col("q").as("nq"))
+    val wExact = Window.partitionBy(col("probe_id"))
+      .orderBy(col("dist").asc, col("neighbor_id").asc)
+    short
+      .join(nq, "neighbor_id")
+      .withColumn("dist",
+        exprCol(IntVecSqDist(expression(col("pq_vec")), expression(col("nq")))))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= topK)
+      .select(col("probe_id"), col("neighbor_id"), col("rank"),
+        col("adc_dist"), col("dist"))
+  }
 }

@@ -479,4 +479,63 @@ class InfraSpec extends AnyFunSuite with SparkFixture {
     val cells = pruned.select("cell").distinct().collect().map(_.getInt(0)).toSet
     assert(cells.subsetOf(Set(0, 1)))
   }
+
+  test("IVF-PQ index: codes-only partitions; served results match an integer replay") {
+    val path = Files.createTempDirectory("graft-ivfpq").toString
+    val (k, m, pqK) = (16, 8, 16)
+    IvfIndex.buildPq(spark, sfDir, path, k = k, iters = 5, m = m,
+      pqK = pqK, pqIters = 3)
+
+    // the cell partitions store codes, never vectors — the PQ claim
+    val corpusPq = spark.read.parquet(s"$path/corpus_pq")
+    assert(corpusPq.columns.toSet === Set("vec_id", "codes", "cell"))
+
+    val probes = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 50 === 0).select("vec_id", "embedding")
+    val served = IvfIndex.probePq(spark, path, probes,
+      nProbeCells = 6, shortlist = 50, topK = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+      .toSet
+
+    // local replay from the stored models — all-integer, so exact
+    val cents = IvfIndex.readCentroids(spark, path)
+    val books = IvfIndex.readCodebooks(spark, path)
+    val q = Tables.embeddings(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(x =>
+          math.floor(x.toDouble * graft.operators.Clustering.QuantScale).toLong).toArray)
+      .toMap
+    val dim = 64; val dsub = dim / m
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var d = 0L; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
+      d
+    }
+    def subDist(v: Array[Long], s: Int, cent: Array[Long]): Long = {
+      var d = 0L; var i = 0
+      while (i < dsub) { val t = v(s * dsub + i) - cent(i); d += t * t; i += 1 }
+      d
+    }
+    def nearestCells(v: Array[Long], p: Int): Seq[Int] =
+      cents.zipWithIndex.map { case (c, i) => (d2(v, c), i) }
+        .sortBy { case (d, i) => (d, i) }.take(p).map(_._2).toSeq
+    val cellOf = q.map { case (id, v) => id -> nearestCells(v, 1).head }
+    val codesOf = q.map { case (id, v) =>
+      id -> Array.tabulate(m)(s =>
+        books(s).zipWithIndex.minBy { case (c, i) => (subDist(v, s, c), i) }._2)
+    }
+    val expected = q.keys.filter(_ % 50 == 0).flatMap { pid =>
+      val pv = q(pid)
+      val myCells = nearestCells(pv, 6).toSet
+      val cand = q.keys.filter(n => n != pid && myCells(cellOf(n))).toSeq
+      val sl = cand.map { n =>
+        (n, (0 until m).map(s => subDist(pv, s, books(s)(codesOf(n)(s)))).sum)
+      }.sortBy { case (n, adc) => (adc, n) }.take(50)
+      sl.map { case (n, adc) => (n, adc, d2(pv, q(n))) }
+        .sortBy { case (n, _, d) => (d, n) }.take(5)
+        .zipWithIndex.map { case ((n, adc, d), i) => (pid, n, i + 1, adc, d) }
+    }.toSet
+    assert(served === expected)
+    assert(served.nonEmpty)
+  }
 }
