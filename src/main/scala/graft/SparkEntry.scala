@@ -98,6 +98,7 @@ object SparkEntry {
     "q80_tokenize"            -> TextAnalysis.q80TokenizeVocab _,
     "q81_chisq_drift"         -> Stats.q81ChisqDrift _,
     "q82_pq_ann"              -> Ann.q82Pq _,
+    "q83_dup_span"            -> Dedup.q83DupSpan _,
   )
 
   /** Integer squared distance between a quantized vector and a
@@ -2032,6 +2033,35 @@ object SparkEntry {
             ORDER BY dist ASC, neighbor_id ASC) AS "rank"
         FROM rerank
       ) WHERE "rank" <= 10
+    """,
+    "q83_dup_span" -> """
+      WITH g AS (
+        SELECT doc_id, i AS pos,
+          w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        CROSS JOIN LATERAL (SELECT unnest(range(1, len(w) - 2)) AS i)
+        WHERE len(w) >= 4
+      ),
+      shared AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          a.pos - b.pos AS delta, a.pos AS ia
+        FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      ),
+      runs AS (
+        SELECT doc_a, doc_b, delta,
+          ia - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, delta
+                                  ORDER BY ia) AS isl
+        FROM shared
+      ),
+      islands AS (
+        SELECT doc_a, doc_b, delta, isl,
+          CAST(COUNT(*) + 3 AS BIGINT) AS span_words
+        FROM runs GROUP BY 1, 2, 3, 4
+      )
+      SELECT doc_a, doc_b,
+        MAX(span_words) AS max_span,
+        CAST(COUNT(*) AS BIGINT) AS aligned_runs
+      FROM islands GROUP BY 1, 2 HAVING MAX(span_words) >= 10
     """,
   )
 }

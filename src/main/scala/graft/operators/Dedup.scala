@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -433,5 +434,63 @@ object Dedup {
         col("r.inter").as("inter"), col("r.size_src").as("size_src"),
         (col("r.inter").cast("double") / col("r.size_src")).as("containment"))
       .filter(col("containment") >= 0.5)
+  }
+
+  /** POSITIONAL 4-gram hashes — ngramHash without the distinct and
+    * with window order preserved, so consecutive-run structure
+    * survives (the q83 unit). */
+  private[operators] def ngramHashPositional(n: Int): Column = {
+    val args = (0 until n).map(k => s"hw[i+$k]").mkString(", ")
+    expr(
+      s"""transform(
+           array(transform(split(text, ' '), x -> xxhash64(x))),
+           hw -> CASE WHEN size(hw) >= $n THEN transform(
+             sequence(0, size(hw) - $n),
+             i -> xxhash64($args))
+             ELSE CAST(array() AS array<bigint>) END)[0]""")
+  }
+
+  /** Duplicated-SPAN detection — the exact-substring dedup signal
+    * (cf. PAPERS.md "Deduplicating Training Data Makes Language
+    * Models Better"): the longest run of CONSECUTIVE shared 4-grams
+    * between two documents, i.e. their longest common contiguous
+    * word span. Set-similarity (q23/q79) scores global overlap; this
+    * finds verbatim copied passages inside otherwise-different
+    * documents — what suffix-array dedup detects, reformulated as
+    * joins + windows so it distributes.
+    *
+    * Shape: positional 4-gram postings self-join (the q23 postings
+    * discipline — shuffle volume is shared-gram pairs, never the
+    * doc×doc matrix); shared positions at a fixed alignment offset
+    * (delta = pos_a - pos_b) form runs detected by the classic
+    * gaps-and-islands trick: pos - row_number() is constant within a
+    * consecutive run, one window over the (pair, delta) partitions.
+    * All integer — oracle-exact. */
+  def q83DupSpan(spark: SparkSession, dir: String): DataFrame = {
+    val minSpan = 10
+    val n = 4
+    val post = docs(spark, dir)
+      .repartition(col("doc_id")) // parallelize shingling off the scan
+      .select(col("doc_id"), posexplode(ngramHashPositional(n)).as(Seq("pos", "g")))
+      // join-key shuffle -> ReusedExchange dedupes the postings build
+      .repartition(col("g"))
+    val shared = post.as("a")
+      .join(post.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (col("a.pos") - col("b.pos")).as("delta"), col("a.pos").as("ia"))
+      // the tiny-vocab corpus repeats grams WITHIN docs: one (ia, delta)
+      // cell can arise from several ib matches — runs count each once
+      .dropDuplicates("doc_a", "doc_b", "delta", "ia")
+    val wRun = Window.partitionBy(col("doc_a"), col("doc_b"), col("delta"))
+      .orderBy(col("ia"))
+    shared
+      .withColumn("isl", col("ia") - row_number().over(wRun))
+      .groupBy(col("doc_a"), col("doc_b"), col("delta"), col("isl"))
+      .agg((count(lit(1)) + lit(n - 1)).as("span_words"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("span_words")).as("max_span"),
+        count(lit(1)).as("aligned_runs"))
+      .filter(col("max_span") >= minSpan)
   }
 }

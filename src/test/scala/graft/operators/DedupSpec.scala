@@ -229,4 +229,53 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     val bothDirs = got.keySet.filter { case (a, b) => got.contains((b, a)) }
     assert(bothDirs.nonEmpty)
   }
+
+  test("q83 dup spans match a string-gram islands replay and an LCS cross-check") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" "))
+    // replay: positional string 4-grams -> shared (pair, delta, ia) -> islands
+    val posts = docs.flatMap { case (id, ws) =>
+      ws.sliding(4).zipWithIndex.collect {
+        case (g, i) if g.length == 4 => (g.mkString(" "), id, i)
+      }
+    }.groupBy(_._1)
+    val sharedCells = posts.values.iterator.flatMap { hits =>
+      for {
+        (_, da, ia) <- hits.iterator
+        (_, db, ib) <- hits.iterator
+        if da < db
+      } yield ((da, db, ia - ib), ia)
+    }.toSeq.distinct
+    val expected = sharedCells.groupBy(_._1).toSeq.flatMap { case ((da, db, _), cells) =>
+      val ias = cells.map(_._2).sorted
+      // islands: consecutive ia runs
+      val runs = ias.foldLeft(List.empty[List[Int]]) {
+        case (acc, i) if acc.nonEmpty && acc.head.head == i - 1 =>
+          (i :: acc.head) :: acc.tail
+        case (acc, i) => List(i) :: acc
+      }
+      runs.map(r => (da, db) -> (r.length + 3))
+    }.groupBy(_._1).map { case (pair, spans) =>
+      pair -> ((spans.map(_._2).max.toLong, spans.size.toLong))
+    }.filter(_._2._1 >= 10)
+    val got = Dedup.q83DupSpan(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // independent cross-check: the top pair's span equals the true
+    // longest common contiguous word run, by dynamic programming
+    val ((ta, tb), (topSpan, _)) = got.maxBy(_._2._1)
+    val (wa, wb) = (docs.toMap.apply(ta), docs.toMap.apply(tb))
+    val dp = Array.ofDim[Int](wa.length + 1, wb.length + 1)
+    var best = 0
+    for (i <- 1 to wa.length; j <- 1 to wb.length) {
+      if (wa(i - 1) == wb(j - 1)) {
+        dp(i)(j) = dp(i - 1)(j - 1) + 1
+        if (dp(i)(j) > best) best = dp(i)(j)
+      }
+    }
+    assert(topSpan === best.toLong)
+  }
 }

@@ -245,6 +245,15 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
   }
 
+  test("q83: span candidates come from the positional postings equi-join") {
+    val df = graft.SparkEntry.queries("q83_dup_span")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      "the postings self-join must reuse one shingling pass")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("rank-filtered windows compile to WindowGroupLimit in the ANN family") {
     // Spark 4.x pushes a row_number() <= k filter into per-partition
     // top-k pruning (WindowGroupLimit) ahead of the window sort — the
