@@ -99,6 +99,7 @@ object SparkEntry {
     "q81_chisq_drift"         -> Stats.q81ChisqDrift _,
     "q82_pq_ann"              -> Ann.q82Pq _,
     "q83_dup_span"            -> Dedup.q83DupSpan _,
+    "q84_embed_stats"         -> Stats.q84EmbedStats _,
   )
 
   /** Integer squared distance between a quantized vector and a
@@ -2062,6 +2063,42 @@ object SparkEntry {
         MAX(span_words) AS max_span,
         CAST(COUNT(*) AS BIGINT) AS aligned_runs
       FROM islands GROUP BY 1, 2 HAVING MAX(span_words) >= 10
+    """,
+    "q84_embed_stats" -> """
+      WITH v AS (
+        SELECT vec_id,
+          list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 16777216.0) AS BIGINT)) AS q
+        FROM embeddings
+      ),
+      pos AS (
+        SELECT vec_id, i, q[i + 1] AS x
+        FROM v CROSS JOIN (SELECT unnest(range(0, 64)) AS i) dims
+      ),
+      d AS (
+        SELECT i, CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(x*x) AS sxx
+        FROM pos GROUP BY 1
+      ),
+      pairs AS (
+        SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS sxy
+        FROM pos a JOIN pos b ON a.vec_id = b.vec_id AND a.i < b.i
+        GROUP BY 1, 2
+      ),
+      scored AS (
+        SELECT p.i, p.j, di.n,
+          (CAST(di.n AS DOUBLE) * CAST(p.sxy AS DOUBLE)
+            - CAST(di.sx AS DOUBLE) * CAST(dj.sx AS DOUBLE))
+          / (sqrt(CAST(di.n AS DOUBLE) * CAST(di.sxx AS DOUBLE)
+              - CAST(di.sx AS DOUBLE) * CAST(di.sx AS DOUBLE))
+             * sqrt(CAST(di.n AS DOUBLE) * CAST(dj.sxx AS DOUBLE)
+                - CAST(dj.sx AS DOUBLE) * CAST(dj.sx AS DOUBLE))) AS corr
+        FROM pairs p JOIN d di ON p.i = di.i JOIN d dj ON p.j = dj.i
+      )
+      SELECT i, j, n, corr, pair_rank FROM (
+        SELECT i, j, n, corr,
+          ROW_NUMBER() OVER (ORDER BY abs(corr) DESC, i ASC, j ASC) AS pair_rank
+        FROM scored
+      ) WHERE pair_rank <= 20
     """,
   )
 }

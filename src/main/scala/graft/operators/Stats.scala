@@ -166,4 +166,48 @@ object Stats {
       .withColumn("drift_rank", row_number().over(w))
       .filter(col("drift_rank") <= 20)
   }
+
+  /** Embedding-dimension statistics — the QA pass an embedding corpus
+    * gets before indexing: per-dimension moments and the most
+    * CORRELATED dimension pairs (high |corr| means redundant axes —
+    * the signal that decides whitening/PCA or a smaller PQ subspace
+    * split). One corpus scan reduces to exact sufficient statistics
+    * (n, Σx per dim; Σxy per dim pair over the i<j upper triangle):
+    * quantized integer inputs into decimal(38,0) sums — exact and
+    * order-free at any scale — then corr derives from the exact
+    * aggregates in one fixed double sequence both engines replicate.
+    *
+    * Scale: the explode is dim²/2 rows per vector but map-side
+    * combine collapses the shuffle to the 2,016-cell triangle per
+    * partition — the aggregate state, not the row count, crosses the
+    * wire. (A fused outer-product Aggregator would cut the generate
+    * overhead ~dim×; at dim=64 the explode keeps the whole pass in
+    * codegen'd HashAggregate, the simpler win.) Pair ranking uses
+    * corr — derived from exact decimals, bit-identical — so the
+    * top-20 is engine-exact. */
+  def q84EmbedStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val pos = Clustering.quantizedVecs(spark, dir)
+      .select(col("vec_id"), posexplode(col("q")).as(Seq("i", "x")))
+    val dims = pos.groupBy(col("i"))
+      .agg(count(lit(1)).as("n"), sum(bigint(col("x"))).as("sx"),
+        sum(bigint(col("x") * col("x"))).as("sxx"))
+    val pairs = pos.as("a").join(pos.as("b"),
+        col("a.vec_id") === col("b.vec_id") && col("a.i") < col("b.i"))
+      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+      .agg(sum(bigint(col("a.x") * col("b.x"))).as("sxy"))
+    val w = Window.orderBy(abs(col("corr")).desc, col("i").asc, col("j").asc)
+    pairs
+      .join(broadcast(dims.select(col("i"), col("n"),
+        col("sx").as("sx_i"), col("sxx").as("sxx_i"))), "i")
+      .join(broadcast(dims.select(col("i").as("j"),
+        col("sx").as("sx_j"), col("sxx").as("sxx_j"))), "j")
+      .withColumn("cnum", d(col("n")) * d(col("sxy")) - d(col("sx_i")) * d(col("sx_j")))
+      .withColumn("vnum_i", d(col("n")) * d(col("sxx_i")) - d(col("sx_i")) * d(col("sx_i")))
+      .withColumn("vnum_j", d(col("n")) * d(col("sxx_j")) - d(col("sx_j")) * d(col("sx_j")))
+      .withColumn("corr", col("cnum") / (sqrt(col("vnum_i")) * sqrt(col("vnum_j"))))
+      .withColumn("pair_rank", row_number().over(w))
+      .filter(col("pair_rank") <= 20)
+      .select(col("i"), col("j"), col("n"), col("corr"), col("pair_rank"))
+  }
 }

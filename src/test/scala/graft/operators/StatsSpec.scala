@@ -125,4 +125,27 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     // a non-degenerate corpus must show nonzero drift somewhere
     assert(got.values.exists(_._1 > 0))
   }
+
+  test("q84: top correlated dim pairs match a local sufficient-stats replay") {
+    val q = spark.read.parquet(s"$sfDir/embeddings.parquet").collect()
+      .map(_.getAs[Seq[Float]]("embedding").map(x =>
+        math.floor(x.toDouble * Clustering.QuantScale).toLong).toArray)
+    val n = q.length.toLong
+    val dim = 64
+    val sx = Array.tabulate(dim)(i => q.map(v => BigInt(v(i))).sum)
+    val sxx = Array.tabulate(dim)(i => q.map(v => BigInt(v(i)) * v(i)).sum)
+    def corr(i: Int, j: Int): Double = {
+      val sxy = q.map(v => BigInt(v(i)) * v(j)).sum
+      val cnum = n.toDouble * sxy.toDouble - sx(i).toDouble * sx(j).toDouble
+      cnum / (math.sqrt(n.toDouble * sxx(i).toDouble - sx(i).toDouble * sx(i).toDouble) *
+        math.sqrt(n.toDouble * sxx(j).toDouble - sx(j).toDouble * sx(j).toDouble))
+    }
+    val all = for (i <- 0 until dim; j <- i + 1 until dim) yield (i, j, corr(i, j))
+    val expected = all.sortBy { case (i, j, c) => (-math.abs(c), i, j) }.take(20)
+      .zipWithIndex.map { case ((i, j, c), r) => (i, j, r + 1) -> c }.toMap
+    val got = Stats.q84EmbedStats(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(4)) -> r.getDouble(3)).toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (k, c) => assert(math.abs(c - expected(k)) < 1e-12, s"$k") }
+  }
 }
