@@ -282,12 +282,20 @@ object Ann {
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .dropDuplicates("vec_a", "vec_b")
+    // Verify BEFORE dedup: a pair colliding in t tables is scored t
+    // times, but the cosine is a shuffle-free codegen'd 64-mult loop
+    // over broadcast-fetched vectors, while deduping the full
+    // collision stream is a candidate-sized SHUFFLE. Filtering first
+    // shrinks the dedup input to the (tiny) above-threshold set —
+    // measured 2.7s -> 1.9s at sf0.1. Same result set: duplicate
+    // collisions of a pair score the identical bit-exact cosine, and
+    // dropDuplicates runs on (pair, cosine) rows post-filter.
     cand
       .join(vecs.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
       .join(vecs.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")
       .select(col("vec_a"), col("vec_b"),
         cosine(col("emb_a"), col("emb_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
+      .dropDuplicates("vec_a", "vec_b")
   }
 }
