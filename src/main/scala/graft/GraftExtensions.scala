@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{FloatVecCosine, HyperplaneBuckets, MinhashBandHashes, Simhash64, SimhashWords}
+import graft.functions.{FloatVecCosine, HyperplaneBuckets, IntVecSqDist, MinhashBandHashes, Simhash64, SimhashWords}
 
 /** SQL surface for graft's custom Catalyst expressions. Two ways in:
   *
@@ -19,6 +19,7 @@ import graft.functions.{FloatVecCosine, HyperplaneBuckets, MinhashBandHashes, Si
   *   simhash_words(arr<string>) -> long   (engine-neutral token hash)
   *   floatvec_cosine(arr<float>, arr<float>) -> double
   *   hyperplane_buckets(arr<float>, nTables, bits) -> arr<long>
+  *   int_vec_sq_dist(arr<long>, arr<long>) -> long
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -52,7 +53,10 @@ object GraftExtensions {
     ("hyperplane_buckets",
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "hyperplane_buckets"),
       (args: Seq[Expression]) =>
-        HyperplaneBuckets(args(0), intLit(args(1), "nTables"), intLit(args(2), "bitsPerTable"))))
+        HyperplaneBuckets(args(0), intLit(args(1), "nTables"), intLit(args(2), "bitsPerTable"))),
+    ("int_vec_sq_dist",
+      new ExpressionInfo(classOf[IntVecSqDist].getName, "int_vec_sq_dist"),
+      (args: Seq[Expression]) => IntVecSqDist(args(0), args(1))))
 
   /** Imperative registration on an existing session. */
   def register(spark: SparkSession): Unit =

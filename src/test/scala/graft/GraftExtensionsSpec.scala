@@ -15,12 +15,14 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkFixture {
            floatvec_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
                            array(CAST(0.0 AS FLOAT), CAST(1.0 AS FLOAT))) AS cos_orth,
            size(minhash_band_hashes(array(1L, 2L, 3L), 128, 32)) AS n_bands,
-           size(hyperplane_buckets(array(CAST(0.5 AS FLOAT), CAST(-0.5 AS FLOAT)), 8, 8)) AS n_tables
+           size(hyperplane_buckets(array(CAST(0.5 AS FLOAT), CAST(-0.5 AS FLOAT)), 8, 8)) AS n_tables,
+           int_vec_sq_dist(array(3L, 0L), array(0L, 4L)) AS sqd
       """).collect()(0)
     assert(row.getAs[Double]("cos_same") === 1.0)
     assert(row.getAs[Double]("cos_orth") === 0.0)
     assert(row.getAs[Int]("n_bands") === 32)
     assert(row.getAs[Int]("n_tables") === 8)
+    assert(row.getAs[Long]("sqd") === 25L)
     // simhash of identical token multiset is stable
     val row2 = spark.sql(
       "SELECT simhash64(transform(split('a b c a', ' '), x -> xxhash64(x))) AS sh").collect()(0)
