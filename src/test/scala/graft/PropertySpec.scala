@@ -403,4 +403,37 @@ class PropertySpec extends AnyFunSuite with graft.SparkFixture {
         s"size=$chunkSize stride=$stride must cover the full stream")
     }
   }
+
+  test("PQ kernels: table-lookup ADC equals direct subspace distances; codes are argmins") {
+    val dim = 16; val m = 4; val k = 8; val dsub = dim / m
+    val coord = Gen.choose(-(1L << 25), 1L << 25)
+    val vecGen = Gen.listOfN(dim, coord).map(_.toArray)
+    val bookGen = Gen.listOfN(m, Gen.listOfN(k, Gen.listOfN(dsub, coord).map(_.toArray))
+      .map(_.toArray)).map(_.toArray)
+    val gen = for { v <- vecGen; p <- vecGen; b <- bookGen } yield (v, p, b)
+    samples(gen, 30).foreach { case (v, probe, books) =>
+      def subDist(x: Array[Long], s: Int, cent: Array[Long]): Long = {
+        var d = 0L; var i = 0
+        while (i < dsub) { val t = x(s * dsub + i) - cent(i); d += t * t; i += 1 }
+        d
+      }
+      val codes = ClusterKernels.pqCodes(new GenericArrayData(v), books)
+      val dtab = ClusterKernels.pqDistTable(new GenericArrayData(probe), books)
+      (0 until m).foreach { s =>
+        val c = codes.getInt(s)
+        // code s is the exact argmin of that subspace (ties -> lower id)
+        val dists = books(s).map(subDist(v, s, _))
+        assert(dists(c) === dists.min)
+        assert(dists.indexOf(dists.min) === c)
+        // ADC table entry (s, c) is the direct probe-to-code distance
+        assert(dtab.getLong(s * k + c) === subDist(probe, s, books(s)(c)))
+      }
+      // full-vector identity: intSqDist decomposes over the subspaces
+      val full = ClusterKernels.intSqDist(
+        new GenericArrayData(probe), new GenericArrayData(v))
+      val bySub = (0 until m).map(s =>
+        subDist(probe, s, v.slice(s * dsub, (s + 1) * dsub))).sum
+      assert(full === bySub)
+    }
+  }
 }

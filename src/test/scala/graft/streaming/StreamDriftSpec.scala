@@ -61,5 +61,30 @@ class StreamDriftSpec extends AnyFunSuite with SparkFixture {
     val expectedMicro = math.floor((4.0 - e) * (4.0 - e) / e * 1000000.0).toLong
     assert(top.getAs[Long]("chi2_micro") === expectedMicro)
     assert(top.getAs[Long]("w_tot") === 10L)
+
+    // RESTART from the same checkpoint: a second batch closes the
+    // 13:00 window (sentinel at 16:00); its cells must fold in the
+    // counts buffered BEFORE the restart, and the already-emitted
+    // 10:00 window must not re-emit
+    Files.writeString(java.nio.file.Paths.get(s"$in/b2.json"),
+      """{"text":"row join","ts":"2024-01-01T13:10:00.000Z"}
+        |{"text":"hash","ts":"2024-01-01T16:00:00.000Z"}
+        |""".stripMargin)
+    val q2 = StreamDrift.termCells(docs, windowLen = "1 hour", horizon = "30 minutes")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", cp)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    val byWin = spark.read.parquet(out).collect()
+      .groupBy(_.getAs[org.apache.spark.sql.Row]("win").getAs[java.sql.Timestamp](0).toString)
+      .view.mapValues(_.map(r => r.getAs[String]("term") -> r.getAs[Long]("o")).toMap).toMap
+    assert(byWin.keySet.size === 2, s"exactly two closed windows, got ${byWin.keySet}")
+    // pre-restart "row" at 13:00 + post-restart "row join" fold together
+    assert(byWin.values.exists(_ === Map("row" -> 2L, "join" -> 1L)),
+      s"13:00 window must merge state across the restart, got $byWin")
+    // the 10:00 window still appears exactly once (no duplicate emission)
+    assert(byWin.values.count(_.get("spam").contains(4L)) === 1)
   }
 }
