@@ -100,6 +100,7 @@ object SparkEntry {
     "q82_pq_ann"              -> Ann.q82Pq _,
     "q83_dup_span"            -> Dedup.q83DupSpan _,
     "q84_embed_stats"         -> Stats.q84EmbedStats _,
+    "q85_snapshot_diff"       -> Cdc.q85SnapshotDiff _,
   )
 
   /** Integer squared distance between a quantized vector and a
@@ -2099,6 +2100,39 @@ object SparkEntry {
           ROW_NUMBER() OVER (ORDER BY abs(corr) DESC, i ASC, j ASC) AS pair_rank
         FROM scored
       ) WHERE pair_rank <= 20
+    """,
+    "q85_snapshot_diff" -> s"""
+      WITH m AS (
+        SELECT doc_id, source, text, ${mix32Sql("doc_id")} AS mix FROM documents
+      ),
+      old AS (
+        SELECT doc_id, source AS src_old,
+          sha256(CASE WHEN mix % 7 = 0 THEN text || ' legacy' ELSE text END)
+            AS hash_old
+        FROM m WHERE mix % 10 <> 0
+      ),
+      neu AS (
+        SELECT doc_id, source AS src_new, sha256(text) AS hash_new
+        FROM m WHERE mix % 11 <> 5
+      ),
+      classified AS (
+        SELECT COALESCE(n.src_new, o.src_old) AS source,
+          CASE WHEN o.hash_old IS NULL THEN 'added'
+               WHEN n.hash_new IS NULL THEN 'removed'
+               WHEN o.hash_old <> n.hash_new THEN 'changed'
+               ELSE 'unchanged' END AS status
+        FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id
+      )
+      SELECT source,
+        CAST(COUNT(CASE WHEN status = 'added' THEN 1 END) AS BIGINT) AS added,
+        CAST(COUNT(CASE WHEN status = 'removed' THEN 1 END) AS BIGINT) AS removed,
+        CAST(COUNT(CASE WHEN status = 'changed' THEN 1 END) AS BIGINT) AS changed,
+        CAST(COUNT(CASE WHEN status = 'unchanged' THEN 1 END) AS BIGINT) AS unchanged,
+        (COUNT(CASE WHEN status = 'added' THEN 1 END)
+          + COUNT(CASE WHEN status = 'removed' THEN 1 END)
+          + COUNT(CASE WHEN status = 'changed' THEN 1 END)) * 10000
+          // COUNT(*) AS churn_bp
+      FROM classified GROUP BY source
     """,
   )
 }

@@ -88,4 +88,50 @@ object Cdc {
         col("effective_to").isNull.as("is_current"),
         col("seq").as("from_seq"))
   }
+
+  /** Corpus SNAPSHOT DIFF — the dataset-versioning readout every
+    * training-data release pipeline runs before publishing v(N+1):
+    * per source, how many documents were added, removed, changed
+    * (same id, different content hash), or untouched, plus churn in
+    * basis points. Two deterministic synthetic snapshots derive from
+    * the documents table (membership and change markers keyed on
+    * mix32(doc_id) — hash-decorrelated from the source column, which
+    * is id-periodic in this corpus; old: mix%10!=0 ids, mix%7==0
+    * texts carry a ' legacy' suffix; new: mix%11!=5 ids, pristine
+    * text), so every diff class is populated in every source and the
+    * whole readout is oracle-replayable.
+    *
+    * Scale shape: content equality compares sha2 hashes, never
+    * texts; the FULL OUTER join is id-keyed (co-partitioned hash
+    * join); classification is a per-row CASE; the per-source rollup
+    * is map-side-combinable. At 100 TB this is two table scans + one
+    * id-shuffle — the minimum any snapshot diff pays. */
+  def q85SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("mix", Exprs.mix32(col("doc_id")))
+    val old = docs.filter(col("mix") % 10 =!= 0)
+      .select(col("doc_id"), col("source").as("src_old"),
+        sha2(when(col("mix") % 7 === 0, concat(col("text"), lit(" legacy")))
+          .otherwise(col("text")), 256).as("hash_old"))
+    val neu = docs.filter(col("mix") % 11 =!= 5)
+      .select(col("doc_id"), col("source").as("src_new"),
+        sha2(col("text"), 256).as("hash_new"))
+    old.join(neu, Seq("doc_id"), "full_outer")
+      .select(
+        coalesce(col("src_new"), col("src_old")).as("source"),
+        when(col("hash_old").isNull, lit("added"))
+          .when(col("hash_new").isNull, lit("removed"))
+          .when(col("hash_old") =!= col("hash_new"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .groupBy(col("source"))
+      .agg(
+        count(when(col("status") === "added", 1)).as("added"),
+        count(when(col("status") === "removed", 1)).as("removed"),
+        count(when(col("status") === "changed", 1)).as("changed"),
+        count(when(col("status") === "unchanged", 1)).as("unchanged"))
+      .select(col("source"), col("added"), col("removed"), col("changed"),
+        col("unchanged"),
+        expr("(added + removed + changed) * 10000 div (added + removed + changed + unchanged)")
+          .as("churn_bp"))
+  }
 }

@@ -150,4 +150,46 @@ class CdcSpec extends AnyFunSuite with SparkFixture {
     assert(!prunePlan.contains("Join"), "the bloom prune itself is join-free")
     assert(!prunePlan.contains("Exchange"), "the bloom prune is shuffle-free")
   }
+
+  test("q85: snapshot diff matches a local two-version replay") {
+    def mix32(v: Long): Long = {
+      val mask = 4294967295L
+      def mul(x: Long, m: Long): Long =
+        (((x >> 16) * m % 4294967296L) * 65536 + (x & 65535) * m) & mask
+      val a = mul(v & mask, 2654435761L)
+      val b = a ^ (a >> 16)
+      val d = mul(b, 2246822519L)
+      d ^ (d >> 13)
+    }
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val expected = docs.map { case (id, src, text) =>
+      val m = mix32(id)
+      val inOld = m % 10 != 0
+      val inNew = m % 11 != 5
+      val changed = m % 7 == 0 // old text differs when present
+      val status =
+        if (!inOld && inNew) "added"
+        else if (inOld && !inNew) "removed"
+        else if (inOld && inNew && changed) "changed"
+        else if (inOld && inNew) "unchanged"
+        else "absent"
+      (src, status)
+    }.filter(_._2 != "absent")
+      .groupBy(_._1).map { case (src, v) =>
+        val c = v.groupBy(_._2).map { case (s, x) => s -> x.length.toLong }
+        val add = c.getOrElse("added", 0L); val rem = c.getOrElse("removed", 0L)
+        val chg = c.getOrElse("changed", 0L); val unc = c.getOrElse("unchanged", 0L)
+        src -> ((add, rem, chg, unc, (add + rem + chg) * 10000 / (add + rem + chg + unc)))
+      }
+    val got = Cdc.q85SnapshotDiff(spark, sfDir).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    }.toMap
+    assert(got === expected)
+    // every diff class occurs somewhere in the corpus
+    assert(got.values.exists(_._1 > 0) && got.values.exists(_._2 > 0) &&
+      got.values.exists(_._3 > 0) && got.values.exists(_._4 > 0))
+  }
 }
