@@ -101,6 +101,7 @@ object SparkEntry {
     "q83_dup_span"            -> Dedup.q83DupSpan _,
     "q84_embed_stats"         -> Stats.q84EmbedStats _,
     "q85_snapshot_diff"       -> Cdc.q85SnapshotDiff _,
+    "q86_bpe"                 -> TextAnalysis.q86Bpe _,
   )
 
   /** Integer squared distance between a quantized vector and a
@@ -213,6 +214,47 @@ object SparkEntry {
           FROM vs
         ) WHERE rn <= $k
       ),${(1 to iters).map(iterCte).mkString(",")}"""
+  }
+
+  /** DuckDB replay of one BPE merge round (TextAnalysis.q86Bpe): pair
+    * stats over the current segmentation, argmax (count DESC, pair
+    * ASC), greedy non-overlapping rewrite via the array-form
+    * gaps-and-islands rule. List-comprehension / lambda indices are
+    * 1-based here vs Spark's 0-based — the expressions compensate
+    * (x - jj == x - j0 - 1). */
+  private def bpeRoundCtes(i: Int): String = {
+    val prev = s"w${i - 1}"
+    s"""
+      p$i AS (
+        SELECT syms[k] AS l, syms[k+1] AS r, CAST(SUM(cnt) AS BIGINT) AS total
+        FROM $prev CROSS JOIN LATERAL (SELECT unnest(range(1, len(syms))) AS k)
+        WHERE len(syms) >= 2
+        GROUP BY 1, 2
+      ),
+      b$i AS (
+        SELECT l, r, total FROM p$i
+        ORDER BY total DESC, l ASC, r ASC LIMIT 1
+      ),
+      w$i AS (
+        SELECT word, cnt, flatten(list_transform(range(1, len(syms) + 1),
+          q -> CASE
+            WHEN list_contains(sel, q)
+              THEN [syms[q] || syms[q+1]]
+            WHEN list_contains(sel, q - 1) THEN []
+            ELSE [syms[q]] END)) AS syms
+        FROM (
+          SELECT word, cnt, syms,
+            [p[j] FOR j IN range(1, len(p) + 1)
+              IF (j - list_position(list_transform(p, (x, jj) -> x - jj),
+                    list_transform(p, (x, jj) -> x - jj)[j])) % 2 = 0] AS sel
+          FROM (
+            SELECT word, cnt, syms,
+              [k FOR k IN range(1, len(syms))
+                IF syms[k] = b.l AND syms[k+1] = b.r] AS p
+            FROM $prev CROSS JOIN b$i b
+          )
+        )
+      )"""
   }
 
   /** q32 oracle: quantized-kmeans cluster summary from exact sums. */
@@ -2133,6 +2175,19 @@ object SparkEntry {
           + COUNT(CASE WHEN status = 'changed' THEN 1 END)) * 10000
           // COUNT(*) AS churn_bp
       FROM classified GROUP BY source
+    """,
+    "q86_bpe" -> s"""
+      WITH w0 AS (
+        SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt,
+          string_split(w, '') AS syms
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY 1
+      ),${(1 to 5).map(bpeRoundCtes).mkString(",")}
+      SELECT * FROM (
+        ${(1 to 5).map(i =>
+          s"""SELECT $i AS round, l AS lhs, r AS rhs, l || r AS merged,
+              total AS pair_count FROM b$i""").mkString(" UNION ALL ")}
+      ) ORDER BY round
     """,
   )
 }

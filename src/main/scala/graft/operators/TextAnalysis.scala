@@ -285,6 +285,84 @@ object TextAnalysis {
     * explode + one map-side-combinable groupBy over the corpus scan.
     * Token arithmetic is integer; the only double is one final
     * division — oracle-exact. */
+  /** BPE MERGE INDUCTION — real tokenizer training, not just vocab
+    * counting: 5 rounds of "count adjacent symbol pairs over the
+    * current segmentation → merge the most frequent pair everywhere
+    * (greedy left-to-right, non-overlapping)", seeded from
+    * characters, pair statistics weighted by corpus word counts.
+    * Output = the learned merge table (round, pair, merged symbol,
+    * pair count) — the artifact a BPE tokenizer ships.
+    *
+    * Spark-first iteration shape (the q32/q53/q82 recipe applied to
+    * a tokenizer): state lives in a (word, cnt, syms) frame keyed by
+    * DISTINCT words — corpus scale only enters the one-off seed
+    * groupBy, every round is vocabulary-sized; the argmax pair is a
+    * 1-row driver collect (metadata, like a centroid); the rewrite
+    * is pure array expressions — the greedy non-overlap rule is the
+    * gaps-and-islands trick in array form (occurrence positions at
+    * run-relative even offsets merge; a merged pair shields its
+    * right neighbor), so rounds stay whole-stage codegen with no
+    * UDF. The DuckDB oracle replays all 5 rounds unrolled —
+    * list-comprehension CTEs with the IDENTICAL greedy rule (lambda
+    * indices are 1-based there, 0-based here; the expressions
+    * compensate) — so the hash gate proves the whole iterative
+    * training, ties and all (ties break count DESC, pair ASC). */
+  def q86Bpe(spark: SparkSession, dir: String): DataFrame = {
+    val rounds = 5
+    var words = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("syms", split(col("word"), ""))
+      .localCheckpoint()
+    val pairsOf = expr(
+      """CASE WHEN size(syms) >= 2 THEN
+           transform(sequence(1, size(syms) - 1),
+             k -> struct(element_at(syms, k) AS lhs, element_at(syms, k + 1) AS rhs))
+         ELSE CAST(array() AS array<struct<lhs: string, rhs: string>>) END""")
+    val merges = (1 to rounds).map { r =>
+      val Array(bl, br, total) = words
+        .select(col("cnt"), explode(pairsOf).as("pr"))
+        .groupBy(col("pr.lhs").as("lhs"), col("pr.rhs").as("rhs"))
+        .agg(sum(col("cnt")).as("total"))
+        .orderBy(col("total").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1).collect()
+        .map(row => Array(row.getString(0), row.getString(1),
+          row.getLong(2).toString)).head
+      def lit_(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+      words = words
+        .withColumn("p", expr(
+          s"""CASE WHEN size(syms) >= 2 THEN
+                filter(sequence(1, size(syms) - 1),
+                  k -> element_at(syms, k) = '${lit_(bl)}'
+                    AND element_at(syms, k + 1) = '${lit_(br)}')
+              ELSE CAST(array() AS array<bigint>) END"""))
+        // run id: occurrence position minus its (1-based) rank — constant
+        // within a run of CONSECUTIVE positions (Spark lambda index j0 is
+        // 0-based; DuckDB's jj is 1-based: x - j0 - 1 == x - jj)
+        .withColumn("rid", expr("transform(p, (x, j0) -> x - j0 - 1)"))
+        // greedy non-overlap: within each run, keep even run-relative
+        // offsets (1st, 3rd, ... occurrence)
+        .withColumn("sel", expr(
+          """CASE WHEN size(p) = 0 THEN CAST(array() AS array<bigint>)
+             ELSE transform(
+               filter(sequence(1, size(p)),
+                 j -> (j - array_position(rid, element_at(rid, j))) % 2 = 0),
+               j -> element_at(p, j)) END"""))
+        .withColumn("syms", expr(
+          """flatten(transform(sequence(1, size(syms)),
+               q -> CASE
+                 WHEN array_contains(sel, q)
+                   THEN array(concat(element_at(syms, q), element_at(syms, q + 1)))
+                 WHEN array_contains(sel, q - 1) THEN CAST(array() AS array<string>)
+                 ELSE array(element_at(syms, q)) END))"""))
+        .drop("p", "rid", "sel")
+        .localCheckpoint() // bound the per-round plan growth
+      (r, bl, br, bl + br, total.toLong)
+    }
+    import spark.implicits._
+    merges.toDF("round", "lhs", "rhs", "merged", "pair_count")
+  }
+
   def q80TokenizeVocab(spark: SparkSession, dir: String): DataFrame = {
     val v = 24
     val words = Tables.documents(spark, dir)

@@ -194,4 +194,45 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     // the fallback must fire: some doc has an OOV word
     assert(got.values.exists(_._2 > 0))
   }
+
+  /** Reference BPE: greedy left-to-right non-overlapping merge. */
+  private def bpeMerge(syms: Vector[String], l: String, r: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  test("q86 BPE merges match a local greedy reference over 5 rounds") {
+    var vocab: Map[Vector[String], Long] = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .select("text").collect()
+      .flatMap(_.getString(0).split(" "))
+      .groupBy(identity).map { case (w, v) =>
+        w.split("").toVector -> v.length.toLong
+      }
+    val expected = (1 to 5).map { r =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, cnt) =>
+        syms.zip(syms.drop(1)).foreach { p =>
+          counts(p) = counts.getOrElse(p, 0L) + cnt
+        }
+      }
+      val ((bl, br), total) = counts.toSeq.minBy { case ((l2, r2), c) => (-c, l2, r2) }
+      vocab = vocab.groupBy { case (syms, _) => bpeMerge(syms, bl, br) }
+        .map { case (syms, m) => syms -> m.values.sum }
+      (r, bl, br, bl + br, total)
+    }
+    val got = TextAnalysis.q86Bpe(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4))).toSeq.sortBy(_._1)
+    assert(got === expected)
+    // the greedy rule itself: 'aaaa' merges positions 1 and 3, not 2
+    assert(bpeMerge(Vector("a", "a", "a", "a"), "a", "a") === Vector("aa", "aa"))
+    assert(bpeMerge(Vector("a", "a", "a"), "a", "a") === Vector("aa", "a"))
+  }
 }
