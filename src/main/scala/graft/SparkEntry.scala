@@ -102,6 +102,7 @@ object SparkEntry {
     "q84_embed_stats"         -> Stats.q84EmbedStats _,
     "q85_snapshot_diff"       -> Cdc.q85SnapshotDiff _,
     "q86_bpe"                 -> TextAnalysis.q86Bpe _,
+    "q87_triangles"           -> Graph.q87Triangles _,
   )
 
   /** Integer squared distance between a quantized vector and a
@@ -2188,6 +2189,34 @@ object SparkEntry {
           s"""SELECT $i AS round, l AS lhs, r AS rhs, l || r AS merged,
               total AS pair_count FROM b$i""").mkString(" UNION ALL ")}
       ) ORDER BY round
+    """,
+    "q87_triangles" -> """
+      WITH e AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      ),
+      tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1
+        JOIN e e2 ON e1.v = e2.u
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+      ),
+      pern AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+        FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+        GROUP BY 1
+      ),
+      deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        GROUP BY 1
+      )
+      SELECT node AS part_key, triangles, degree, tri_rank FROM (
+        SELECT p.node, p.triangles, d.degree,
+          ROW_NUMBER() OVER (ORDER BY p.triangles DESC, p.node ASC) AS tri_rank
+        FROM pern p JOIN deg d ON p.node = d.node
+      ) WHERE tri_rank <= 20
     """,
   )
 }

@@ -181,6 +181,25 @@ object ClusterKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Intersection of two SORTED long arrays by primitive two-pointer
+    * merge — allocation-light versus the generic hash-set
+    * array_intersect; the per-edge unit of triangle counting.
+    * Duplicate-free inputs assumed (both sides are adjacency sets). */
+  def sortedLongIntersect(a: ArrayData, b: ArrayData): ArrayData = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val buf = new Array[Long](math.min(na, nb))
+    var i = 0; var j = 0; var k = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { buf(k) = x; k += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(buf, k))
+  }
+
   /** Exact int64 squared distance between two quantized vectors —
     * the PQ rerank unit (and the ground truth ADC approximates). */
   def intSqDist(a: ArrayData, b: ArrayData): Long = {
@@ -319,6 +338,22 @@ case class PqDistTableInt(child: Expression, codebooks: Array[Array[Array[Long]]
   override protected def withNewChildInternal(newChild: Expression): PqDistTableInt =
     copy(child = newChild)
   override def prettyName: String = "pq_dist_table_int"
+}
+
+/** Intersection of two sorted long arrays (primitive merge). */
+case class SortedLongIntersect(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ClusterKernels.sortedLongIntersect(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.ClusterKernels.sortedLongIntersect($a, $b);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedLongIntersect =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "sorted_long_intersect"
 }
 
 /** Exact int64 squared distance between two quantized vectors. */

@@ -51,4 +51,31 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(keys.sameElements(sorted))
     assert(rows.forall(_.getAs[Long]("out_degree") >= 1))
   }
+
+  test("q87 per-node triangle counts match an id-ordered local enumeration") {
+    // independent algorithm: id-ordered wedge enumeration over the
+    // collected edge set (the compact-forward impl orients by degree —
+    // same triangles either way, which is the point of the check)
+    val edges = Graph.copurchaseEdges(spark, sfDir)
+      .filter(col("src") < col("dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val higher = edges.groupBy(_._1).map { case (u, es) =>
+      u -> es.map(_._2).toSet
+    }
+    val counts = scala.collection.mutable.Map.empty[Long, Long]
+    edges.foreach { case (u, v) =>
+      higher.get(v).foreach { hv =>
+        higher(u).iterator.filter(hv.contains).foreach { w =>
+          Seq(u, v, w).foreach(n => counts(n) = counts.getOrElse(n, 0L) + 1)
+        }
+      }
+    }
+    val expected = counts.toSeq.sortBy { case (n, t) => (-t, n) }.take(20)
+      .zipWithIndex.map { case ((n, t), i) => n -> ((t, i + 1)) }.toMap
+    val got = Graph.q87Triangles(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("part_key") ->
+        ((r.getAs[Long]("triangles"), r.getAs[Int]("tri_rank")))).toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
 }

@@ -254,6 +254,14 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q87: adjacency joins are equi-joins; wedge rows never materialize") {
+    val p = plan("q87_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the closing check is the per-edge sorted intersect, not a join
+    // against a wedge table
+    assert(p.contains("sorted_long_intersect"))
+  }
+
   test("rank-filtered windows compile to WindowGroupLimit in the ANN family") {
     // Spark 4.x pushes a row_number() <= k filter into per-partition
     // top-k pruning (WindowGroupLimit) ahead of the window sort — the
