@@ -436,4 +436,20 @@ class PropertySpec extends AnyFunSuite with graft.SparkFixture {
       assert(full === bySub)
     }
   }
+
+  test("sortedLongIntersect equals set intersection on arbitrary sorted inputs") {
+    val gen = for {
+      a <- Gen.listOf(Gen.choose(-100L, 100L))
+      b <- Gen.listOf(Gen.choose(-100L, 100L))
+    } yield (a, b)
+    samples(gen, 50).foreach { case (a, b) =>
+      val sa = a.distinct.sorted.toArray
+      val sb = b.distinct.sorted.toArray
+      val got = ClusterKernels.sortedLongIntersect(
+        new GenericArrayData(sa), new GenericArrayData(sb)).toLongArray()
+      val expected = (sa.toSet & sb.toSet).toArray.sorted
+      assert(got.sameElements(expected),
+        s"a=${sa.mkString(",")} b=${sb.mkString(",")}")
+    }
+  }
 }
