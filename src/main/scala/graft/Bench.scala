@@ -52,12 +52,18 @@ object Bench {
       val median = sorted(sorted.length / 2)
       (name, median, runs.forall(_._2))
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // 3-decimal seconds: full nanosecond precision made the 87-query
+    // line ~2.8 KB, overflowing the driver's stdout tail buffer (round-5
+    // record arrived truncated mid-JSON, parsed:null). 1 ms resolution
+    // is below run-to-run noise and keeps the line parseable past 100+
+    // queries.
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failed = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"sf":"$sfDir"}"""
     println(line)
     // raw copy on stderr too: sbt prefixes stdout with "[info] ", which
     // breaks line-oriented parsers; stderr passes through un-prefixed

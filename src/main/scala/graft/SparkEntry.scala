@@ -103,6 +103,7 @@ object SparkEntry {
     "q85_snapshot_diff"       -> Cdc.q85SnapshotDiff _,
     "q86_bpe"                 -> TextAnalysis.q86Bpe _,
     "q87_triangles"           -> Graph.q87Triangles _,
+    "q88_ivfpq_probe"         -> graft.sources.IvfIndex.q88IvfpqProbe _,
   )
 
   /** Integer squared distance between a quantized vector and a
@@ -168,8 +169,10 @@ object SparkEntry {
     * dimension folded into every key, so all m subspaces train in one
     * CTE chain — same quantization, integer argmin tie-breaks, and
     * floor-division update. Ends in `pc$iters(sub, code, cq)` plus
-    * `vs(vec_id, sub, sq)`. */
-  private def pqCtes(m: Int, k: Int, iters: Int): String = {
+    * `vs(vec_id, sub, sq)`. Set `defineV = false` when composing with
+    * kmeansCtes in one WITH clause (it already defines the identical
+    * quantized-vector CTE `v`). */
+  private def pqCtes(m: Int, k: Int, iters: Int, defineV: Boolean = true): String = {
     val dsub = 64 / m
     def iterCte(i: Int): String = {
       val prev = s"pc${i - 1}"
@@ -197,13 +200,16 @@ object SparkEntry {
         FROM $prev p LEFT JOIN pn$i x ON p.sub = x.sub AND p.code = x.code
       )"""
     }
-    s"""v AS (
+    val vCte = if (defineV)
+      """v AS (
         SELECT vec_id,
           list_transform(embedding,
             x -> CAST(floor(CAST(x AS DOUBLE) * 16777216.0) AS BIGINT)) AS q
         FROM embeddings
       ),
-      vs AS (
+      """
+    else ""
+    s"""${vCte}vs AS (
         SELECT vec_id, sub,
           list_slice(q, sub * $dsub + 1, sub * $dsub + $dsub) AS sq
         FROM v CROSS JOIN (SELECT unnest(range(0, $m)) AS sub) subs
@@ -1895,7 +1901,7 @@ object SparkEntry {
       SELECT lang, source, docs, tokens,
         (tokens * 1000000) // total_tokens AS share_ppm,
         LEAST((1000000 // n_domains) * 100
-                // ((tokens * 1000000) // total_tokens),
+                // GREATEST((tokens * 1000000) // total_tokens, 1),
               1000) AS uniform_weight_pct
       FROM base CROSS JOIN t
     """,
@@ -2062,7 +2068,72 @@ object SparkEntry {
             ROW_NUMBER() OVER (PARTITION BY probe_id
               ORDER BY adc_dist ASC, neighbor_id ASC) AS adc_rank
           FROM adc
-        ) WHERE adc_rank <= 100
+        ) WHERE adc_rank <= 300
+      ),
+      rerank AS (
+        SELECT s.probe_id, s.neighbor_id, s.adc_dist,
+          CAST(list_sum(list_transform(range(1, 65),
+            j -> (p.q[j]-n.q[j])*(p.q[j]-n.q[j]))) AS BIGINT) AS dist
+        FROM short s
+        JOIN v p ON s.probe_id = p.vec_id
+        JOIN v n ON s.neighbor_id = n.vec_id
+      )
+      SELECT probe_id, neighbor_id, "rank", adc_dist, dist FROM (
+        SELECT probe_id, neighbor_id, adc_dist, dist,
+          ROW_NUMBER() OVER (PARTITION BY probe_id
+            ORDER BY dist ASC, neighbor_id ASC) AS "rank"
+        FROM rerank
+      ) WHERE "rank" <= 10
+    """,
+    // the q88 oracle replays the ENTIRE persisted-index lifecycle:
+    // coarse-quantizer training (kmeansCtes — identical to q45's),
+    // PQ codebook training (pqCtes — identical to q82's, sharing the
+    // quantized-vector CTE v), corpus cell assignment + encode, 6-cell
+    // probe fan-out, candidate = cell match, ADC shortlist 300, exact
+    // integer rerank top-10 — proving the artifact's build AND serve
+    // paths end-to-end, not just the in-query twin.
+    "q88_ivfpq_probe" -> s"""
+      WITH ${kmeansCtes(k = 16, iters = 5)},
+      ${pqCtes(m = 8, k = 16, iters = 3, defineV = false)},
+      ad AS (
+        SELECT v.vec_id, c.cluster,
+          ROW_NUMBER() OVER (PARTITION BY v.vec_id
+            ORDER BY ${qDist("c")} ASC, c.cluster ASC) AS rn
+        FROM v CROSS JOIN c5 c
+      ),
+      corpus_cell AS (SELECT vec_id, cluster FROM ad WHERE rn = 1),
+      probe_cell AS (
+        SELECT vec_id, cluster FROM ad WHERE rn <= 6 AND vec_id % 50 = 0
+      ),
+      enc AS (
+        SELECT vec_id, sub, code FROM (
+          SELECT vs.vec_id, vs.sub, c.code,
+            ROW_NUMBER() OVER (PARTITION BY vs.vec_id, vs.sub
+              ORDER BY ${pqSdist("vs.sq", "c.cq", 8)} ASC, c.code ASC) AS rn
+          FROM vs JOIN pc3 c ON vs.sub = c.sub
+        ) WHERE rn = 1
+      ),
+      cand AS (
+        SELECT pr.vec_id AS probe_id, co.vec_id AS neighbor_id
+        FROM probe_cell pr JOIN corpus_cell co ON pr.cluster = co.cluster
+        WHERE pr.vec_id <> co.vec_id
+      ),
+      adc AS (
+        SELECT ca.probe_id, ca.neighbor_id,
+          CAST(SUM(${pqSdist("p.sq", "cb.cq", 8)}) AS BIGINT) AS adc_dist
+        FROM cand ca
+        JOIN vs p ON p.vec_id = ca.probe_id
+        JOIN enc e ON e.vec_id = ca.neighbor_id AND e.sub = p.sub
+        JOIN pc3 cb ON cb.sub = e.sub AND cb.code = e.code
+        GROUP BY 1, 2
+      ),
+      short AS (
+        SELECT probe_id, neighbor_id, adc_dist FROM (
+          SELECT probe_id, neighbor_id, adc_dist,
+            ROW_NUMBER() OVER (PARTITION BY probe_id
+              ORDER BY adc_dist ASC, neighbor_id ASC) AS adc_rank
+          FROM adc
+        ) WHERE adc_rank <= 300
       ),
       rerank AS (
         SELECT s.probe_id, s.neighbor_id, s.adc_dist,

@@ -138,6 +138,10 @@ object Ann {
     val initRows: Array[Array[Long]] = vecs
       .orderBy(col("vec_id")).limit(k).collect()
       .map(_.getAs[scala.collection.Seq[Long]]("q").toArray)
+    // Init needs exactly k seed vectors; a corpus smaller than k (or
+    // empty) would otherwise surface as an opaque AIOOBE/NPE below.
+    require(initRows.length == k,
+      s"pqCodebooks: corpus has ${initRows.length} vectors, need >= k=$k to seed codebooks")
     val dim = initRows(0).length
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val dsub = dim / m
@@ -175,15 +179,15 @@ object Ann {
     *     (4 bits each here; 64 floats originally), each probe
     *     precomputes its m×k ADC distance table ONCE, and scoring a
     *     candidate is m table lookups + adds — no per-pair O(dim)
-    *     loop. The scan keeps a per-probe SHORTLIST (top-100 by adc,
+    *     loop. The scan keeps a per-probe SHORTLIST (top-300 by adc,
     *     neighbor asc).
     *  2. EXACT RERANK — only shortlist candidates fetch their full
     *     quantized vectors; exact int64 distances re-rank them and
     *     top-10 survive. Recall is then "is the true neighbor in the
-    *     ADC shortlist" (0.83 measured on the near-random sf0.01
-    *     corpus, 0.61 at sf0.1 where the fixed 100-candidate
-    *     shortlist is a 4x smaller corpus fraction — AnnSpec) rather
-    *     than "does 32-bit-compressed ADC
+    *     ADC shortlist" (0.99 measured on the near-random sf0.001
+    *     corpus, 0.83 at sf0.1 — AnnSpec pins >= 0.8 at both scale
+    *     factors; shortlist is the recall lever and 300 is ~6% of the
+    *     sf0.1 corpus) rather than "does 32-bit-compressed ADC
     *     rank it exactly" (~0.2 — random data is PQ's worst case).
     *
     * Every distance is exact int64 on quantized vectors end-to-end,
@@ -199,7 +203,7 @@ object Ann {
     * raw vectors (the classic PQ bandwidth win), and only the
     * shortlist touches full vectors. */
   def q82Pq(spark: SparkSession, dir: String): DataFrame =
-    pqScan(spark, dir, m = 8, k = 16, iters = 3, shortlist = 100, topK = 10)
+    pqScan(spark, dir, m = 8, k = 16, iters = 3, shortlist = 300, topK = 10)
 
   def pqScan(spark: SparkSession, dir: String, m: Int, k: Int, iters: Int,
       shortlist: Int, topK: Int): DataFrame = {

@@ -289,8 +289,10 @@ object Dedup {
     * are per-doc distinct, so docs_with = documents containing it).
     * Docs shorter than 8 words have no shingles and no row. */
   def q63Boilerplate(spark: SparkSession, dir: String): DataFrame = {
-    val post = docs(spark, dir)
-      .repartition(col("doc_id")) // parallelize shingling off the scan
+    // gated repartition: shuffles the text ONLY when the scan is
+    // under-parallel (single-split test file); a no-op on a production
+    // many-file corpus where this exchange would be the dominant cost
+    val post = Tables.parallelized(docs(spark, dir), col("doc_id"))
       .select(col("doc_id"), explode(ngramHash(8)).as("ng"))
     val freq = post.groupBy(col("ng"))
       .agg(count(lit(1)).as("docs_with"))
@@ -326,7 +328,16 @@ object Dedup {
     * Oracle is the EXACT batch×index J >= 0.5 set (q21's promoted-
     * oracle argument: 32×4 LSH has full recall on these corpora and
     * hashed-trigram Jaccard is bit-equal to string-trigram), so the
-    * driver hash-checks set equality, not plausibility.
+    * driver hash-checks set equality, not plausibility. NOTE the
+    * recall is a MEASURED property of these corpora, not an LSH
+    * guarantee: a 32-band × 4-row scheme misses a pair at exactly
+    * J = 0.5 with probability (1 - 0.5^4)^32 ≈ 13%, vanishing fast
+    * above the threshold (≈0.2% at J = 0.6, ~1e-9 at J = 0.8). The
+    * seeded corpora's true pairs all sit well above 0.5, which is why
+    * the exact oracle holds; on a general corpus, near-threshold pairs
+    * can silently undercount near_dups/is_dup — raise bands (or rows
+    * per band) if the application needs margin at the threshold
+    * itself.
     *
     * Measured trade-off (sf0.1): filtering each side BEFORE shingling
     * recomputes the signature per side but lets AQE broadcast the
@@ -340,12 +351,20 @@ object Dedup {
   def q73IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     val nPerm = 128
     val bands = 32
-    val base = docs(spark, dir).repartition(col("doc_id"))
+    // gated repartition (see q63): full-text exchange only when the
+    // scan itself is single-partition
+    val base = Tables.parallelized(docs(spark, dir), col("doc_id"))
       .select(col("doc_id"), col("text"))
     val batch = base.filter(col("doc_id") % 10 === 0)
     val index = base.filter(col("doc_id") % 10 =!= 0)
 
-    // exact screen: content-hash join + text confirm (collision-safe)
+    // exact screen: content-hash join + text confirm. INVARIANT: the
+    // join key is xxhash64 — an ENGINE-INTERNAL hash the DuckDB oracle
+    // cannot reproduce — so correctness rests entirely on the
+    // text-equality confirm on the next line (the hash only routes the
+    // shuffle; 8-byte keys instead of documents). Do NOT drop the
+    // confirm filter: without it a 64-bit collision becomes a wrong
+    // answer AND the oracle contract breaks.
     val exact = batch
       .select(col("doc_id"), xxhash64(col("text")).as("h"), col("text"))
       .join(index.select(xxhash64(col("text")).as("h"),

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -80,10 +79,12 @@ object Graph {
     * The graph caches as adjacency rows for the duration of the
     * computation (the node-count job materializes it); the final
     * node-sized state is truncated with localCheckpoint and the cache
-    * RELEASED — no immortal persist escapes this function. Fixed,
-    * small iteration count, so the growing plan needs no per-round
-    * checkpoint (a durable checkpoint dir replaces localCheckpoint on
-    * a real cluster, as in Pipeline.labelPropagate). */
+    * RELEASED — no immortal persist escapes this function. The join
+    * chain is truncated every 4 iterations (node-rank-sized
+    * localCheckpoint, previous truncation released as the next lands),
+    * so `iters` may be raised freely without unbounded plan growth —
+    * a durable checkpoint dir replaces localCheckpoint on a real
+    * cluster, as in Pipeline.labelPropagate. */
   def pagerank(edges: DataFrame, iters: Int): DataFrame = {
     // one shuffle builds adjacency + dedup + degree together; skew
     // note: a node's neighbor array is bounded by the node count of
@@ -107,7 +108,18 @@ object Graph {
     // two joins of the (node, rank)-only formulation, which had to
     // join adj a second time just to find the neighbor lists
     var state = adj.withColumn("rank", lit(per))
-    for (_ <- 1 to iters) {
+    // PLAN-GROWTH GUARD: each un-materialized iteration appends a
+    // join+agg to the logical plan; at small fixed iters that chain is
+    // cheaper than materializing, but left unbounded it blows up
+    // analysis time (and eventually the optimizer). Truncate the
+    // lineage every `truncateEvery` rounds — the node-sized (node,
+    // rank) state is cheap to materialize — releasing each previous
+    // truncation as soon as the next lands. Integer ranks make the
+    // truncated and unbroken chains bit-identical (PropertySpec replays
+    // iters = 10 against a single-threaded reference).
+    val truncateEvery = 4
+    var prevTrunc: Option[DataFrame] = None
+    for (i <- 1 to iters) {
       val inc = state
         .select(explode(col("nbrs")).as("dst"), expr("rank div outdeg").as("c"))
         .groupBy(col("dst"))
@@ -116,23 +128,45 @@ object Graph {
         .join(inc, col("node") === col("dst"), "left")
         .select(col("node"), col("nbrs"), col("outdeg"),
           (lit(base) + expr("(85 * coalesce(inc, 0L)) div 100")).as("rank"))
+      if (i % truncateEvery == 0 && i < iters) {
+        // carry only (node, rank); re-attach the cached adjacency so
+        // the checkpointed frame is node-rank-sized, not array-sized
+        val slim = state.select(col("node").as("ck_node"), col("rank"))
+          .localCheckpoint()
+        prevTrunc.foreach(p =>
+          org.apache.spark.sql.graftbridge.Bridge.releaseCheckpoints(p))
+        prevTrunc = Some(slim)
+        state = adj.join(slim, col("node") === col("ck_node"))
+          .select(col("node"), col("nbrs"), col("outdeg"), col("rank"))
+      }
     }
     // node-sized: drop the arrays, one cheap materialization so the
     // cache can drop
     val out = state.select(col("node"), col("outdeg"), col("rank"))
       .localCheckpoint()
+    prevTrunc.foreach(p =>
+      org.apache.spark.sql.graftbridge.Bridge.releaseCheckpoints(p))
     adj.unpersist()
     out
   }
 
   /** Top 20 parts by co-purchase PageRank after 3 iterations —
-    * deterministic total order (rank DESC, part ASC), int64 ranks. */
-  def q53Pagerank(spark: SparkSession, dir: String): DataFrame =
-    pagerank(copurchasePairs(spark, dir), iters = 3)
+    * deterministic total order (rank DESC, part ASC), int64 ranks.
+    * The bounded result is materialized on the driver so pagerank's
+    * node-sized state checkpoint can be released immediately (q87's
+    * hygiene discipline) instead of outliving the query. */
+  def q53Pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val pr = pagerank(copurchasePairs(spark, dir), iters = 3)
+    val top = pr
       .select(col("node").as("part_key"), col("outdeg").as("out_degree"),
         col("rank"))
       .orderBy(col("rank").desc, col("part_key").asc)
       .limit(20)
+    val rows = top.collect()
+    org.apache.spark.sql.graftbridge.Bridge.releaseCheckpoints(pr)
+    spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), top.schema)
+  }
 
   /** Triangle counting over the co-purchase graph — the clustering/
     * community-density signal next to q53's centrality (triangle
@@ -178,6 +212,27 @@ object Graph {
       .select(col("u"), col("v"))
 
   def q87Triangles(spark: SparkSession, dir: String): DataFrame = {
+    val (ranked, checkpoints) = q87RankedPlan(spark, dir)
+    // materialize the bounded (20-row) result on the driver, then
+    // release the four localCheckpoint block sets — they'd otherwise
+    // linger in the block manager until GC/ContextCleaner. Rank is
+    // derived from the returned order (TakeOrdered is total-ordered).
+    val rows = ranked.collect().zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2), i + 1)
+    }
+    val schema = org.apache.spark.sql.types.StructType(ranked.schema.fields :+
+      org.apache.spark.sql.types.StructField(
+        "tri_rank", org.apache.spark.sql.types.IntegerType, nullable = false))
+    org.apache.spark.sql.graftbridge.Bridge.releaseCheckpoints(checkpoints: _*)
+    spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), schema)
+  }
+
+  /** The distributed plan behind q87 (pre-materialization), plus the
+    * checkpointed intermediates the caller must release once the
+    * bounded result is collected. Exposed for the plan-shape guards. */
+  private[graft] def q87RankedPlan(
+      spark: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
     // edge-sized but skinny (2 longs/row); checkpointed because three
     // consumers (degree, orientation, and the final readout join)
     // would otherwise each re-derive the edge pipeline from the scan
@@ -215,11 +270,16 @@ object Graph {
         .select(col("d").as("node"), size(col("common")).cast("long").as("c")))
       .unionAll(triEdges
         .select(explode(col("common")).as("node"), lit(1L).as("c")))
-    val w = Window.orderBy(col("triangles").desc, col("part_key").asc)
-    credits.groupBy(col("node")).agg(sum(col("c")).as("triangles"))
+    // TakeOrdered (orderBy+limit), not a partition-less row_number
+    // window: the q53 shape. The window form stayed cheap only while
+    // WindowGroupLimit pruned per-partition — a property a formulation
+    // change could silently lose, reintroducing a single-partition sort
+    // of every node. Rank is derived from the returned order.
+    val ranked = credits.groupBy(col("node")).agg(sum(col("c")).as("triangles"))
       .join(broadcast(deg), "node")
       .select(col("node").as("part_key"), col("triangles"), col("degree"))
-      .withColumn("tri_rank", row_number().over(w))
-      .filter(col("tri_rank") <= 20)
+      .orderBy(col("triangles").desc, col("part_key").asc)
+      .limit(20)
+    (ranked, Seq(und, deg, oriented, adjHi))
   }
 }

@@ -234,11 +234,19 @@ object TextAnalysis {
     val totals = base.agg(
       count(lit(1)).as("n_domains"),
       sum(col("tokens")).as("total_tokens"))
+    // Denominator guard: a domain holding < 1 ppm of tokens floors
+    // share_ppm to 0; dividing by it would be NULL (Spark) / error
+    // (strict engines), and least(NULL, cap) silently resolves to the
+    // cap — handing the tiniest domain the max up-sample weight by
+    // accident. greatest(share, 1) clamps sub-ppm domains to the 1-ppm
+    // weight (already at the 10x cap for any uniform target >= 10 ppm),
+    // which is the intended "rarest domains hit the cap" semantics,
+    // explicitly. Oracle SQL mirrors the same GREATEST.
     base.crossJoin(broadcast(totals))
       .select(col("lang"), col("source"), col("docs"), col("tokens"),
         expr("(tokens * 1000000) div total_tokens").as("share_ppm"),
         least(
-          expr("(1000000 div n_domains) * 100 div ((tokens * 1000000) div total_tokens)"),
+          expr("(1000000 div n_domains) * 100 div greatest((tokens * 1000000) div total_tokens, 1)"),
           lit(1000L)).as("uniform_weight_pct"))
   }
 
@@ -320,6 +328,7 @@ object TextAnalysis {
              k -> struct(element_at(syms, k) AS lhs, element_at(syms, k + 1) AS rhs))
          ELSE CAST(array() AS array<struct<lhs: string, rhs: string>>) END""")
     val merges = (1 to rounds).map { r =>
+      val prevWords = words // freed once this round's checkpoint lands
       val Array(bl, br, total) = words
         .select(col("cnt"), explode(pairsOf).as("pr"))
         .groupBy(col("pr.lhs").as("lhs"), col("pr.rhs").as("rhs"))
@@ -357,8 +366,16 @@ object TextAnalysis {
                  ELSE array(element_at(syms, q)) END))"""))
         .drop("p", "rid", "sel")
         .localCheckpoint() // bound the per-round plan growth
+      // eager checkpoint above has materialized the new state; the
+      // previous round's blocks are dead — release them now instead of
+      // letting 5 rounds of corpus-vocab frames pile up until GC
+      org.apache.spark.sql.graftbridge.Bridge.releaseCheckpoints(prevWords)
       (r, bl, br, bl + br, total.toLong)
     }
+    // the result is the driver-side merge log (a LocalRelation) — it
+    // does not depend on the checkpointed state, so the final round's
+    // blocks can be released too
+    org.apache.spark.sql.graftbridge.Bridge.releaseCheckpoints(words)
     import spark.implicits._
     merges.toDF("round", "lhs", "rhs", "merged", "pair_count")
   }

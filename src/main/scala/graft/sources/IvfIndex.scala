@@ -141,6 +141,26 @@ object IvfIndex {
     * columns; a per-probe ADC shortlist then fetches full vectors
     * from `<path>/vectors` for the exact integer rerank (the q82
     * two-stage contract, served from disk). */
+  /** q88: the persisted IVF-PQ index as a driver-checked query — the
+    * full production ANN lifecycle in one verifiable unit: build the
+    * artifact (coarse quantizer + codebooks + cell-partitioned codes +
+    * rerank vectors) into a scratch warehouse dir, then serve the
+    * standard probe set (vec_id % 50 == 0) FROM THE ARTIFACT. Training
+    * and serving are exact integer arithmetic end-to-end, so the
+    * DuckDB oracle replays the entire lifecycle — quantizer training,
+    * PQ codebook training, cell assignment, 6-cell probe fan-out, ADC
+    * shortlist (300), exact rerank top-10. The build is deterministic
+    * and mode=overwrite, so repeated runs are idempotent. */
+  def q88IvfpqProbe(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft-ivfpq-q88-" + java.lang.Integer.toHexString(dir.hashCode))
+      .getAbsolutePath
+    buildPq(spark, dir, path, k = 16, iters = 5, m = 8, pqK = 16, pqIters = 3)
+    val probes = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 50 === 0).select("vec_id", "embedding")
+    probePq(spark, path, probes, nProbeCells = 6, shortlist = 300, topK = 10)
+  }
+
   def probePq(spark: SparkSession, path: String, probes: DataFrame,
       nProbeCells: Int, shortlist: Int, topK: Int): DataFrame = {
     val cents = readCentroids(spark, path)

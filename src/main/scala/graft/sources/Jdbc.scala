@@ -26,6 +26,56 @@ import java.util.Properties
   */
 object Jdbc {
 
+  /** Transient-failure retry with exponential backoff — the
+    * reference's connectors wrap query execution in a poll-with-
+    * backoff loop (connectors.py:182-452) because warehouse frontends
+    * throw retryable errors (throttling, queue-full, transient
+    * network) that a client is expected to absorb. Spark's own task
+    * retry covers EXECUTOR-side stripe reads; this wrapper covers the
+    * DRIVER-side phase (connection + schema resolution + query
+    * submission) that task retry never sees.
+    *
+    * Semantics: `attempts` total tries; sleeps `baseDelayMs * 2^(i-1)`
+    * between them (exponential, capped at maxDelayMs); rethrows the
+    * last failure once exhausted. `retryOn` classifies retryable
+    * errors — default: SQL(Transient|RecoverableException), timeouts,
+    * and plain network IO. Side-effect-free reads only: do NOT wrap
+    * writes that may have partially committed. */
+  def withRetry[T](attempts: Int = 4, baseDelayMs: Long = 200,
+      maxDelayMs: Long = 10000,
+      retryOn: Throwable => Boolean = defaultRetryable,
+      sleep: Long => Unit = Thread.sleep)(body: => T): T = {
+    require(attempts >= 1, "attempts must be >= 1")
+    var i = 0
+    var delay = baseDelayMs
+    while (true) {
+      i += 1
+      try return body
+      catch {
+        case e: Throwable if i < attempts && retryOn(e) =>
+          sleep(delay)
+          delay = math.min(delay * 2, maxDelayMs)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Retryable = transient by JDBC's own taxonomy, or a network-ish
+    * IO failure anywhere in the cause chain. Permanent errors (syntax,
+    * auth, missing table → SQLNonTransientException etc.) fail fast. */
+  def defaultRetryable(t: Throwable): Boolean = {
+    val chain = Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).toSeq
+    chain.exists {
+      case _: java.sql.SQLTransientException   => true
+      case _: java.sql.SQLRecoverableException => true
+      case _: java.sql.SQLTimeoutException     => true
+      case _: java.net.SocketTimeoutException  => true
+      case _: java.net.ConnectException        => true
+      case _: java.io.IOException              => true
+      case _ => false
+    }
+  }
+
   private def props(user: Option[String], password: Option[String]): Properties = {
     val p = new Properties()
     user.foreach(p.setProperty("user", _))

@@ -25,6 +25,20 @@ import java.security.MessageDigest
   * 30 days); expired entries are recomputed on read. Superseded
   * versions are garbage-collected after a grace period so in-flight
   * readers of the old version finish unharmed.
+  *
+  * OBJECT-STORE COMMIT (rename-free): S3-style stores have no atomic
+  * rename, so every publish ALSO drops a `.current-v-…` MARKER file
+  * (one single-object PUT — atomic on S3) beside the version dir, and
+  * readers that find no usable CURRENT pointer resolve the live
+  * version as "newest marker whose version dir is complete
+  * (_SUCCESS)". With `-Dgraft.cache.renameFree=true` the pointer swap
+  * is skipped entirely and markers are the ONLY commit record — the
+  * protocol then needs no rename anywhere: version data is written
+  * directly under its final name (completeness gated by _SUCCESS, the
+  * cloud committer's own completion marker), and commit = one marker
+  * PUT. Listing-after-put is strongly consistent on current S3;
+  * InfraSpec simulates the rename-free path by resolving without any
+  * CURRENT file.
   */
 object QueryCache {
 
@@ -147,10 +161,20 @@ object QueryCache {
     }
   }
 
-  /** The live, complete version dir for an entry, if any. */
-  private def currentVersion(entry: Path): Option[Path] = {
+  /** True when publishes must not rely on rename at all (object-store
+    * mode): commit = marker PUT only, resolution = newest marker. */
+  private def renameFree: Boolean =
+    sys.props.get("graft.cache.renameFree").contains("true")
+
+  /** The live, complete version dir for an entry, if any: the CURRENT
+    * pointer when it is usable, else the newest `.current-v-…` marker
+    * whose version completed — the rename-free resolution path. */
+  private def currentVersion(entry: Path): Option[Path] =
+    pointerVersion(entry).orElse(markerVersion(entry))
+
+  private def pointerVersion(entry: Path): Option[Path] = {
     val ptr = entry.resolve("CURRENT")
-    if (!Files.exists(ptr)) None
+    if (renameFree || !Files.exists(ptr)) None
     else {
       val name = new String(Files.readAllBytes(ptr), "UTF-8").trim
       val v = entry.resolve(name)
@@ -159,6 +183,30 @@ object QueryCache {
       if (name.startsWith("v-") && Files.exists(v.resolve("_SUCCESS"))) Some(v)
       else None
     }
+  }
+
+  /** Newest complete version by commit marker: markers are named
+    * `.current-v-<millis>-<nonce>`, so (millis, nonce) orders commits;
+    * markers pointing at incomplete/vanished versions are skipped (a
+    * writer that died between data PUT and marker PUT left no marker;
+    * one that died before _SUCCESS left an unusable marker — both read
+    * as "previous version still live"). */
+  private def markerVersion(entry: Path): Option[Path] = {
+    if (!Files.isDirectory(entry)) return None
+    val listing = Files.list(entry)
+    val names =
+      try {
+        val b = Seq.newBuilder[String]
+        listing.forEach(p => b += p.getFileName.toString)
+        b.result()
+      } finally listing.close()
+    names.filter(_.startsWith(".current-v-"))
+      .map(_.stripPrefix(".current-"))
+      .sortBy(n => (versionMillis(entry.resolve(n)), n))(Ordering.Tuple2(
+        Ordering.Long.reverse, Ordering.String.reverse))
+      .iterator
+      .map(entry.resolve)
+      .find(v => Files.exists(v.resolve("_SUCCESS")))
   }
 
   /** Millis encoded in a v-<millis>-<nonce> name; malformed names
@@ -225,18 +273,26 @@ object QueryCache {
     }
   }
 
-  /** Write a new complete version, swap CURRENT atomically, GC old. */
+  /** Write a new complete version, commit it, GC old. Commit order:
+    * (1) version data written DIRECTLY under its final name — no tmp
+    * rename; liveness is gated by _SUCCESS (written last by the
+    * committer), so a partial write is never resolvable; (2) the
+    * `.current-<vName>` marker — one small-object PUT, the rename-free
+    * commit record; (3) unless renameFree, the CURRENT pointer swap
+    * (atomic same-directory rename, the POSIX fast path — readers
+    * prefer it, markers are their fallback). A crash between any two
+    * steps leaves the previous version live and this one GC-able. */
   private def publish(spark: SparkSession, entry: Path, build: => DataFrame): DataFrame = {
     Files.createDirectories(entry)
     val vName = s"v-${System.currentTimeMillis()}-${(System.nanoTime() % 0xFFFFFF).toHexString}"
-    val tmp = entry.resolve(s".tmp-$vName")
-    build.write.mode("overwrite").parquet(tmp.toString)
-    // same-directory renames: atomic on POSIX
-    Files.move(tmp, entry.resolve(vName), StandardCopyOption.ATOMIC_MOVE)
-    val ptrTmp = entry.resolve(s".CURRENT-$vName")
-    Files.write(ptrTmp, vName.getBytes("UTF-8"))
-    Files.move(ptrTmp, entry.resolve("CURRENT"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    build.write.mode("overwrite").parquet(entry.resolve(vName).toString)
+    Files.write(entry.resolve(s".current-$vName"), vName.getBytes("UTF-8"))
+    if (!renameFree) {
+      val ptrTmp = entry.resolve(s".CURRENT-$vName")
+      Files.write(ptrTmp, vName.getBytes("UTF-8"))
+      Files.move(ptrTmp, entry.resolve("CURRENT"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
     gc(entry, vName)
     spark.read.parquet(entry.resolve(vName).toString)
   }
@@ -255,6 +311,10 @@ object QueryCache {
           val stale =
             (name.startsWith("v-") && name != keep &&
               now - versionMillis(p) > GcGraceMillis) ||
+            // commit markers die with their version (keep's stays)
+            (name.startsWith(".current-v-") && name != s".current-$keep" &&
+              now - versionMillis(entry.resolve(
+                name.stripPrefix(".current-"))) > GcGraceMillis) ||
             ((name.startsWith(".tmp-") || name.startsWith(".CURRENT-")) &&
               now - Files.getLastModifiedTime(p).toMillis > GcGraceMillis)
           if (stale) deleteRecursively(p)

@@ -40,6 +40,22 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
 
+  /** Repartition `df` by `keys` ONLY when its scan is under-parallel
+    * (fewer planned partitions than cores). The test tables are
+    * single-split parquet files whose 1-partition scans would serialize
+    * every downstream codegen pass — but on a production many-file
+    * table the scan is already parallel, and an unconditional
+    * `repartition` there is a full exchange of the input (for a
+    * full-text corpus, the most expensive possible shuffle) placed
+    * before map-side work that needs no co-partitioning at all. The
+    * gate reads the PLANNED partition count (no job runs) and is a
+    * no-op at scale. */
+  def parallelized(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= math.min(cores, 16)) df
+    else df.repartition(keys: _*)
+  }
+
   /** Date-partitioned parquet sink — the layout a 100 TB fact table
     * needs: writes land under <path>/<partitionCol>=<value>/ so reads
     * with a date predicate prune whole directories (verified by the
@@ -75,7 +91,15 @@ object Tables {
     * one shuffle-round-robin repartition, and returns the file count.
     * Round-robin (not coalesce) so output files are even regardless
     * of input file skew; layout-sensitive tables should recompact
-    * through writeZOrdered/writeBucketed instead. */
+    * through writeZOrdered/writeBucketed instead.
+    *
+    * Object-store note: the `mode("overwrite")` commit here delegates
+    * atomicity to the configured committer — on HDFS/POSIX the default
+    * rename-based FileOutputCommitter is fine; on S3-style stores run
+    * with a cloud-native committer (no rename, task files PUT directly
+    * + completion marker) and swap the compacted dir in at the CATALOG
+    * layer (the compact-into-sibling + catalog-swap contract above is
+    * exactly so the data move itself never needs an atomic rename). */
   def compact(spark: SparkSession, inPath: String, outPath: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Int = {
     val p = new org.apache.hadoop.fs.Path(inPath)

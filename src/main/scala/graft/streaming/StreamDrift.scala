@@ -42,9 +42,17 @@ object StreamDrift {
     * bit-for-bit on any engine. */
   def driftReport(cells: DataFrame, reference: DataFrame, topN: Int): DataFrame = {
     val d = (c: org.apache.spark.sql.Column) => c.cast("double")
-    val refTot = reference.agg(sum(col("ref_cnt")).as("ref_tot"))
+    // Zero-expectation guard: a ref_cnt <= 0 term (or an empty/zeroed
+    // reference) makes e = 0, the chi2 division yields Infinity, and
+    // floor(Inf) cast to long lands Long.MaxValue — one degenerate
+    // reference row would dominate every window's ranking. Chi-square
+    // is undefined at zero expectation, so such cells are dropped here
+    // rather than scored; callers wanting "new term appeared" alarms
+    // should diff vocabularies explicitly (q57 shape), not abuse chi2.
+    val ref = reference.filter(col("ref_cnt") > 0)
+    val refTot = ref.agg(sum(col("ref_cnt")).as("ref_tot"))
     val winTot = cells.groupBy(col("win")).agg(sum(col("o")).as("w_tot"))
-    val grid = winTot.crossJoin(broadcast(reference))
+    val grid = winTot.crossJoin(broadcast(ref))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("win"))
       .orderBy(col("chi2_micro").desc, col("term").asc)
     grid

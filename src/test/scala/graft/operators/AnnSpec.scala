@@ -193,16 +193,18 @@ class AnnSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("q82 PQ recall@10 vs the exact quantized ranking at both corpus sizes") {
-    // measured 0.83 (sf0.01) / 0.61 (sf0.1) on the deterministic
+    // measured 0.99 (sf0.001) / 0.8275 (sf0.1) on the deterministic
     // near-random corpus — PQ's hardest regime (on clustered data the
     // codebooks adapt and recall rises); the recall lever is the ADC
-    // shortlist (100 — at sf0.1 that's 5% of the corpus vs 20% at
-    // sf0.01, hence the drop), which the exact rerank then orders
+    // shortlist (300 — raised from 100 in r6, which measured 0.61 at
+    // sf0.1 where a fixed 100 was only 2% of the corpus), which the
+    // exact rerank then orders. Floors pin the production bar: >= 0.8
+    // at BOTH scale factors.
     val r1 = pqRecall(sfDir, 10)
     info(s"PQ recall@10 = $r1")
-    assert(r1 >= 0.70, s"recall $r1")
+    assert(r1 >= 0.90, s"recall $r1")
     val r2 = pqRecall("/root/testdata/sf0.1", 10)
     info(s"PQ recall@10 at sf0.1 = $r2")
-    assert(r2 >= 0.60, s"recall $r2")
+    assert(r2 >= 0.80, s"recall $r2")
   }
 }

@@ -52,6 +52,41 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(rows.forall(_.getAs[Long]("out_degree") >= 1))
   }
 
+  test("pagerank at iters = 10 matches a single-threaded integer replay") {
+    // exercises the every-4-rounds lineage truncation path (iters > 4)
+    // and proves truncation changes nothing: integer ranks make the
+    // truncated and unbroken chains bit-identical
+    val edges = Graph.copurchaseEdges(spark, sfDir)
+    val adj = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (u, es) => u -> es.map(_._2).distinct.sorted }
+    val n = adj.size
+    val per = Graph.RankScale / n
+    val base = 15L * per / 100L
+    var rank = adj.keys.map(_ -> per).toMap
+    for (_ <- 1 to 10) {
+      val inc = scala.collection.mutable.Map.empty[Long, Long]
+      adj.foreach { case (u, nbrs) =>
+        val c = rank(u) / nbrs.length
+        nbrs.foreach(v => inc(v) = inc.getOrElse(v, 0L) + c)
+      }
+      rank = adj.keys.map(u => u -> (base + 85L * inc.getOrElse(u, 0L) / 100L)).toMap
+    }
+    val got = Graph.pagerank(edges, iters = 10).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("rank")).toMap
+    assert(got === rank)
+  }
+
+  test("q53/q86/q87 release their checkpoint blocks (no block-manager litter)") {
+    val sc = spark.sparkContext
+    def persisted: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    val before = persisted
+    Graph.q53Pagerank(spark, sfDir).collect()
+    Graph.q87Triangles(spark, sfDir).collect()
+    TextAnalysis.q86Bpe(spark, sfDir).collect()
+    val leaked = persisted -- before
+    assert(leaked.isEmpty, s"leaked persistent RDDs: $leaked")
+  }
+
   test("q87 per-node triangle counts match an id-ordered local enumeration") {
     // independent algorithm: id-ordered wedge enumeration over the
     // collected edge set (the compact-forward impl orients by degree —

@@ -59,6 +59,49 @@ class InfraSpec extends AnyFunSuite with SparkFixture {
     assert(builds === 2 && back.count() === 1)
   }
 
+  test("query cache publishes rename-free: marker commit resolves without CURRENT") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-s3ish").toString
+    var builds = 0
+    def build = { builds += 1; Seq((builds, "v")).toDF("n", "v") }
+    val cfg = "s3ish"
+    val entry = java.nio.file.Paths.get(dir, QueryCache.cacheKey(cfg))
+
+    // simulate an object store: no usable rename target — resolution
+    // must come from the .current-v-* commit markers alone
+    System.setProperty("graft.cache.renameFree", "true")
+    try {
+      val first = QueryCache.cached(spark, dir, cfg)(build)
+      assert(first.count() === 1 && builds === 1)
+      assert(!Files.exists(entry.resolve("CURRENT")),
+        "rename-free mode must not write the pointer")
+      // read-through serves the marker-committed version (no rebuild)
+      assert(QueryCache.cached(spark, dir, cfg)(build).count() === 1)
+      assert(builds === 1)
+      // a second publish wins by newest marker
+      QueryCache.refresh(spark, dir, cfg)(build)
+      assert(builds === 2)
+      val served = QueryCache.cached(spark, dir, cfg)(build)
+      assert(served.select("n").collect()(0).getInt(0) === 2)
+      assert(builds === 2)
+      // a crashed writer (version data without _SUCCESS + its marker)
+      // never becomes live: the previous committed version still serves
+      val ghost = "v-99999999999999-ff"
+      Files.createDirectories(entry.resolve(ghost))
+      Files.write(entry.resolve(s".current-$ghost"), ghost.getBytes("UTF-8"))
+      assert(QueryCache.cached(spark, dir, cfg)(build)
+        .select("n").collect()(0).getInt(0) === 2)
+      assert(builds === 2)
+    } finally System.clearProperty("graft.cache.renameFree")
+
+    // back on POSIX semantics: the next publish restores the pointer
+    // fast path and readers agree with the marker resolution
+    QueryCache.refresh(spark, dir, cfg)(build)
+    assert(Files.exists(entry.resolve("CURRENT")))
+    assert(QueryCache.cached(spark, dir, cfg)(build)
+      .select("n").collect()(0).getInt(0) === 3)
+  }
+
   test("query cache single-flight: concurrent misses on one key build ONCE") {
     import spark.implicits._
     import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
@@ -195,6 +238,54 @@ class InfraSpec extends AnyFunSuite with SparkFixture {
       val pushed = Jdbc.readQuery(spark, url,
         s"SELECT id FROM metrics WHERE name IN ($inList)")
       assert(pushed.collect().map(_.getAs[Long]("ID")).sorted === Array(5L, 7L))
+    } finally conn.close()
+  }
+
+  test("jdbc retry: N-1 transient failures then success yields data; permanent fails fast") {
+    // flaky read against embedded Derby: the first two attempts die
+    // with a network-ish IOException (the connectors.py poll-with-
+    // backoff regime), the third runs the real pushed query
+    val url = "jdbc:derby:memory:graftretry;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE t (id BIGINT NOT NULL)")
+      (1 to 5).foreach(i => st.execute(s"INSERT INTO t VALUES ($i)"))
+      var calls = 0
+      val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val df = Jdbc.withRetry(attempts = 4, baseDelayMs = 100,
+          sleep = sleeps.append(_)) {
+        calls += 1
+        if (calls < 3) throw new java.io.IOException("connection reset")
+        Jdbc.readQuery(spark, url, "SELECT id FROM t")
+      }
+      assert(calls === 3)
+      assert(df.count() === 5)
+      assert(sleeps.toSeq === Seq(100L, 200L), "exponential backoff between tries")
+
+      // exhausted attempts rethrow the last failure
+      var always = 0
+      val ex = intercept[java.io.IOException] {
+        Jdbc.withRetry(attempts = 3, sleep = _ => ()) {
+          always += 1; throw new java.io.IOException("down")
+        }
+      }
+      assert(always === 3 && ex.getMessage === "down")
+
+      // permanent errors (syntax/auth → non-transient) never retry
+      var perm = 0
+      intercept[java.sql.SQLNonTransientException] {
+        Jdbc.withRetry(attempts = 4, sleep = _ => ()) {
+          perm += 1; throw new java.sql.SQLNonTransientException("bad syntax")
+        }
+      }
+      assert(perm === 1, "non-retryable must fail fast")
+
+      // retryable classification walks the cause chain (Spark wraps
+      // driver-side failures)
+      assert(Jdbc.defaultRetryable(new RuntimeException(
+        new java.sql.SQLTransientException("throttled"))))
+      assert(!Jdbc.defaultRetryable(new RuntimeException("plain")))
     } finally conn.close()
   }
 
