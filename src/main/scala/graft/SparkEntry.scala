@@ -104,6 +104,11 @@ object SparkEntry {
     "q86_bpe"                 -> TextAnalysis.q86Bpe _,
     "q87_triangles"           -> Graph.q87Triangles _,
     "q88_ivfpq_probe"         -> graft.sources.IvfIndex.q88IvfpqProbe _,
+    "q89_bpe_apply"           -> TextAnalysis.q89BpeApply _,
+    "q90_semantic_dedup"      -> Ann.q90SemanticDedup _,
+    "q91_skew_profile"        -> Profiling.q91SkewProfile _,
+    "q92_mixture_sample"      -> Pipeline.q92MixtureSample _,
+    "q93_watermark_audit"     -> Profiling.q93WatermarkAudit _,
   )
 
   /** Integer squared distance between a quantized vector and a
@@ -2288,6 +2293,134 @@ object SparkEntry {
           ROW_NUMBER() OVER (ORDER BY p.triangles DESC, p.node ASC) AS tri_rank
         FROM pern p JOIN deg d ON p.node = d.node
       ) WHERE tri_rank <= 20
+    """,
+    // replay training (the q86 CTE chain) and apply w5's final
+    // segmentation per word OCCURRENCE — the Spark side instead bakes
+    // the 5 merge pairs into literal rewrite expressions; hash
+    // equality proves the two formulations tokenize identically.
+    "q89_bpe_apply" -> s"""
+      WITH w0 AS (
+        SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt,
+          string_split(w, '') AS syms
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY 1
+      ),${(1 to 5).map(bpeRoundCtes).mkString(",")}
+      SELECT t.doc_id,
+        CAST(COUNT(*) AS BIGINT) AS words,
+        CAST(SUM(len(w5.syms)) AS BIGINT) AS bpe_tokens,
+        CAST(SUM(len(t.word)) AS BIGINT) AS chars,
+        CAST(SUM(len(w5.syms)) * 10000
+          // GREATEST(SUM(len(t.word)), 1) AS BIGINT) AS tokens_per_10k_chars
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents) t
+      JOIN w5 ON w5.word = t.word
+      GROUP BY 1
+    """,
+    // the full SemDeDup lifecycle replayed: quantized-kmeans training
+    // (kmeansCtes), integer cell assignment, within-cell pairs, and
+    // the bit-exact cosine verify.
+    "q90_semantic_dedup" -> s"""
+      WITH ${kmeansCtes(k = 16, iters = 5)},
+      e AS (
+        SELECT vec_id, embedding,
+          sqrt(list_reduce(
+            list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+            (a, b) -> a + b)) AS norm
+        FROM embeddings
+      ),
+      ad AS (
+        SELECT v.vec_id, c.cluster,
+          ROW_NUMBER() OVER (PARTITION BY v.vec_id
+            ORDER BY ${qDist("c")} ASC, c.cluster ASC) AS rn
+        FROM v CROSS JOIN c5 c
+      ),
+      asg AS (SELECT vec_id, cluster FROM ad WHERE rn = 1),
+      pruned AS (
+        SELECT DISTINCT b.vec_id
+        FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        JOIN e p ON a.vec_id = p.vec_id
+        JOIN e n ON b.vec_id = n.vec_id
+        WHERE $cosineSql >= 0.25
+      )
+      SELECT g.cluster AS cell, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(COUNT(pr.vec_id) AS BIGINT) AS pruned,
+        CAST(COUNT(*) - COUNT(pr.vec_id) AS BIGINT) AS kept,
+        CAST(COUNT(pr.vec_id) * 10000 // COUNT(*) AS BIGINT) AS prune_bp
+      FROM asg g LEFT JOIN pruned pr ON g.vec_id = pr.vec_id
+      GROUP BY 1
+    """,
+    "q91_skew_profile" ->
+      Seq(("lineitem", "l_partkey", "lineitem.l_partkey"),
+          ("lineitem", "l_suppkey", "lineitem.l_suppkey"),
+          ("orders", "o_custkey", "orders.o_custkey"),
+          ("events", "user_id", "events.user_id")).map { case (tbl, key, label) =>
+        s"""
+        SELECT '$label' AS key_name, s.n_rows, s.n_keys, t.top_key, s.max_cnt,
+          s.max_cnt * s.n_keys * 100 // s.n_rows AS skew_pct
+        FROM (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+                CAST(COUNT(*) AS BIGINT) AS n_keys,
+                CAST(MAX(cnt) AS BIGINT) AS max_cnt
+              FROM (SELECT $key, COUNT(*) AS cnt FROM $tbl GROUP BY 1)) s
+        CROSS JOIN (SELECT CAST($key AS BIGINT) AS top_key
+                    FROM (SELECT $key, COUNT(*) AS cnt FROM $tbl GROUP BY 1)
+                    ORDER BY cnt DESC, $key ASC LIMIT 1) t"""
+      }.mkString(" UNION ALL "),
+    // weights replayed from the q76 CTEs; the per-doc deterministic
+    // Bernoulli replays through the same mix32 scalar expansion.
+    "q92_mixture_sample" -> s"""
+      WITH base AS (
+        SELECT lang, source, COUNT(*) AS docs,
+          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        FROM documents GROUP BY 1, 2
+      ),
+      t AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_domains,
+          CAST(SUM(tokens) AS BIGINT) AS total_tokens
+        FROM base
+      ),
+      w AS (
+        SELECT lang, source,
+          LEAST((1000000 // n_domains) * 100
+                  // GREATEST((tokens * 1000000) // total_tokens, 1),
+                1000) AS weight_pct
+        FROM base CROSS JOIN t
+      ),
+      c AS (
+        SELECT d.lang, d.source, w.weight_pct, d.n_tokens,
+          w.weight_pct // 100
+            + CASE WHEN ${mix32Sql("d.doc_id")} % 100 < w.weight_pct % 100
+                   THEN 1 ELSE 0 END AS copies
+        FROM (SELECT doc_id, lang, source,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents) d
+        JOIN w ON d.lang = w.lang AND d.source = w.source
+      ),
+      pd AS (
+        SELECT lang, source, MIN(weight_pct) AS weight_pct,
+          CAST(COUNT(*) AS BIGINT) AS docs_in,
+          CAST(SUM(copies) AS BIGINT) AS docs_out,
+          CAST(SUM(n_tokens) AS BIGINT) AS tokens_in,
+          CAST(SUM(copies * n_tokens) AS BIGINT) AS tokens_out
+        FROM c GROUP BY 1, 2
+      ),
+      tt AS (SELECT CAST(SUM(tokens_out) AS BIGINT) AS total_out FROM pd)
+      SELECT lang, source, weight_pct, docs_in, docs_out, tokens_in,
+        tokens_out, tokens_out * 1000000 // total_out AS realized_ppm
+      FROM pd CROSS JOIN tt
+    """,
+    "q93_watermark_audit" -> """
+      WITH l AS (
+        SELECT ts,
+          MAX(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+            ROWS UNBOUNDED PRECEDING) - epoch_ms(ts) AS late_ms
+        FROM events
+      )
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+        CAST(SUM(CASE WHEN late_ms > 1000 THEN 1 ELSE 0 END) AS BIGINT) AS drop_1s,
+        CAST(SUM(CASE WHEN late_ms > 10000 THEN 1 ELSE 0 END) AS BIGINT) AS drop_10s,
+        CAST(SUM(CASE WHEN late_ms > 60000 THEN 1 ELSE 0 END) AS BIGINT) AS drop_60s,
+        CAST(MAX(late_ms) AS BIGINT) AS max_late_ms
+      FROM l GROUP BY 1
     """,
   )
 }

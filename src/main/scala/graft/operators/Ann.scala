@@ -302,4 +302,58 @@ object Ann {
       .filter(col("cosine") >= threshold)
       .dropDuplicates("vec_a", "vec_b")
   }
+
+  /** q90: SEMANTIC dedup in the SemDeDup shape (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with k-means, then
+    * prune within clusters only — a vector is pruned when a
+    * LOWER-id cluster-mate sits above the cosine threshold (the
+    * deterministic keep-one rule; SemDeDup keeps the one farthest from
+    * the centroid — id order makes the choice engine-replayable).
+    * Output = the per-cluster dedup report: size, pruned, kept, prune
+    * rate in bp.
+    *
+    * This is the third dedup geometry next to q30 (LSH buckets) and
+    * q21 (MinHash bands): LSH prunes by data-OBLIVIOUS hyperplanes,
+    * SemDeDup by the corpus's own density structure — on real
+    * embedding corpora the cluster restriction is what makes
+    * quadratic-free semantic dedup possible at scale: k grows with N
+    * so cells stay bounded (N/k vectors each), and the within-cell
+    * pair join is a cell-keyed equi-join, never corpus×corpus. The
+    * trained quantizer is the q32/q45 deterministic integer kmeans, so
+    * clustering, candidates, and the bit-exact cosine verify all
+    * replay in DuckDB (kmeansCtes) — an oracle over the ENTIRE
+    * train-assign-prune lifecycle. */
+  def q90SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val threshold = 0.25
+    // same (k, iters) as q45: the oracle shares the trained quantizer CTEs
+    val cents = Clustering.centroidsQuantized(spark, dir, k = 16, iters = 5)
+    val emb = Tables.embeddings(spark, dir)
+      .repartition(col("vec_id")) // parallelize assignment off the scan
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("q", Clustering.quantizedCol)
+      .select(col("vec_id"), col("embedding"),
+        exprCol(NearestCellsInt(expression(col("q")), cents, 1))(0).as("cell"))
+    // within-cell candidate pairs: ids only through the self-join (the
+    // q30 discipline — 64-float vectors never ride the exploded side),
+    // vectors fetched back for the codegen cosine verify.
+    val byCell = emb.select(col("cell"), col("vec_id"))
+      .repartition(col("cell")) // one exchange, reused by both join sides
+    val pruned = byCell.as("a")
+      .join(byCell.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
+      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")
+      .filter(cosine(col("emb_a"), col("emb_b")) >= threshold)
+      .select(col("vec_b").as("vec_id")).distinct()
+      .withColumn("is_pruned", lit(1L))
+    emb.select(col("cell"), col("vec_id"))
+      .join(pruned, Seq("vec_id"), "left")
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("is_pruned")), lit(0L)).as("pruned"))
+      .select(col("cell").cast("long").as("cell"), col("n"), col("pruned"),
+        (col("n") - col("pruned")).as("kept"),
+        expr("pruned * 10000 div n").as("prune_bp"))
+  }
 }

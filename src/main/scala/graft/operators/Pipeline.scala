@@ -347,4 +347,49 @@ object Pipeline {
       .select(col("doc_id"), col("tier"), col("n_tokens"), col("start_tok"),
         (col("start_tok") + col("n_tokens") > col("budget_toks")).as("partial"))
   }
+
+  /** q92: mixture REALIZATION — execute q76's rebalancing weights as a
+    * deterministic resampling plan and report what the rebalanced
+    * corpus actually looks like. Each document is replicated
+    * weight_pct div 100 times plus one more when mix32(doc_id) mod 100
+    * falls under the fractional remainder — the deterministic
+    * per-document Bernoulli that realizes a fractional up-sampling
+    * weight exactly in expectation with NO RNG (the q40/q43 split
+    * discipline applied to repetition counts). Per-domain readout:
+    * input docs/tokens, realized docs/tokens, and the realized token
+    * share in ppm — the "did the rebalance land where the weights
+    * said" check against q76's uniform target.
+    *
+    * Scale shape: the weights frame is |domains| rows (broadcast); the
+    * corpus is scanned ONCE (per-doc token counts + copies as pure
+    * row expressions) into one map-side-combinable groupBy(domain);
+    * realized share divides by a 1-row broadcast total. Nothing is
+    * ever materialized `copies` times — the plan outputs counts, and a
+    * writer realizing the physical copies would explode AFTER this
+    * accounting (sequence(1, copies) per row, linear in output).
+    * All-integer → oracle-exact. */
+  def q92MixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val weights = graft.operators.TextAnalysis.q76MixtureReport(spark, dir)
+      .select(col("lang"), col("source"), col("uniform_weight_pct"))
+    val perDoc = Tables.parallelized(Tables.documents(spark, dir), col("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(broadcast(weights), Seq("lang", "source"))
+      .withColumn("copies",
+        expr("uniform_weight_pct div 100") +
+          when(pmod(mix32(col("doc_id")), lit(100)) < col("uniform_weight_pct") % 100, 1L)
+            .otherwise(0L))
+    val perDomain = perDoc.groupBy(col("lang"), col("source"))
+      .agg(
+        first(col("uniform_weight_pct")).as("weight_pct"),
+        count(lit(1)).as("docs_in"),
+        sum(col("n_tokens")).as("tokens_in"),
+        sum(col("copies")).as("docs_out"),
+        sum(col("copies") * col("n_tokens")).as("tokens_out"))
+    val total = perDomain.agg(sum(col("tokens_out")).as("total_out"))
+    perDomain.crossJoin(broadcast(total))
+      .select(col("lang"), col("source"), col("weight_pct"),
+        col("docs_in"), col("docs_out"), col("tokens_in"), col("tokens_out"),
+        expr("tokens_out * 1000000 div total_out").as("realized_ppm"))
+  }
 }

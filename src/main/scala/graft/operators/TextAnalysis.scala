@@ -316,7 +316,55 @@ object TextAnalysis {
     * compensate) — so the hash gate proves the whole iterative
     * training, ties and all (ties break count DESC, pair ASC). */
   def q86Bpe(spark: SparkSession, dir: String): DataFrame = {
-    val rounds = 5
+    import spark.implicits._
+    bpeMerges(spark, dir, rounds = 5)
+      .toDF("round", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  /** One greedy non-overlapping merge pass: rewrite `syms` so every
+    * (bl, br) adjacency becomes the merged symbol, scanning left to
+    * right (a merged pair shields its right neighbor). The rule is the
+    * gaps-and-islands trick in array form — occurrence positions at
+    * even run-relative offsets merge — so it stays whole-stage codegen
+    * with no UDF. Shared by training (q86, on the distinct-word state)
+    * and application (q89, on the exploded corpus). */
+  private[graft] def mergeRewrite(df: DataFrame, bl: String, br: String): DataFrame = {
+    def lit_(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+    df.withColumn("p", expr(
+        s"""CASE WHEN size(syms) >= 2 THEN
+              filter(sequence(1, size(syms) - 1),
+                k -> element_at(syms, k) = '${lit_(bl)}'
+                  AND element_at(syms, k + 1) = '${lit_(br)}')
+            ELSE CAST(array() AS array<bigint>) END"""))
+      // run id: occurrence position minus its (1-based) rank — constant
+      // within a run of CONSECUTIVE positions (Spark lambda index j0 is
+      // 0-based; DuckDB's jj is 1-based: x - j0 - 1 == x - jj)
+      .withColumn("rid", expr("transform(p, (x, j0) -> x - j0 - 1)"))
+      // greedy non-overlap: within each run, keep even run-relative
+      // offsets (1st, 3rd, ... occurrence)
+      .withColumn("sel", expr(
+        """CASE WHEN size(p) = 0 THEN CAST(array() AS array<bigint>)
+           ELSE transform(
+             filter(sequence(1, size(p)),
+               j -> (j - array_position(rid, element_at(rid, j))) % 2 = 0),
+             j -> element_at(p, j)) END"""))
+      .withColumn("syms", expr(
+        """flatten(transform(sequence(1, size(syms)),
+             q -> CASE
+               WHEN array_contains(sel, q)
+                 THEN array(concat(element_at(syms, q), element_at(syms, q + 1)))
+               WHEN array_contains(sel, q - 1) THEN CAST(array() AS array<string>)
+               ELSE array(element_at(syms, q)) END))"""))
+      .drop("p", "rid", "sel")
+  }
+
+  /** The q86 training loop, reusable: returns the merge log —
+    * (round, lhs, rhs, merged, pair_count) — as DRIVER-SIDE metadata
+    * (5 rows, like a centroid set). All checkpointed training state is
+    * released before returning, so callers get the artifact with a
+    * clean block manager. */
+  private[graft] def bpeMerges(spark: SparkSession, dir: String,
+      rounds: Int): Seq[(Int, String, String, String, Long)] = {
     var words = Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
@@ -337,34 +385,7 @@ object TextAnalysis {
         .limit(1).collect()
         .map(row => Array(row.getString(0), row.getString(1),
           row.getLong(2).toString)).head
-      def lit_(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
-      words = words
-        .withColumn("p", expr(
-          s"""CASE WHEN size(syms) >= 2 THEN
-                filter(sequence(1, size(syms) - 1),
-                  k -> element_at(syms, k) = '${lit_(bl)}'
-                    AND element_at(syms, k + 1) = '${lit_(br)}')
-              ELSE CAST(array() AS array<bigint>) END"""))
-        // run id: occurrence position minus its (1-based) rank — constant
-        // within a run of CONSECUTIVE positions (Spark lambda index j0 is
-        // 0-based; DuckDB's jj is 1-based: x - j0 - 1 == x - jj)
-        .withColumn("rid", expr("transform(p, (x, j0) -> x - j0 - 1)"))
-        // greedy non-overlap: within each run, keep even run-relative
-        // offsets (1st, 3rd, ... occurrence)
-        .withColumn("sel", expr(
-          """CASE WHEN size(p) = 0 THEN CAST(array() AS array<bigint>)
-             ELSE transform(
-               filter(sequence(1, size(p)),
-                 j -> (j - array_position(rid, element_at(rid, j))) % 2 = 0),
-               j -> element_at(p, j)) END"""))
-        .withColumn("syms", expr(
-          """flatten(transform(sequence(1, size(syms)),
-               q -> CASE
-                 WHEN array_contains(sel, q)
-                   THEN array(concat(element_at(syms, q), element_at(syms, q + 1)))
-                 WHEN array_contains(sel, q - 1) THEN CAST(array() AS array<string>)
-                 ELSE array(element_at(syms, q)) END))"""))
-        .drop("p", "rid", "sel")
+      words = mergeRewrite(words, bl, br)
         .localCheckpoint() // bound the per-round plan growth
       // eager checkpoint above has materialized the new state; the
       // previous round's blocks are dead — release them now instead of
@@ -376,8 +397,40 @@ object TextAnalysis {
     // does not depend on the checkpointed state, so the final round's
     // blocks can be released too
     org.apache.spark.sql.graftbridge.Bridge.releaseCheckpoints(words)
-    import spark.implicits._
-    merges.toDF("round", "lhs", "rhs", "merged", "pair_count")
+    merges
+  }
+
+  /** q89: BPE tokenizer APPLICATION — the corpus-scale pass that q86's
+    * training exists to feed: apply the learned merge table to every
+    * document and report the realized tokenization (word count, BPE
+    * token count, character count, tokens-per-10k-chars compression).
+    * The numbers a data-card publishes and a token-budget planner
+    * (q74) consumes.
+    *
+    * Scale shape: the merge table is DRIVER METADATA (5 rows), so
+    * application is pure per-row array expressions — the same greedy
+    * rewrite as training with the pair LITERALS baked into the codegen
+    * plan. NO join against trained state, no broadcast, nothing
+    * shuffled but the final map-side-combinable groupBy(doc_id); the
+    * rewrite chain runs at scan speed. (The join-the-segmentation-frame
+    * alternative ships a vocab-sized table through every task; baking
+    * 5 literal passes into whole-stage codegen is strictly cheaper and
+    * exactly reproducible.) All-integer output → oracle-exact; the
+    * DuckDB oracle replays training (the q86 CTE chain) and applies
+    * w5's final segmentation per occurrence — proving train+apply
+    * agree end to end across two formulations. */
+  def q89BpeApply(spark: SparkSession, dir: String): DataFrame = {
+    val merges = bpeMerges(spark, dir, rounds = 5)
+    var tok = Tables.parallelized(Tables.documents(spark, dir), col("doc_id"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .withColumn("syms", split(col("word"), ""))
+    merges.foreach { case (_, bl, br, _, _) => tok = mergeRewrite(tok, bl, br) }
+    tok.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("words"),
+        sum(size(col("syms")).cast("long")).as("bpe_tokens"),
+        sum(length(col("word")).cast("long")).as("chars"))
+      .withColumn("tokens_per_10k_chars",
+        expr("bpe_tokens * 10000 div greatest(chars, 1)"))
   }
 
   def q80TokenizeVocab(spark: SparkSession, dir: String): DataFrame = {

@@ -207,4 +207,49 @@ class AnnSpec extends AnyFunSuite with SparkFixture {
     info(s"PQ recall@10 at sf0.1 = $r2")
     assert(r2 >= 0.80, s"recall $r2")
   }
+
+  test("q90 SemDeDup report matches an independent local replay") {
+    val cents = Clustering.centroidsQuantized(spark, sfDir, k = 16, iters = 5)
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Seq[Float]]("embedding").toArray)
+    val idToVec = embs.toMap
+    def cellOf(v: Array[Float]): Int = {
+      val q = v.map(x => math.floor(x.toDouble * 16777216.0).toLong)
+      var best = -1; var bd = Long.MaxValue
+      for (c <- cents.indices) {
+        var d = 0L; var j = 0
+        while (j < q.length) { val t = q(j) - cents(c)(j); d += t * t; j += 1 }
+        if (d < bd) { bd = d; best = c }
+      }
+      best
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = embs.groupBy { case (_, v) => cellOf(v) }.map { case (c, vs) =>
+      val ids = vs.map(_._1)
+      val pruned = ids.count { b =>
+        ids.exists(a => a < b && cos(idToVec(a), idToVec(b)) >= 0.25)
+      }.toLong
+      c.toLong -> ((ids.length.toLong, pruned))
+    }
+    val got = Ann.q90SemanticDedup(spark, sfDir).collect()
+    assert(got.length === expected.size)
+    var totalPruned = 0L
+    got.foreach { r =>
+      val (n, pruned) = expected(r.getAs[Long]("cell"))
+      assert(r.getAs[Long]("n") === n)
+      assert(r.getAs[Long]("pruned") === pruned)
+      assert(r.getAs[Long]("kept") === n - pruned)
+      assert(r.getAs[Long]("prune_bp") === pruned * 10000 / n)
+      totalPruned += pruned
+    }
+    assert(got.map(_.getAs[Long]("n")).sum === embs.length)
+    assert(totalPruned > 0, "corpus must exercise the prune path")
+  }
 }

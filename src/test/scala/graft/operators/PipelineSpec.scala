@@ -246,4 +246,45 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       assert(repOf(p.getAs[Long]("doc_a")) === repOf(p.getAs[Long]("doc_b")))
     }
   }
+
+  test("q92 mixture realization matches a local integer replay") {
+    import graft.functions.VectorKernels.mix32Int
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3).split(" ", -1).length.toLong))
+    val domains = docs.groupBy(d => (d._2, d._3))
+    val totalTokens = docs.map(_._4).sum
+    val nDomains = domains.size.toLong
+    val expected = domains.map { case (k, ds) =>
+      val toks = ds.map(_._4).sum
+      val share = toks * 1000000L / totalTokens
+      val w = math.min((1000000L / nDomains) * 100 / math.max(share, 1L), 1000L)
+      val copies = ds.map(d =>
+        w / 100 + (if (mix32Int(d._1) % 100 < w % 100) 1L else 0L))
+      val tokensOut = ds.zip(copies).map { case (d, c) => c * d._4 }.sum
+      k -> ((w, ds.length.toLong, copies.sum, toks, tokensOut))
+    }
+    val totalOut = expected.values.map(_._5).sum
+    val got = Pipeline.q92MixtureSample(spark, sfDir).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val e = expected((r.getAs[String]("lang"), r.getAs[String]("source")))
+      assert((r.getAs[Long]("weight_pct"), r.getAs[Long]("docs_in"),
+        r.getAs[Long]("docs_out"), r.getAs[Long]("tokens_in"),
+        r.getAs[Long]("tokens_out")) === e)
+      assert(r.getAs[Long]("realized_ppm") === e._5 * 1000000L / totalOut)
+    }
+    // the rebalance must move every domain's share TOWARD uniform
+    // (or onto it) relative to the input mixture, up to the 10x cap
+    // and integer granularity: no domain may overshoot to the other
+    // side by more than the cap/rounding allow in this corpus
+    val uniform = 1000000L / nDomains
+    got.foreach { r =>
+      val inShare = r.getAs[Long]("tokens_in") * 1000000L / totalTokens
+      val outShare = r.getAs[Long]("realized_ppm")
+      assert(math.abs(outShare - uniform) <= math.abs(inShare - uniform) + 1000,
+        s"domain ${r.getAs[String]("lang")}/${r.getAs[String]("source")} moved away from uniform")
+    }
+  }
 }

@@ -307,4 +307,41 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     assert(p88.contains("WindowGroupLimit"),
       "q88 must prune per-partition before the window sort")
   }
+
+  test("q89: merge application is join-free — pairs are codegen literals") {
+    val p = plan("q89_bpe_apply")
+    assert(!p.matches("(?s).*Join.*"),
+      "BPE application must bake merges into expressions, not join trained state")
+    assert(p.contains("HashAggregate"), "per-doc rollup is a partial aggregate")
+  }
+
+  test("q90: cell self-join reuses one exchange; no cartesian") {
+    val df = graft.SparkEntry.queries("q90_semantic_dedup")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      "both sides of the within-cell pair join must read one shuffle")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q91: key profiles aggregate without windows or global sorts") {
+    val p = plan("q91_skew_profile")
+    assert(!p.matches("(?s).*\\bWindow\\b.*"),
+      "the deterministic argmax must be max_by, not a ranking window")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q92: weights and totals broadcast; the corpus never sort-merge-joins") {
+    val p = plan("q92_mixture_sample")
+    assert(!p.contains("SortMergeJoin"),
+      "domain weights are |domains| rows — every join must broadcast")
+  }
+
+  test("q93: lateness window is per-user partitioned, day rollup partial-aggregates") {
+    val p = plan("q93_watermark_audit")
+    assert(p.contains("Window"), "running max over arrival order")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "day rollup must map-side combine")
+    assert(!p.contains("CartesianProduct"))
+  }
 }

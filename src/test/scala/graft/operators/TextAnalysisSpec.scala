@@ -235,4 +235,30 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert(bpeMerge(Vector("a", "a", "a", "a"), "a", "a") === Vector("aa", "aa"))
     assert(bpeMerge(Vector("a", "a", "a"), "a", "a") === Vector("aa", "a"))
   }
+
+  test("q89 BPE application matches a local train-and-apply replay on every doc") {
+    // merges from the library's training (itself proven against the
+    // local greedy reference above); application replayed locally
+    val merges = TextAnalysis.q86Bpe(spark, sfDir).collect()
+      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2)))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expected = docs.map { case (id, text) =>
+      val words = text.split(" ", -1)
+      var toks = words.map(w => w.toVector.map(_.toString)).toVector
+      merges.foreach { case (l, r) => toks = toks.map(t => bpeMerge(t, l, r)) }
+      val bpeTokens = toks.map(_.size.toLong).sum
+      val chars = words.map(_.length.toLong).sum
+      id -> ((words.length.toLong, bpeTokens, chars,
+        bpeTokens * 10000 / math.max(chars, 1L)))
+    }.toMap
+    val got = TextAnalysis.q89BpeApply(spark, sfDir).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      assert((r.getAs[Long]("words"), r.getAs[Long]("bpe_tokens"),
+        r.getAs[Long]("chars"), r.getAs[Long]("tokens_per_10k_chars"))
+        === expected(r.getAs[Long]("doc_id")))
+    }
+  }
 }
