@@ -109,6 +109,9 @@ object SparkEntry {
     "q91_skew_profile"        -> Profiling.q91SkewProfile _,
     "q92_mixture_sample"      -> Pipeline.q92MixtureSample _,
     "q93_watermark_audit"     -> Profiling.q93WatermarkAudit _,
+    "q94_shard_manifest"      -> Pipeline.q94ShardManifest _,
+    "q95_ngram_novelty"       -> TextAnalysis.q95NgramNovelty _,
+    "q96_pca_power"           -> Stats.q96PcaPower _,
   )
 
   /** Integer squared distance between a quantized vector and a
@@ -2422,5 +2425,116 @@ object SparkEntry {
         CAST(MAX(late_ms) AS BIGINT) AS max_late_ms
       FROM l GROUP BY 1
     """,
+    // same quality/tier/curriculum-order CTEs as q74; the manifest is
+    // the per-20k-token-shard rollup of the global prefix sum
+    "q94_shard_manifest" -> s"""
+      WITH s AS (
+        SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents
+      ),
+      q AS (
+        SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+          CAST(FLOOR((least(CAST(len(w) AS DOUBLE)/50.0, 1.0) * 0.4
+            + (1.0 - CAST(len(list_filter(w, x -> x IN ('join','hash','row')))
+                     AS DOUBLE)/len(w)) * 0.3
+            + least((CAST(n_chars - len(w) + 1 AS DOUBLE)/len(w))/6.0, 1.0)
+              * 0.3) * 10) AS BIGINT) AS tier,
+          ${mix32Sql("doc_id")} AS hv
+        FROM s
+      ),
+      c AS (
+        SELECT doc_id, tier, n_tokens,
+          CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY tier DESC, hv ASC,
+            doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS start_tok
+        FROM q
+      )
+      SELECT CAST(start_tok // 20000 AS BIGINT) AS shard_id,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        MIN(tier) AS min_tier, MAX(tier) AS max_tier,
+        CAST(MIN(start_tok) AS BIGINT) AS start_tok,
+        CAST(SUM(CASE WHEN (start_tok + n_tokens - 1) // 20000
+                        > start_tok // 20000
+                 THEN 1 ELSE 0 END) AS BIGINT) AS spans
+      FROM c GROUP BY 1
+    """,
+    "q95_ngram_novelty" -> """
+      WITH t AS (
+        SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                       for i in range(1, len(w) - 1)]) AS tri
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      ),
+      b AS (
+        SELECT doc_id, unnest(tri) AS sh FROM t WHERE doc_id % 10 = 0
+      ),
+      ix AS (
+        SELECT DISTINCT unnest(tri) AS sh FROM t WHERE doc_id % 10 <> 0
+      )
+      SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        CAST(SUM(CASE WHEN ix.sh IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_novel,
+        CAST((SUM(CASE WHEN ix.sh IS NULL THEN 1 ELSE 0 END) * 10000)
+          // COUNT(*) AS BIGINT) AS novelty_bp
+      FROM b LEFT JOIN ix ON b.sh = ix.sh
+      GROUP BY 1
+    """,
+    // power iteration replay: gram (floorDiv by n) + 5 unrolled
+    // rounds + Rayleigh quotient, all in the floor-mod idiom
+    "q96_pca_power" -> {
+      val rounds = (1 to 5).map { t =>
+        val prev = if (t == 1) "v0" else s"v${t - 1}"
+        s"""w$t AS (
+        SELECT g.i, CAST(SUM(g.g * v.v) AS BIGINT) AS w
+        FROM gram g JOIN $prev v ON g.j = v.i GROUP BY 1
+      ),
+      m$t AS (SELECT MAX(ABS(w)) AS m FROM w$t),
+      v$t AS (
+        SELECT i, CAST((w * 10000 - (((w * 10000) % m + m) % m)) // m
+          AS BIGINT) AS v
+        FROM w$t CROSS JOIN m$t
+      )"""
+      }.mkString(",\n      ")
+      s"""
+      WITH q AS (
+        SELECT vec_id, list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * 4096.0) AS BIGINT)) AS q
+        FROM embeddings
+      ),
+      nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM q),
+      pos AS (
+        SELECT vec_id, CAST(d.i - 1 AS BIGINT) AS i, q[d.i] AS x
+        FROM q CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+      ),
+      tri AS (
+        SELECT a.i AS i, b.i AS j, CAST(SUM(a.x * b.x) AS BIGINT) AS s
+        FROM pos a JOIN pos b ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY 1, 2
+      ),
+      gram AS (
+        SELECT i, j, (s - ((s % n + n) % n)) // n AS g
+        FROM tri CROSS JOIN nv
+        UNION ALL
+        SELECT j AS i, i AS j, (s - ((s % n + n) % n)) // n AS g
+        FROM tri CROSS JOIN nv WHERE i <> j
+      ),
+      v0 AS (
+        SELECT CAST(i AS BIGINT) AS i, CAST(10000 AS BIGINT) AS v
+        FROM (SELECT unnest(range(0, 64)) AS i)
+      ),
+      $rounds,
+      wf AS (
+        SELECT g.i, CAST(SUM(g.g * v.v) AS BIGINT) AS w
+        FROM gram g JOIN v5 v ON g.j = v.i GROUP BY 1
+      ),
+      ray AS (
+        SELECT CAST((num - ((num % den + den) % den)) // den AS BIGINT)
+          AS lambda_q
+        FROM (SELECT SUM(v.v * w.w) AS num, SUM(v.v * v.v) AS den
+              FROM v5 v JOIN wf w ON v.i = w.i)
+      )
+      SELECT v.i, v.v AS loading, ray.lambda_q
+      FROM v5 v CROSS JOIN ray
+    """
+    },
   )
 }

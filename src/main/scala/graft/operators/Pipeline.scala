@@ -392,4 +392,56 @@ object Pipeline {
         col("docs_in"), col("docs_out"), col("tokens_in"), col("tokens_out"),
         expr("tokens_out * 1000000 div total_out").as("realized_ppm"))
   }
+
+  /** q94: training-SHARD assignment + manifest — the last pipeline
+    * step before a training run: lay the quality-ordered corpus out
+    * into fixed-token-budget shards and emit the per-shard manifest a
+    * data loader consumes (doc count, token count, tier range, global
+    * token offset). Order is q74's curriculum order (tier DESC — best
+    * docs first — then mix32 shuffle within tier); a document belongs
+    * to the shard where its global token offset starts (docs are never
+    * split — `spans` marks how many boundaries a doc crosses).
+    *
+    * Scale shape: identical to q74/q49 — the ONLY window over corpus
+    * rows is keyed by (tier, subshard) (bounded partitions, no global
+    * sort); global offsets come from a broadcast ≤ tiers×64-row
+    * metadata frame; the manifest is one map-side-combinable
+    * groupBy(shard_id). Output is |corpus_tokens| / shard size rows —
+    * metadata-sized from a corpus-sized input. All-integer →
+    * oracle-exact. */
+  def q94ShardManifest(spark: SparkSession, dir: String): DataFrame = {
+    val shardToks = 20000L
+    val subshardDiv = 67108864L // 2^26 → 64 subshards over the 32-bit hash
+    val base = TextAnalysis.q27QualityScore(spark, dir)
+      .select(col("doc_id"), col("n_words").cast("long").as("n_tokens"),
+        floor(col("quality_score") * 10).cast("long").as("tier"))
+      .withColumn("hv", Exprs.mix32(col("doc_id")))
+      .withColumn("subshard", expr(s"hv div $subshardDiv"))
+    val totals = base.groupBy(col("tier"), col("subshard"))
+      .agg(sum(col("n_tokens")).as("shard_toks"))
+    val wOff = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tier").desc, col("subshard").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("off", coalesce(sum(col("shard_toks")).over(wOff), lit(0L)))
+      .select(col("tier"), col("subshard"), col("off"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tier"), col("subshard"))
+      .orderBy(col("hv").asc, col("doc_id").asc)
+    base
+      .join(broadcast(offsets), Seq("tier", "subshard"))
+      .withColumn("start_tok",
+        col("off") + sum(col("n_tokens")).over(wIn) - col("n_tokens"))
+      .withColumn("shard_id", expr(s"start_tok div $shardToks"))
+      .groupBy(col("shard_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("tier")).as("min_tier"),
+        max(col("tier")).as("max_tier"),
+        min(col("start_tok")).as("start_tok"),
+        sum(when(
+          expr(s"(start_tok + n_tokens - 1) div $shardToks") > col("shard_id"),
+          1L).otherwise(0L)).as("spans"))
+  }
 }

@@ -210,4 +210,71 @@ object Stats {
       .filter(col("pair_rank") <= 20)
       .select(col("i"), col("j"), col("n"), col("corr"), col("pair_rank"))
   }
+
+  /** q96: dominant principal direction of the embedding corpus by
+    * integer POWER ITERATION over the second-moment (Gram) matrix —
+    * the embedding-QA readout behind anisotropy checks ("all my
+    * vectors point the same way" is the classic broken-encoder
+    * signature; a dominant direction hogging the spectrum means
+    * cosine similarity is measuring the artifact, not content).
+    * Output: per-dimension loading of the top eigenvector (fixed
+    * scale: max |loading| = 10000) plus the Rayleigh-quotient
+    * eigenvalue estimate.
+    *
+    * Scale shape: the ONLY corpus-sized pass is the Gram triangle —
+    * one self-join per vector on vec_id bounded by dim²/2 groups
+    * (the q84 discipline), map-side combined. The matrix is divided
+    * by n (floorDiv — second moment, magnitude independent of corpus
+    * size, no int64 overflow at any N), collected as ≤ dim(dim+1)/2
+    * rows (metadata, the q32/q82 centroid-collect policy), and the 5
+    * power-iteration rounds run on the driver in exact integer
+    * arithmetic — dim×dim times 5 multiplies, microseconds.
+    * Determinism: components quantize at floor(x·4096) (4096 = 2^12,
+    * exact in binary FP, so floor is engine-identical), every division
+    * is floorDiv, renormalization is integer (·10000 div max|w|) — the
+    * oracle replays gram, floorDiv-by-n, and all 5 unrolled rounds in
+    * DuckDB. The q32/q53/q86 reproducibility discipline applied to
+    * spectral estimation. */
+  def q96PcaPower(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val iters = 5
+    val scaleV = 10000L
+    val pos = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        posexplode(expr(
+          "transform(embedding, x -> cast(floor(cast(x as double) * 4096.0D) as bigint))"))
+          .as(Seq("i", "x")))
+    // upper triangle (i <= j) of Σ x_i·x_j, plus the vector count
+    val tri = pos.as("a").join(pos.as("b"),
+        col("a.vec_id") === col("b.vec_id") && col("a.i") <= col("b.i"))
+      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+      .agg(sum(col("a.x") * col("b.x")).as("s"))
+      .collect()
+    val n = Tables.embeddings(spark, dir).count()
+    require(n > 0, "q96: empty embedding corpus")
+    val g = Array.ofDim[Long](dim, dim)
+    tri.foreach { r =>
+      val (i, j, s) = (r.getInt(0), r.getInt(1), r.getLong(2))
+      val v = Math.floorDiv(s, n)
+      g(i)(j) = v; g(j)(i) = v
+    }
+    var v = Array.fill(dim)(scaleV)
+    var w = Array.fill(dim)(0L)
+    for (_ <- 1 to iters) {
+      w = Array.tabulate(dim)(i => (0 until dim).map(j => g(i)(j) * v(j)).sum)
+      val m = w.map(math.abs).max
+      require(m > 0, "q96: zero Gram matrix")
+      v = w.map(x => Math.floorDiv(x * scaleV, m))
+    }
+    val wFin = Array.tabulate(dim)(i => (0 until dim).map(j => g(i)(j) * v(j)).sum)
+    // Rayleigh quotient in BigInt: Σ v_i·w_i can exceed int64 for a
+    // worst-case corpus (DuckDB's SUM(BIGINT) is HUGEINT — same math)
+    val num = v.indices.map(i => BigInt(v(i)) * BigInt(wFin(i))).sum
+    val den = v.map(x => BigInt(x) * BigInt(x)).sum
+    val lambda = ((num - num.mod(den)) / den).toLong // floorDiv
+    import spark.implicits._
+    v.toSeq.zipWithIndex
+      .map { case (l, i) => (i.toLong, l, lambda) }
+      .toDF("i", "loading", "lambda_q")
+  }
 }

@@ -453,4 +453,36 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_words"), col("oov_words"), col("n_tokens"),
         (col("oov_words").cast("double") / col("n_words")).as("oov_rate"))
   }
+
+  /** q95: cross-corpus n-gram NOVELTY — per incoming-batch document,
+    * what fraction of its distinct word-3-shingles has never been seen
+    * in the index corpus. The data-selection readout ("Deduplicating
+    * Training Data" inverted): a batch doc that is all-seen adds
+    * nothing; a high-novelty doc is where new information lives.
+    * Batch/index split is q73's convention (doc_id % 10).
+    *
+    * Scale shape: both sides explode to DISTINCT (doc_id, shingle) /
+    * DISTINCT shingle rows — the shingle-keyed left join co-partitions
+    * on the shingle string (the q79 postings discipline; the index side
+    * is the big one and is touched exactly once, aggregated to one row
+    * per distinct shingle BEFORE the join so the join's right side is
+    * the vocabulary, not the corpus), then one map-side-combinable
+    * groupBy(doc_id) of integer counters. No cartesian anywhere;
+    * novelty_bp is integer → oracle-exact. */
+  def q95NgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.parallelized(Tables.documents(spark, dir), col("doc_id"))
+      .select(col("doc_id"), col("text"))
+    val batch = base.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), explode(Dedup.shingles3).as("sh"))
+    val indexSh = base.filter(col("doc_id") % 10 =!= 0)
+      .select(explode(Dedup.shingles3).as("sh"))
+      .groupBy(col("sh")).agg(count(lit(1)).as("ix_docs"))
+    batch.join(indexSh, Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        count(when(col("ix_docs").isNull, 1)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        expr("(n_novel * 10000) div n_shingles").as("novelty_bp"))
+  }
 }

@@ -198,6 +198,53 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(got.size < docs.length)
   }
 
+  test("q94 shard manifest: matches the global curriculum order's shard rollup") {
+    def mix32(v: Long): Long = {
+      val mask = 4294967295L
+      def mul(x: Long, m: Long): Long =
+        (((x >> 16) * m % 4294967296L) * 65536 + (x & 65535) * m) & mask
+      val a = mul(v & mask, 2654435761L)
+      val b = a ^ (a >> 16)
+      val d = mul(b, 2246822519L)
+      d ^ (d >> 13)
+    }
+    val shardToks = 20000L
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val scored = docs.map { case (id, t, nChars) =>
+      val w = t.split(" ", -1)
+      val n = w.length.toLong
+      val stop = w.count(Set("join", "hash", "row")).toDouble / n
+      val q = math.min(n.toDouble / 50.0, 1.0) * 0.4 + (1.0 - stop) * 0.3 +
+        math.min(((nChars - n + 1).toDouble / n) / 6.0, 1.0) * 0.3
+      (id, n, math.floor(q * 10).toLong, mix32(id))
+    }
+    val ordered = scored.sortBy { case (id, _, tier, hv) => (-tier, hv, id) }
+    var cum = 0L
+    val rows = ordered.map { case (_, n, tier, _) =>
+      val start = cum; cum += n
+      (start / shardToks, n, tier, start,
+        (start + n - 1) / shardToks > start / shardToks)
+    }
+    val expected = rows.groupBy(_._1).map { case (shard, rs) =>
+      shard -> ((rs.length.toLong, rs.map(_._2).sum, rs.map(_._3).min,
+        rs.map(_._3).max, rs.map(_._4).min, rs.count(_._5).toLong))
+    }
+    val got = Pipeline.q94ShardManifest(spark, sfDir).collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    }.toMap
+    assert(got === expected)
+    // every shard except possibly the last holds >= its token budget
+    // (docs are unsplit, so a shard closes only once it overflows)
+    val lastShard = got.keys.max
+    got.foreach { case (shard, (_, toks, _, _, _, _)) =>
+      if (shard != lastShard)
+        assert(toks >= shardToks - 500, s"shard $shard suspiciously light")
+    }
+  }
+
   test("q75 chunking: windows match a local replay and reconstruct the doc") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text").collect()

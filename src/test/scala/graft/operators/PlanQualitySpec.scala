@@ -344,4 +344,20 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
       "day rollup must map-side combine")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q94: shard window is sharded; offsets broadcast; no global sort") {
+    val p = plan("q94_shard_manifest")
+    assert(p.contains("windowspecdefinition(tier"),
+      "the corpus prefix-sum window must partition by (tier, subshard)")
+    assert(p.contains("BroadcastHashJoin"), "shard offsets must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus must never shuffle for a join — only by shard for its window")
+  }
+
+  test("q95: novelty join is shingle-keyed; index side pre-aggregated") {
+    val p = plan("q95_ngram_novelty")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      "index distinct-shingle set and doc rollup must both map-side combine")
+  }
 }

@@ -148,4 +148,37 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     assert(got.keySet === expected.keySet)
     got.foreach { case (k, c) => assert(math.abs(c - expected(k)) < 1e-12, s"$k") }
   }
+
+  test("q96: power iteration matches a single-threaded integer replay") {
+    val dim = 64
+    val vecs = graft.sources.Tables.embeddings(spark, sfDir)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(x =>
+        math.floor(x.toDouble * 4096.0).toLong).toArray)
+    val n = vecs.length.toLong
+    val g = Array.ofDim[Long](dim, dim)
+    for (i <- 0 until dim; j <- i until dim) {
+      val s = vecs.map(v => v(i) * v(j)).sum
+      val d = Math.floorDiv(s, n)
+      g(i)(j) = d; g(j)(i) = d
+    }
+    var v = Array.fill(dim)(10000L)
+    for (_ <- 1 to 5) {
+      val w = Array.tabulate(dim)(i => (0 until dim).map(j => g(i)(j) * v(j)).sum)
+      val m = w.map(math.abs).max
+      v = w.map(x => Math.floorDiv(x * 10000L, m))
+    }
+    val wf = Array.tabulate(dim)(i => (0 until dim).map(j => g(i)(j) * v(j)).sum)
+    val num = v.indices.map(i => BigInt(v(i)) * BigInt(wf(i))).sum
+    val den = v.map(x => BigInt(x) * BigInt(x)).sum
+    val lambda = ((num - num.mod(den)) / den).toLong
+    val got = Stats.q96PcaPower(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.size === dim)
+    (0 until dim).foreach { i =>
+      assert(got(i.toLong) === ((v(i), lambda)), s"dim $i")
+    }
+    // the result is a direction: the max-|loading| dim sits at ±10000
+    assert(got.values.map(p => math.abs(p._1)).max === 10000L)
+  }
 }

@@ -261,4 +261,27 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
         === expected(r.getAs[Long]("doc_id")))
     }
   }
+
+  test("q95: batch novelty matches a local shingle-set replay") {
+    def tri(text: String): Set[String] = {
+      val w = text.split(" ", -1)
+      if (w.length < 3) Set.empty
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val indexSh = docs.collect { case (id, t) if id % 10 != 0 => tri(t) }
+      .foldLeft(Set.empty[String])(_ ++ _)
+    val expected = docs.collect { case (id, t) if id % 10 == 0 && tri(t).nonEmpty =>
+      val sh = tri(t)
+      val novel = sh.count(!indexSh.contains(_)).toLong
+      id -> ((sh.size.toLong, novel, novel * 10000 / sh.size))
+    }.toMap
+    val got = TextAnalysis.q95NgramNovelty(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expected)
+    // the index corpus is 90% of the data — full novelty should be rare
+    assert(got.values.exists(_._3 < 10000), "some batch shingles must be seen")
+  }
 }
