@@ -30,7 +30,7 @@ object Ann {
     * broadcast against one corpus scan — the baseline every ANN method
     * is judged against. */
   def q24AnnBruteforce(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir).repartition(col("vec_id"))
+    val emb = Tables.parallelized(Tables.embeddings(spark, dir), col("vec_id"))
     val probes = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
     val scored = emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
@@ -51,8 +51,7 @@ object Ann {
   def q25AnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val nTables = 8
     val bitsPerTable = 8
-    val emb = Tables.embeddings(spark, dir)
-      .repartition(col("vec_id")) // parallelize bucket computation
+    val emb = Tables.parallelized(Tables.embeddings(spark, dir), col("vec_id"))
       .select(col("vec_id"), col("embedding"),
         posexplode(exprCol(HyperplaneBuckets(
           expression(col("embedding")), nTables, bitsPerTable))).as(Seq("tbl", "bucket")))
@@ -96,8 +95,7 @@ object Ann {
   def annIvf(spark: SparkSession, dir: String, k: Int, iters: Int,
       probeCells: Int, topK: Int): DataFrame = {
     val cents = Clustering.centroidsQuantized(spark, dir, k, iters)
-    val emb = Tables.embeddings(spark, dir)
-      .repartition(col("vec_id"))
+    val emb = Tables.parallelized(Tables.embeddings(spark, dir), col("vec_id"))
       .select(col("vec_id"), col("embedding"))
       .withColumn("q", Clustering.quantizedCol)
     // corpus side: each vector lives in exactly its nearest cell
@@ -268,8 +266,7 @@ object Ann {
 
   def dedupEmbedding(spark: SparkSession, dir: String, threshold: Double,
       nTables: Int, bitsPerTable: Int): DataFrame = {
-    val vecs = Tables.embeddings(spark, dir)
-      .repartition(col("vec_id")) // parallelize bucket computation
+    val vecs = Tables.parallelized(Tables.embeddings(spark, dir), col("vec_id"))
       .select(col("vec_id"), col("embedding"))
     // band rows carry only (vec_id, tbl, bucket): the 64-float vectors
     // stay out of the exploded bucket table and its self-join, exactly
@@ -327,8 +324,7 @@ object Ann {
     val threshold = 0.25
     // same (k, iters) as q45: the oracle shares the trained quantizer CTEs
     val cents = Clustering.centroidsQuantized(spark, dir, k = 16, iters = 5)
-    val emb = Tables.embeddings(spark, dir)
-      .repartition(col("vec_id")) // parallelize assignment off the scan
+    val emb = Tables.parallelized(Tables.embeddings(spark, dir), col("vec_id"))
       .select(col("vec_id"), col("embedding"))
       .withColumn("q", Clustering.quantizedCol)
       .select(col("vec_id"), col("embedding"),

@@ -32,8 +32,7 @@ object Clustering {
     * the source) and unpersisted once the final assignment is
     * materialized. */
   def kmeans(spark: SparkSession, dir: String, k: Int, iters: Int): DataFrame = {
-    val vecs = Tables.embeddings(spark, dir)
-      .repartition(col("vec_id")) // parallelize off the single-split scan
+    val vecs = Tables.parallelized(Tables.embeddings(spark, dir), col("vec_id"))
       .select(col("vec_id"), col("embedding"))
       .persist()
     val cents = centroidsOf(vecs, k, iters)
@@ -52,8 +51,7 @@ object Clustering {
     * deterministic but not cross-engine bit-reproducible
     * (ClusteringSpec covers both paths). */
   def centroids(spark: SparkSession, dir: String, k: Int, iters: Int): Array[Array[Double]] = {
-    val vecs = Tables.embeddings(spark, dir)
-      .repartition(col("vec_id"))
+    val vecs = Tables.parallelized(Tables.embeddings(spark, dir), col("vec_id"))
       .select(col("vec_id"), col("embedding"))
       .persist()
     val cents = centroidsOf(vecs, k, iters)
@@ -165,8 +163,7 @@ object Clustering {
 
   /** (vec_id, q) frame of quantized embeddings. */
   def quantizedVecs(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
-      .repartition(col("vec_id"))
+    Tables.parallelized(Tables.embeddings(spark, dir), col("vec_id"))
       .select(col("vec_id"), quantizedCol.as("q"))
 
   private def centroidsQuantizedOf(vecs: DataFrame, k: Int,

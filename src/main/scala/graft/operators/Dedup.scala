@@ -100,8 +100,7 @@ object Dedup {
     // the signature pass runs on all cores (the test file is a single
     // parquet split; on a real many-file table the scan is already
     // parallel and this is a no-op by partition count).
-    val withTri = docs(spark, dir)
-      .repartition(col("doc_id"))
+    val withTri = Tables.parallelized(docs(spark, dir), col("doc_id"))
       .withColumn("shingles", triHash)
       // <3-word docs have no shingles and no defined Jaccard; without
       // this filter every shingle-less doc collides in every band
@@ -162,8 +161,7 @@ object Dedup {
     import org.apache.spark.sql.graftbridge.Bridge.{column => exprCol, expression}
     val simhash = exprCol(graft.functions.SimhashWords(
       expression(split(col("text"), " "))))
-    val withSig = docs(spark, dir)
-      .repartition(col("doc_id")) // parallelize the signature pass
+    val withSig = Tables.parallelized(docs(spark, dir), col("doc_id"))
       .withColumn("simhash", simhash)
       .select(col("doc_id"), col("simhash"))
     // chunk widths: base bits each, first (64 % nChunks) get one extra
@@ -216,8 +214,7 @@ object Dedup {
     // definition. Trigrams are 64-bit hashes (collision odds
     // ~|tri|^2/2^64 — negligible); this is the shape that scales:
     // shuffle volume is the postings table, never the pair matrix.
-    val withTri = docs(spark, dir)
-      .repartition(col("doc_id")) // parallelize shingling off the scan
+    val withTri = Tables.parallelized(docs(spark, dir), col("doc_id"))
       .withColumn("tri", triHash)
       .select(col("doc_id"), col("lang"), col("source"), col("tri"))
     val sizes = withTri.select(
@@ -428,8 +425,7 @@ object Dedup {
     * explode — the intersection is computed once per pair, not once
     * per direction. */
   def q79Containment(spark: SparkSession, dir: String): DataFrame = {
-    val withNg = docs(spark, dir)
-      .repartition(col("doc_id")) // parallelize shingling off the scan
+    val withNg = Tables.parallelized(docs(spark, dir), col("doc_id"))
       .withColumn("ng", ngramHash(4))
       .select(col("doc_id"), col("ng"))
     val sizes = withNg.select(col("doc_id"), size(col("ng")).cast("long").as("n"))
@@ -488,8 +484,7 @@ object Dedup {
   def q83DupSpan(spark: SparkSession, dir: String): DataFrame = {
     val minSpan = 10
     val n = 4
-    val post = docs(spark, dir)
-      .repartition(col("doc_id")) // parallelize shingling off the scan
+    val post = Tables.parallelized(docs(spark, dir), col("doc_id"))
       .select(col("doc_id"), posexplode(ngramHashPositional(n)).as(Seq("pos", "g")))
       // join-key shuffle -> ReusedExchange dedupes the postings build
       .repartition(col("g"))

@@ -166,8 +166,7 @@ object Pipeline {
     // (collisions ~|ng|^2/2^64 — negligible), no string building, and
     // the shuffled postings rows carry 8 bytes instead of ~50-char
     // n-gram strings — shuffle volume is the scale cost here
-    val post = Tables.documents(spark, dir)
-      .repartition(col("doc_id")) // parallelize shingling off the scan
+    val post = Tables.parallelized(Tables.documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), explode(Dedup.ngramHash(8)).as("ng"))
     val bench = post.filter(col("doc_id") % 10 === 0)
       .select(col("ng"), col("doc_id").as("bdoc"))

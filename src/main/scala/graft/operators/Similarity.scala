@@ -29,8 +29,7 @@ object Similarity {
     * repartition spreads tokenization off the (single-split) test
     * scan; on a many-file table it's a no-op by partition count. */
   def postings(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .repartition(col("doc_id"))
+    Tables.parallelized(Tables.documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("cnt"))

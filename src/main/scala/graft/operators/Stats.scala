@@ -136,8 +136,7 @@ object Stats {
     * is engine-exact. */
   def q81ChisqDrift(spark: SparkSession, dir: String): DataFrame = {
     val d = (c: Column) => c.cast("double")
-    val cells = Tables.documents(spark, dir)
-      .repartition(col("doc_id")) // parallelize the explode off the scan
+    val cells = Tables.parallelized(Tables.documents(spark, dir), col("doc_id"))
       .select(col("source"), explode(split(col("text"), " ")).as("term"))
       .groupBy(col("source"), col("term"))
       .agg(count(lit(1)).as("o"))

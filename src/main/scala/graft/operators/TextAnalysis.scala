@@ -435,8 +435,7 @@ object TextAnalysis {
 
   def q80TokenizeVocab(spark: SparkSession, dir: String): DataFrame = {
     val v = 24
-    val words = Tables.documents(spark, dir)
-      .repartition(col("doc_id")) // parallelize the explode off the scan
+    val words = Tables.parallelized(Tables.documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
     val vocab = words.groupBy(col("w").as("term"))
       .agg(count(lit(1)).as("cnt"))

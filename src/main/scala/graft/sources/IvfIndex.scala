@@ -33,8 +33,7 @@ object IvfIndex {
       .toDF("cell", "cq")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
-    Tables.embeddings(spark, dir)
-      .repartition(col("vec_id"))
+    Tables.parallelized(Tables.embeddings(spark, dir), col("vec_id"))
       .select(col("vec_id"), col("embedding"))
       .withColumn("cell",
         exprCol(NearestCellsInt(
