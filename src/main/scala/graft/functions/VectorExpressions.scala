@@ -30,6 +30,58 @@ object VectorKernels {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Cosine of one vector against a whole probe MATRIX — the batched
+    * kernel behind the dense top-k path: one doc row in, |probes|
+    * cosines out, so the pair stream carries (idx, double) instead of
+    * two float arrays per pair. Each entry is computed by the exact
+    * per-pair loop above (same op order ⇒ bit-identical to
+    * FloatVecCosine; cosine is argument-symmetric in IEEE because
+    * x*y and sqrt(na)*sqrt(nb) both commute). */
+  def cosineMat(a: ArrayData, probes: Array[Array[Float]]): ArrayData = {
+    val n = a.numElements()
+    val av = new Array[Double](n)
+    var na = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      av(i) = x; na += x * x
+      i += 1
+    }
+    val sna = math.sqrt(na)
+    val out = new Array[Double](probes.length)
+    var p = 0
+    while (p < probes.length) {
+      val b = probes(p)
+      var dot = 0.0; var nb = 0.0
+      var j = 0
+      while (j < n) {
+        val y = b(j).toDouble
+        dot += av(j) * y; nb += y * y
+        j += 1
+      }
+      out(p) = dot / (sna * math.sqrt(nb))
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Dense float vector from sparse (idx, cnt) pairs — the densify
+    * kernel behind the dense cosine path. A map-typed formulation
+    * (element_at per vocab slot) is O(V·|doc words|) STRING compares
+    * per row — measured as the whole q17 cost at sf1; this is
+    * O(V + nnz) primitive stores. */
+  def denseFloatVec(pairs: ArrayData, size: Int): ArrayData = {
+    val out = new Array[Float](size)
+    val n = pairs.numElements()
+    var i = 0
+    while (i < n) {
+      val p = pairs.getStruct(i, 2)
+      out(p.getInt(0)) = p.getLong(1).toFloat
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Engine-neutral 32-bit mix (multiply-xorshift rounds) — the
     * kernel twin of operators/Exprs.mix32, asserted equal in
     * PropertySpec. Java wrap-around products masked to 32 bits equal
@@ -97,6 +149,41 @@ case class FloatVecCosine(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): FloatVecCosine =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "floatvec_cosine"
+}
+
+/** Cosines of a float vector against a broadcast probe matrix (see
+  * VectorKernels.cosineMat) — the matrix rides along as a reference
+  * object in both eval and generated code, so the 50M-pair dense
+  * scoring never materializes a joined pair row. */
+case class FloatMatCosines(child: Expression, probes: Array[Array[Float]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.cosineMat(input.asInstanceOf[ArrayData], probes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("probes", probes, "float[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorKernels.cosineMat($c, $ref);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): FloatMatCosines =
+    copy(child = newChild)
+  override def prettyName: String = "floatmat_cosines"
+}
+
+/** Densify sparse (idx, cnt) struct pairs into a fixed-width float
+  * vector (see VectorKernels.denseFloatVec). */
+case class DenseFloatVec(child: Expression, size: Int)
+    extends UnaryExpression {
+  require(size >= 0, "vector size must be non-negative")
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.denseFloatVec(input.asInstanceOf[ArrayData], size)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorKernels.denseFloatVec($c, $size);")
+  override protected def withNewChildInternal(newChild: Expression): DenseFloatVec =
+    copy(child = newChild)
+  override def prettyName: String = "dense_float_vec"
 }
 
 /** Random-hyperplane LSH bucket codes, one per table (codegen kernel). */

@@ -161,22 +161,44 @@ object Similarity {
       vocab: Array[String]): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge.{column => exprCol, expression}
     val post = postings(spark, dir)
-    val vocabArr = array(vocab.map(lit(_)): _*)
-    val vecs = post.groupBy(col("doc_id"))
-      .agg(map_from_entries(collect_list(struct(col("word"), col("cnt")))).as("m"))
-      .select(col("doc_id"),
-        transform(vocabArr, w => coalesce(element_at(col("m"), w), lit(0L)).cast("float"))
-          .as("vec"))
-    val probes = vecs.filter(col("doc_id") % 50 === 0)
-      .select(col("doc_id").as("probe_doc"), col("vec").as("p_vec"))
-    val scored = vecs.select(col("doc_id").as("neighbor_doc"), col("vec"))
-      .join(broadcast(probes), col("probe_doc") =!= col("neighbor_doc"))
-      .withColumn("cosine", exprCol(graft.functions.FloatVecCosine(
-        expression(col("p_vec")), expression(col("vec")))))
+    // Densify through a broadcast word→idx join + primitive fill
+    // kernel: the map-typed formulation (element_at per vocab slot)
+    // was O(V·|doc words|) string compares per row — measured as the
+    // entire q17 cost once the vocabulary grew past a few dozen terms.
+    val vocabIdx = spark.createDataFrame(
+      vocab.zipWithIndex.toSeq).toDF("word", "idx")
+    val vecs = post.join(broadcast(vocabIdx), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("idx").cast("int").as("idx"),
+        col("cnt").cast("long").as("cnt"))).as("pairs"))
+      .select(col("doc_id"), exprCol(graft.functions.DenseFloatVec(
+        expression(col("pairs")), vocab.length)).as("vec"))
+    // Probe matrix as a kernel reference object, not a join side: the
+    // old broadcast pair join materialized |probes|×|docs| rows each
+    // carrying TWO float vectors — row weight, not arithmetic, was the
+    // scale cost (measured 2.6x at sf1). One FloatMatCosines call per
+    // doc row scores every probe in a primitive loop (bit-identical
+    // per-pair op order) and the exploded pair stream carries only
+    // (idx, cosine). Probe residency on the driver is the same
+    // broadcast-sized contract the old path already required.
+    val probeRows = vecs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), col("vec")).collect().sortBy(_.getLong(0))
+    val probeIds = probeRows.map(_.getLong(0))
+    val probeMat = probeRows.map(_.getSeq[Float](1).toArray)
+    // constant-folded literal id array: element_at is an O(1) lookup
+    val probeIdCol =
+      if (probeIds.isEmpty) array().cast("array<bigint>")
+      else array(probeIds.map(lit(_)): _*)
+    val scored = vecs
+      .select(col("doc_id").as("neighbor_doc"),
+        posexplode(exprCol(graft.functions.FloatMatCosines(
+          expression(col("vec")), probeMat))).as(Seq("pidx", "cosine")))
+      .select(element_at(probeIdCol, col("pidx") + 1).as("probe_doc"),
+        col("neighbor_doc"), col("cosine"))
       // the postings formulation only emits pairs sharing >=1 term
-      // (inner join on word); drop zero-dot pairs to keep the same
-      // contract here
-      .filter(col("cosine") > 0.0)
+      // (inner join on word); drop zero-dot pairs and self-pairs to
+      // keep the same contract here
+      .filter(col("probe_doc") =!= col("neighbor_doc") && col("cosine") > 0.0)
     val w = Window.partitionBy(col("probe_doc"))
       .orderBy(col("cosine").desc, col("neighbor_doc").asc)
     scored

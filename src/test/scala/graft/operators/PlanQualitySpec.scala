@@ -79,9 +79,13 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
 
   test("q17: adaptive gate picks the dense kernel on a broadcast-sized dictionary") {
     val p = plan("q17_cosine_topk")
-    assert(p.contains("BroadcastNestedLoopJoin"),
-      "broadcast-sized vocab must take the dense broadcast-probe path")
-    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("floatmat_cosines"),
+      "broadcast-sized vocab must take the dense matrix-kernel path")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("SortMergeJoin")
+      && !p.contains("CartesianProduct"),
+      "pair scoring must come from the kernel explode, not any join")
+    assert(p.contains("WindowGroupLimit"),
+      "per-partition top-k must prune the pair stream before the shuffle")
   }
 
   test("q17: over-limit dictionary falls back to the postings join") {
