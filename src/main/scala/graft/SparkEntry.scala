@@ -112,6 +112,8 @@ object SparkEntry {
     "q94_shard_manifest"      -> Pipeline.q94ShardManifest _,
     "q95_ngram_novelty"       -> TextAnalysis.q95NgramNovelty _,
     "q96_pca_power"           -> Stats.q96PcaPower _,
+    "q97_bm25"                -> Similarity.q97Bm25 _,
+    "q98_bigram_lm"           -> TextAnalysis.q98BigramLm _,
   )
 
   /** Integer squared distance between a quantized vector and a
@@ -2536,5 +2538,92 @@ object SparkEntry {
       FROM v5 v CROSS JOIN ray
     """
     },
+    // BM25 replay: same integer idf/length-norm scaling, same
+    // (df DESC, term ASC) query-term ranking, same top-10 tie order
+    "q97_bm25" -> """
+      WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      ),
+      post AS (
+        SELECT doc_id, w AS term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM w GROUP BY 1, 2
+      ),
+      dl AS (
+        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM post GROUP BY 1
+      ),
+      tot AS (
+        SELECT CAST(SUM(dl) AS BIGINT) AS a, CAST(COUNT(*) AS BIGINT) AS n
+        FROM dl
+      ),
+      dft AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY 1
+      ),
+      q AS (
+        SELECT CAST((r - 1) // 3 AS BIGINT) AS qid, term, df
+        FROM (SELECT term, df,
+                row_number() OVER (ORDER BY df DESC, term ASC) AS r
+              FROM dft)
+        WHERE r <= 30
+      ),
+      sc AS (
+        SELECT q.qid, p.doc_id,
+          CAST(SUM((22 * ((1000 * t.n) // q.df) * p.tf * 100000)
+            // (1000000 * p.tf + 300000
+                + (9 * ((1000000 * t.n * d.dl) // t.a)) // 10))
+            AS BIGINT) AS score,
+          CAST(COUNT(*) AS BIGINT) AS matched
+        FROM post p
+        JOIN q ON p.term = q.term
+        JOIN dl d ON p.doc_id = d.doc_id
+        CROSS JOIN tot t
+        GROUP BY 1, 2
+      )
+      SELECT qid, doc_id, score, matched, CAST(rk AS INT) AS "rank"
+      FROM (SELECT qid, doc_id, score, matched,
+              row_number() OVER (PARTITION BY qid
+                ORDER BY score DESC, doc_id ASC) AS rk
+            FROM sc)
+      WHERE rk <= 10
+    """,
+    // bigram-LM replay: identical integer transition ppm and per-doc
+    // integer readout; adjacent pairs from the same whitespace split
+    "q98_bigram_lm" -> """
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ),
+      bg AS (
+        SELECT doc_id,
+          [w[i] || ' ' || w[i+1] for i in range(1, len(w))] AS bgs
+        FROM t
+      ),
+      ib AS (
+        SELECT unnest(bgs) AS bg FROM bg WHERE doc_id % 10 <> 0
+      ),
+      c2 AS (
+        SELECT string_split(bg, ' ')[1] AS w1, bg,
+          CAST(COUNT(*) AS BIGINT) AS c12
+        FROM ib GROUP BY 1, 2
+      ),
+      c1 AS (
+        SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c2 GROUP BY 1
+      ),
+      tr AS (
+        SELECT c2.bg, (1000000 * c2.c12) // c1.c1 AS p_ppm
+        FROM c2 JOIN c1 ON c2.w1 = c1.w1
+      ),
+      b AS (
+        SELECT doc_id, unnest(bgs) AS bg FROM bg WHERE doc_id % 10 = 0
+      )
+      SELECT b.doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        CAST(SUM(CASE WHEN tr.p_ppm IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS oov_bigrams,
+        CAST(SUM(COALESCE(tr.p_ppm, 0)) // COUNT(*) AS BIGINT)
+          AS avg_trans_ppm,
+        CAST((SUM(CASE WHEN tr.p_ppm IS NULL THEN 1 ELSE 0 END) * 1000000)
+          // COUNT(*) AS BIGINT) AS oov_ppm
+      FROM b LEFT JOIN tr ON b.bg = tr.bg
+      GROUP BY 1
+    """,
   )
 }

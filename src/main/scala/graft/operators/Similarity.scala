@@ -299,4 +299,68 @@ object Similarity {
         col("n_chars"), col("similarity_score"), col("popularity_score"),
         col("combined_score"), col("rec_rank"))
   }
+
+  /** q97: BM25 keyword retrieval — the lexical search half of a data
+    * pipeline (candidate mining, contamination lookup, eval-set
+    * retrieval). Ten deterministic queries are derived from the corpus
+    * itself (the 30 highest-df terms in (df DESC, term ASC) order,
+    * three consecutive terms per query), scored with the classic BM25
+    * shape at k1 = 1.2, b = 0.75:
+    *
+    *   score(q,d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    *
+    * re-expressed in exact int64 arithmetic so any engine reproduces
+    * it bit-for-bit (same policy as q54: ln() is not correctly-rounded
+    * across engines):
+    *   idf      = (10³·N)  div df          (monotone 1/df surrogate)
+    *   l_ppm    = (10⁶·dl·N) div A         (dl/avgdl in ppm; A=Σdl)
+    *   term s   = (22·idf·tf·10⁵) div (10⁶·tf + 3·10⁵ + (9·l_ppm) div 10)
+    * i.e. numerator and denominator of the BM25 fraction are both
+    * scaled by 10⁶ (2.2 → 22·10⁵, 0.3 → 3·10⁵, 0.9 → 9/10 of ppm).
+    * The summation over query terms is an integer sum — order-free.
+    *
+    * Overflow audit: 22·idf·tf·10⁵ wraps int64 at idf·tf > 4.2·10¹²;
+    * query terms are TOP-df terms, so idf ≈ 10³·N/df stays small
+    * (df ≥ N/10 on these corpora → idf ≤ 10⁴), safe to tf ~ 4·10⁸.
+    * Worst-case df = 1 (never selected here) would bound tf by
+    * 4.2·10¹²/10³N — shrink the idf scale if query terms are ever
+    * user-supplied rare terms.
+    *
+    * Scale shape: one postings build (the q54 groupBy), dl/df as
+    * map-side-combinable groupBys; the 30-term query table is a
+    * driver-side collect of a vocab-ranked TakeOrdered (metadata-
+    * sized, the vocab-gated-probe precedent) broadcast into the
+    * postings join — the join prunes the postings stream to query
+    * terms only BEFORE any shuffle; per-(query, doc) scores partial-
+    * aggregate; the final top-10 per query is the mergeable TopKAgg
+    * (10 queries × k rows leave each partition, no global sort). */
+  def q97Bm25(spark: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val post = postings(spark, dir)
+      .withColumnRenamed("word", "term").withColumnRenamed("cnt", "tf")
+    val dl = post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val tot = dl.agg(sum(col("dl")).as("a"), count(lit(1)).as("n")).head()
+    val (a, n) = (tot.getLong(0), tot.getLong(1))
+    val topTerms = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term").asc).limit(30)
+      .collect() // 30 rows — metadata-sized by construction
+    import spark.implicits._
+    val qterms = topTerms.zipWithIndex.map { case (r, i) =>
+      (i.toLong / 3, r.getString(0), r.getLong(1))
+    }.toSeq.toDF("qid", "term", "df")
+    val scored = post.join(broadcast(qterms), "term")
+      .join(dl, "doc_id")
+      .withColumn("s",
+        expr(s"(22 * ((${1000L * n}L div df)) * tf * 100000) div " +
+          s"(1000000 * tf + 300000 + (9 * ((${1000000L * n}L * dl) div ${a}L)) div 10)"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("s")).as("score"), count(lit(1)).as("matched"))
+    val ord: Ordering[(Long, Long, Long)] = Ordering.by(t => (-t._1, t._2))
+    val topk = udaf(new graft.functions.TopKAgg[(Long, Long, Long)](k, ord))
+    scored.groupBy(col("qid"))
+      .agg(topk(col("score"), col("doc_id"), col("matched")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("qid"), col("t._2").as("doc_id"), col("t._1").as("score"),
+        col("t._3").as("matched"), (col("pos") + 1).cast("int").as("rank"))
+  }
 }

@@ -484,4 +484,51 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_shingles"), col("n_novel"),
         expr("(n_novel * 10000) div n_shingles").as("novelty_bp"))
   }
+
+  /** q98: bigram-LM fluency scoring — the CCNet/Gopher-style
+    * "perplexity filter" re-expressed deterministically: train a
+    * bigram model on the index corpus (doc_id % 10 != 0, q73/q95's
+    * split), score each incoming batch doc (doc_id % 10 == 0) by its
+    * average MLE transition probability and its unseen-bigram rate.
+    * Low avg_trans_ppm + high oov_ppm = disfluent/outlier text, the
+    * rows a quality gate drops. Probabilities are integer ppm —
+    * P(w2|w1) = (10⁶·c(w1,w2)) div c(w1·) — and the per-doc readout
+    * is an integer sum div count, so the whole train-and-score
+    * lifecycle replays bit-for-bit in any engine (the q54 no-ln
+    * policy; a monotone transform of the true mean probability).
+    *
+    * Scale shape: one corpus pass explodes adjacent token pairs
+    * (codegen transform over the split array — empty/1-token docs
+    * yield no rows by slice construction, no ANSI element_at hazard);
+    * index counts c(w1,w2) and c(w1·) are map-side-combinable
+    * groupBys; c1 joins back on w1 (vocab-sized stream, the corpus
+    * was already reduced); the batch side joins the transition table
+    * on the bigram string — an equi-join co-partitioned on the key,
+    * never all-pairs — then one integer groupBy(doc_id). OOV handling
+    * is the left join's NULL, counted, never divided (greatest-guard
+    * unnecessary: post-explode docs have n_bigrams >= 1). */
+  def q98BigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.parallelized(Tables.documents(spark, dir), col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        "transform(slice(w, 1, greatest(size(w) - 1, 0)), " +
+          "(x, i) -> struct(x as w1, concat(x, ' ', element_at(w, i + 2)) as bg))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.bg").as("bg"))
+    val ib = bg.filter(col("doc_id") % 10 =!= 0)
+    val c2 = ib.groupBy(col("w1"), col("bg")).agg(count(lit(1)).as("c12"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val trans = c2.join(c1, "w1")
+      .select(col("bg"), expr("(1000000 * c12) div c1").as("p_ppm"))
+    bg.filter(col("doc_id") % 10 === 0).select(col("doc_id"), col("bg"))
+      .join(trans, Seq("bg"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        count(when(col("p_ppm").isNull, 1)).as("oov_bigrams"),
+        sum(coalesce(col("p_ppm"), lit(0L))).as("sum_ppm"))
+      .select(col("doc_id"), col("n_bigrams"), col("oov_bigrams"),
+        expr("sum_ppm div n_bigrams").as("avg_trans_ppm"),
+        expr("(oov_bigrams * 1000000) div n_bigrams").as("oov_ppm"))
+  }
 }

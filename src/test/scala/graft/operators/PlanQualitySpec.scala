@@ -364,4 +364,21 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     assert("HashAggregate".r.findAllIn(p).length >= 4,
       "index distinct-shingle set and doc rollup must both map-side combine")
   }
+
+  test("q97: query terms broadcast into the postings join; top-10 is the merge agg") {
+    val p = plan("q97_bm25")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 30-term query table must broadcast — postings prune before any shuffle")
+    assert(p.contains("ObjectHashAggregate"),
+      "per-query top-10 must be the mergeable TopKAgg, not a window sort")
+    assert(!p.matches("(?s).*\\bWindow\\b.*"), "no global/window sort of scores")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q98: transition and batch joins are equi-joins; counts map-side combine") {
+    val p = plan("q98_bigram_lm")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert("HashAggregate".r.findAllIn(p).length >= 6,
+      "c2, c1 and the per-doc readout must all partial-aggregate")
+  }
 }

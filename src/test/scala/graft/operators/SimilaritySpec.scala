@@ -93,4 +93,41 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       }
     }
   }
+
+  test("q97 BM25 matches a local integer replay on every query") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val post: Map[(Long, String), Long] = docs.flatMap { case (id, t) =>
+      t.split(" ", -1).groupBy(identity).map { case (w, a) => ((id, w), a.length.toLong) }
+    }.toMap
+    val dl: Map[Long, Long] = post.groupMapReduce(_._1._1)(_._2)(_ + _)
+    val a = dl.values.sum
+    val n = dl.size.toLong
+    val df: Map[String, Long] =
+      post.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val qterms = df.toSeq.sortBy { case (t, d) => (-d, t) }.take(30)
+      .zipWithIndex.map { case ((t, d), i) => (i.toLong / 3, t, d) }
+    val byTerm = qterms.groupBy(_._2)
+    val acc = collection.mutable.Map[(Long, Long), (Long, Long)]()
+    post.foreach { case ((docId, w), tf) =>
+      byTerm.getOrElse(w, Nil).foreach { case (qid, _, dfv) =>
+        val idf = (1000L * n) / dfv
+        val lppm = (1000000L * n * dl(docId)) / a
+        val s = (22L * idf * tf * 100000L) /
+          (1000000L * tf + 300000L + (9L * lppm) / 10L)
+        val (s0, m0) = acc.getOrElse((qid, docId), (0L, 0L))
+        acc((qid, docId)) = (s0 + s, m0 + 1)
+      }
+    }
+    val expected = acc.toSeq.groupBy(_._1._1).flatMap { case (qid, rs) =>
+      rs.sortBy { case ((_, d), (s, _)) => (-s, d) }.take(10).zipWithIndex
+        .map { case (((_, d), (s, m)), i) => (qid, d, s, m, i + 1) }
+    }.toSet
+    val got = Similarity.q97Bm25(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4))).toSet
+    assert(got === expected)
+    assert(got.map(_._1) === (0L to 9L).toSet, "all ten queries present")
+  }
 }

@@ -284,4 +284,37 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     // the index corpus is 90% of the data — full novelty should be rare
     assert(got.values.exists(_._3 < 10000), "some batch shingles must be seen")
   }
+
+  test("q98 bigram-LM scores match a local train-and-score replay") {
+    def bigrams(t: String): Seq[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 2) Seq.empty else w.sliding(2).map(_.mkString(" ")).toSeq
+    }
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val ib = docs.collect { case (id, t) if id % 10 != 0 => bigrams(t) }
+      .flatten
+    val c2 = ib.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = c2.groupMapReduce(_._1.split(" ")(0))(_._2)(_ + _)
+    val trans = c2.map { case (bg, c12) =>
+      bg -> (1000000L * c12) / c1(bg.split(" ")(0))
+    }
+    val expected = docs.collect {
+      case (id, t) if id % 10 == 0 && bigrams(t).nonEmpty =>
+        val bgs = bigrams(t)
+        val nb = bgs.size.toLong
+        val oov = bgs.count(!trans.contains(_)).toLong
+        val sum = bgs.map(trans.getOrElse(_, 0L)).sum
+        id -> ((nb, oov, sum / nb, oov * 1000000L / nb))
+    }.toMap
+    val got = TextAnalysis.q98BigramLm(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === expected)
+    // the model is trained on 90% of the corpus: in-distribution batch
+    // docs must score nonzero transitions and not be fully OOV
+    assert(got.values.exists(_._3 > 0), "some transitions must be seen")
+    assert(got.values.forall(_._4 <= 1000000L))
+  }
 }
