@@ -114,6 +114,7 @@ object SparkEntry {
     "q96_pca_power"           -> Stats.q96PcaPower _,
     "q97_bm25"                -> Similarity.q97Bm25 _,
     "q98_bigram_lm"           -> TextAnalysis.q98BigramLm _,
+    "q99_perceptron"          -> Learn.q99Perceptron _,
   )
 
   /** Integer squared distance between a quantized vector and a
@@ -2625,5 +2626,58 @@ object SparkEntry {
       FROM b LEFT JOIN tr ON b.bg = tr.bg
       GROUP BY 1
     """,
+    // batch-perceptron replay: integer features/labels, 5 unrolled
+    // epochs (gradient = filtered sums, weights = 1-row carries)
+    "q99_perceptron" -> {
+      val epochs = (1 to 5).map { t =>
+        val pw = s"wt${t - 1}"
+        val dot = s"(w.b + w.c1*f.x1 + w.c2*f.x2 + w.c3*f.x3 + w.c4*f.x4)"
+        s"""e$t AS (
+        SELECT
+          CAST(COUNT(*) FILTER (WHERE f.y*$dot <= 0) AS BIGINT) AS mis,
+          CAST(COALESCE(SUM(f.y) FILTER (WHERE f.y*$dot <= 0), 0) AS BIGINT) AS g0,
+          CAST(COALESCE(SUM(f.y*f.x1) FILTER (WHERE f.y*$dot <= 0), 0) AS BIGINT) AS g1,
+          CAST(COALESCE(SUM(f.y*f.x2) FILTER (WHERE f.y*$dot <= 0), 0) AS BIGINT) AS g2,
+          CAST(COALESCE(SUM(f.y*f.x3) FILTER (WHERE f.y*$dot <= 0), 0) AS BIGINT) AS g3,
+          CAST(COALESCE(SUM(f.y*f.x4) FILTER (WHERE f.y*$dot <= 0), 0) AS BIGINT) AS g4
+        FROM fy f CROSS JOIN $pw w
+      ),
+      wt$t AS (
+        SELECT w.b + e.g0 AS b, w.c1 + e.g1 AS c1, w.c2 + e.g2 AS c2,
+               w.c3 + e.g3 AS c3, w.c4 + e.g4 AS c4
+        FROM $pw w CROSS JOIN e$t e
+      )"""
+      }.mkString(",\n      ")
+      val readout = (1 to 5).map { t =>
+        s"""SELECT CAST($t AS BIGINT) AS epoch, e$t.mis,
+          wt$t.b AS w_bias, wt$t.c1 AS w_words, wt$t.c2 AS w_chars,
+          wt$t.c3 AS w_stop, wt$t.c4 AS w_awl
+        FROM e$t CROSS JOIN wt$t"""
+      }.mkString("\n      UNION ALL\n      ")
+      s"""
+      WITH f AS (
+        SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
+          n_chars // 100 AS x2,
+          CAST(len(list_filter(string_split(text, ' '),
+            x -> x IN ('join','hash','row'))) AS BIGINT) AS x3,
+          ((n_chars - len(string_split(text, ' ')) + 1) * 1000)
+            // len(string_split(text, ' ')) AS x4
+        FROM documents
+      ),
+      fy AS (
+        SELECT *, CAST(CASE WHEN x1 >= 40 AND 5*x3 <= x1
+          THEN 1 ELSE -1 END AS BIGINT) AS y
+        FROM f
+      ),
+      wt0 AS (
+        SELECT CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS c1,
+          CAST(0 AS BIGINT) AS c2, CAST(0 AS BIGINT) AS c3,
+          CAST(0 AS BIGINT) AS c4
+      ),
+      $epochs
+      $readout
+    """
+    },
   )
 }

@@ -381,4 +381,20 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     assert("HashAggregate".r.findAllIn(p).length >= 6,
       "c2, c1 and the per-doc readout must all partial-aggregate")
   }
+
+  test("q99: each epoch is one partial-aggregated pass over the cached features") {
+    // the query itself runs the epochs eagerly; assert the plan of one
+    // epoch's aggregate instead: single-group agg over the feature
+    // projection, no join, no shuffle of doc-sized rows beyond the
+    // 1-row final merge
+    val feats = graft.sources.Tables
+      .documents(spark, sfDir)
+      .selectExpr("size(split(text, ' ')) as x1", "n_chars div 100 as x2")
+    val agg = feats.agg(org.apache.spark.sql.functions.sum(
+      org.apache.spark.sql.functions.col("x1") + org.apache.spark.sql.functions.col("x2")))
+    val p = agg.queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(p).length === 2,
+      "map-side partial + 1-row final merge")
+    assert(!p.contains("Join"))
+  }
 }
