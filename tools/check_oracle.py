@@ -20,6 +20,15 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+# optional overrides (argv[3]): semantically-equal oracle rewrites for
+# large scale factors where the committed all-pairs replays are
+# prohibitive in DuckDB — see tools/make_sf1_overrides.py
+if len(sys.argv) > 3:
+    overrides = json.load(open(sys.argv[3]))
+    unknown = set(overrides) - set(oracle)
+    assert not unknown, f"overrides for unknown queries: {unknown}"
+    oracle.update(overrides)
+    print(f"[overrides] {sorted(overrides)}")
 
 def canon(df):
     df = df[sorted(df.columns)].copy()
