@@ -26,16 +26,25 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = read(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "lineitem")
-  /** `events.ts` is written as INT64 TIMESTAMP(NANOS) which Spark's
-    * vectorized reader rejects. Read nanos as long and truncate to
-    * microseconds (identical to how a ns-aware engine truncates when
-    * asked for ms/µs granularity downstream).
+  /** `events.ts` lands with whatever physical timestamp layout the
+    * producer chose, and the test generator has shipped BOTH: INT64
+    * TIMESTAMP(NANOS) (which Spark's vectorized reader rejects — read
+    * nanos as long and truncate to microseconds) and plain
+    * TIMESTAMP(MICROS) without UTC adjustment (surfacing as
+    * TIMESTAMP_NTZ). Normalize every layout to the session-zone
+    * TimestampType so operator code sees one shape; the session zone is
+    * pinned UTC by every entrypoint, so the NTZ cast is value-preserving.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = read(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")

@@ -24,8 +24,8 @@ structure WITHIN each copy and keeping copies disjoint:
   enumerations, as in TPC-H itself). Key-derived name strings
   (Customer#/Supplier#) are re-printed from the new key.
 - events: written via pyarrow with the ORIGINAL physical types — ts
-  stays INT64 TIMESTAMP(NANOS) (DuckDB would silently coerce to
-  MICROS, changing the code path Tables.events exercises).
+  keeps the SOURCE physical type byte-for-byte (no pyarrow
+  round-trip coercion changing the code path Tables.events exercises).
 
 Offsets are chosen so the library's id-derived conventions replicate
 per copy: N_doc=5000 ≡ 0 (mod 10, 1000) keeps the q73 batch split and
@@ -127,10 +127,13 @@ def main():
                             t.schema.field("embedding"), arr)
     write_copies("embeddings", emb_transform)
 
-    # fidelity: events.ts must still be INT64 TIMESTAMP(NANOS)
-    sch = pq.read_schema(f"{OUT}/events.parquet/part-00.parquet")
-    ts_type = sch.field("ts").type
-    assert ts_type == pa.timestamp("ns"), f"events.ts degraded to {ts_type}"
+    # fidelity: events.ts must keep the SOURCE physical type (no
+    # pyarrow round-trip coercion changing the code path Tables.events
+    # exercises — the driver's testdata is timestamp[us])
+    src_ts = pq.read_schema(f"{SRC}/events.parquet").field("ts").type
+    ts_type = pq.read_schema(
+        f"{OUT}/events.parquet/part-00.parquet").field("ts").type
+    assert ts_type == src_ts, f"events.ts drifted {src_ts} -> {ts_type}"
     print(f"OK: events.ts preserved as {ts_type}")
 
 
