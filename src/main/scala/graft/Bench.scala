@@ -50,27 +50,31 @@ object Bench {
       }
       val sorted = runs.map(_._1).sorted
       val median = sorted(sorted.length / 2)
-      (name, median, runs.forall(_._2))
+      (name, median, sorted.head, sorted.last, runs.forall(_._2))
     }
-    // 3-decimal seconds: full nanosecond precision made the 87-query
-    // line ~2.8 KB, overflowing the driver's stdout tail buffer (round-5
-    // record arrived truncated mid-JSON, parsed:null). 1 ms resolution
-    // is below run-to-run noise and keeps the line parseable past 100+
-    // queries.
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val failed = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    // stdout gets ONLY the fixed-size summary object (~140 B): the
+    // per-query map grew past the driver's ~2.26 KB stdout tail buffer
+    // at 99 queries (rounds 5 AND 6 arrived truncated, parsed:null) and
+    // will only keep growing. The full per-query detail — median plus
+    // the min/max rep spread, so a load-inflated run is self-diagnosing
+    // — lives exclusively in bench.json.
+    val failed = results.filterNot(_._5).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"sf":"$sfDir"}"""
-    println(line)
+    val summary =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"reps":$reps,"sf":"$sfDir","n_queries":${results.length}}"""
+    println(summary)
     // raw copy on stderr too: sbt prefixes stdout with "[info] ", which
     // breaks line-oriented parsers; stderr passes through un-prefixed
-    System.err.println(line)
+    System.err.println(summary)
+    val qs = results.map { case (k, med, min, max, _) =>
+      "\"" + k + "\":{\"median\":" + fmt(med) + ",\"min\":" + fmt(min) + ",\"max\":" + fmt(max) + "}"
+    }.mkString("{", ",", "}")
+    val full =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"sf":"$sfDir","n_queries":${results.length}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (line + "\n").getBytes("UTF-8"))
+      (full + "\n").getBytes("UTF-8"))
     spark.stop()
-    if (results.exists(!_._3)) sys.exit(1)
+    if (results.exists(!_._5)) sys.exit(1)
   }
 }

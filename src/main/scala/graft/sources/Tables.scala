@@ -39,11 +39,21 @@ object Tables {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the NTZ→TimestampType cast below is value-preserving ONLY in a
+    // UTC session; pin it here (not just by entrypoint convention) so a
+    // future caller that forgets the pin can't silently shift every
+    // event by the local zone offset
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val df = read(spark, dir, "events")
     df.schema("ts").dataType match {
       case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
-      case _                => df
+      case TimestampType    => df
+      // fail fast at the scan boundary: an unexpected physical layout
+      // (INT96, string, date…) would otherwise surface as an opaque
+      // error deep inside whichever operator touches ts first
+      case dt => throw new IllegalStateException(
+        s"unexpected events.ts type: $dt (expected long-nanos, TIMESTAMP_NTZ, or TIMESTAMP)")
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
