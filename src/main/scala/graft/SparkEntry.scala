@@ -127,7 +127,14 @@ object SparkEntry {
     * quantization, same integer distances and argmin tie-break, same
     * floor-division centroid update (empty clusters carry over).
     * Yields CTE text (no WITH) ending in `c$iters(cluster, cq)`. */
-  private def kmeansCtes(k: Int, iters: Int): String = {
+  private def kmeansCtes(k: Int, iters: Int): String =
+    kmeansCtes(k.toString, iters)
+
+  /** As above with the cluster count as a SQL expression, so an oracle
+    * can derive k from the corpus itself (q90's k = max(16, n/250) —
+    * the same formula the Spark side computes) and stay valid at every
+    * scale factor without overrides. */
+  private def kmeansCtes(kSql: String, iters: Int): String = {
     def iterCte(i: Int): String = {
       val prev = s"c${i - 1}"
       s"""
@@ -166,7 +173,7 @@ object SparkEntry {
       c0 AS (
         SELECT rn - 1 AS cluster, q AS cq FROM (
           SELECT q, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM v
-        ) WHERE rn <= $k
+        ) WHERE rn <= ($kSql)
       ),${(1 to iters).map(iterCte).mkString(",")}"""
   }
 
@@ -2324,9 +2331,11 @@ object SparkEntry {
     """,
     // the full SemDeDup lifecycle replayed: quantized-kmeans training
     // (kmeansCtes), integer cell assignment, within-cell pairs, and
-    // the bit-exact cosine verify.
+    // the bit-exact cosine verify. k is derived from the corpus size
+    // by the SAME formula as Ann.semDedupK (max(16, n/250)), so this
+    // oracle stays valid at every scale factor without overrides.
     "q90_semantic_dedup" -> s"""
-      WITH ${kmeansCtes(k = 16, iters = 5)},
+      WITH ${kmeansCtes("SELECT GREATEST(16, COUNT(*) // 250) FROM v", iters = 5)},
       e AS (
         SELECT vec_id, embedding,
           sqrt(list_reduce(

@@ -314,16 +314,31 @@ object Ann {
     * SemDeDup by the corpus's own density structure — on real
     * embedding corpora the cluster restriction is what makes
     * quadratic-free semantic dedup possible at scale: k grows with N
-    * so cells stay bounded (N/k vectors each), and the within-cell
-    * pair join is a cell-keyed equi-join, never corpus×corpus. The
-    * trained quantizer is the q32/q45 deterministic integer kmeans, so
-    * clustering, candidates, and the bit-exact cosine verify all
-    * replay in DuckDB (kmeansCtes) — an oracle over the ENTIRE
-    * train-assign-prune lifecycle. */
+    * (semDedupK below — k = max(16, n/250)) so the EXPECTED cell size
+    * never exceeds 250 and the within-cell pair join stays a cell-keyed
+    * equi-join generating O(n·250) candidates — linear in corpus, never
+    * corpus×corpus. The trained quantizer is the q32/q45 deterministic
+    * integer kmeans, so clustering, candidates, and the bit-exact
+    * cosine verify all replay in DuckDB (kmeansCtes with the SAME
+    * n-derived k expression) — an oracle over the ENTIRE
+    * train-assign-prune lifecycle, valid at every scale factor. */
+  /** Corpus-size-derived SemDeDup cluster count: expected cell size
+    * n/k ≤ targetCellSize for EVERY n (k = max(16, n/target) — below
+    * 16·target the 16-cell floor already keeps cells under target), so
+    * within-cell candidate pairs grow O(n·target/2): linear in corpus,
+    * the property AnnSpec pins. Centroids stay driver-metadata-sized:
+    * even n = 10¹⁰ gives k = 4·10⁷ × 64 longs — at that scale raise
+    * targetCellSize or shard the quantizer, but the formula's contract
+    * (bounded cells, linear candidates) is what matters here. */
+  def semDedupK(n: Long, targetCellSize: Int = 250): Int =
+    math.max(16L, n / targetCellSize).toInt
+
   def q90SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
     val threshold = 0.25
-    // same (k, iters) as q45: the oracle shares the trained quantizer CTEs
-    val cents = Clustering.centroidsQuantized(spark, dir, k = 16, iters = 5)
+    // corpus-derived cluster count: the count() is a parquet-metadata
+    // read (no data pass), and k scales with n so cells stay bounded
+    val n = Tables.embeddings(spark, dir).count()
+    val cents = Clustering.centroidsQuantized(spark, dir, k = semDedupK(n), iters = 5)
     val emb = Tables.parallelized(Tables.embeddings(spark, dir), col("vec_id"))
       .select(col("vec_id"), col("embedding"))
       .withColumn("q", Clustering.quantizedCol)

@@ -149,11 +149,25 @@ object Similarity {
     * join, the formulation that holds at unbounded vocabulary. Same
     * contract either way, scores bit-identical (SimilaritySpec
     * agreement test) — the q44 runtime-broadcast principle applied to
-    * vocabulary size. */
+    * vocabulary size.
+    *
+    * The dense path is gated on BOTH broadcast residents it creates:
+    * the dictionary (vocab collect, bounded by discoverVocab) AND the
+    * probe matrix (the probe-set rows ride to the driver as a
+    * FloatMatCosines literal). The probe set is a fraction of the
+    * corpus (doc_id % 50), so with vocab alone gated a large enough
+    * corpus would still push corpus-proportional floats through the
+    * driver; maxProbeFloats caps probes × vocab at ~128 MB of floats
+    * (32M) — past it the postings join runs instead. The probe count
+    * is one map-side-combined aggregate (no data to the driver). */
   def cosineTopKAdaptive(spark: SparkSession, dir: String, k: Int,
-      maxVocab: Int = 4096): DataFrame = {
+      maxVocab: Int = 4096, maxProbeFloats: Long = 32L * 1024 * 1024): DataFrame = {
     val vocab = discoverVocab(spark, dir, maxVocab)
-    if (vocab.length <= maxVocab) cosineTopKDenseWith(spark, dir, k, vocab)
+    if (vocab.length > maxVocab) return cosineTopK(spark, dir, k)
+    val probeCount = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 50 === 0).count()
+    if (probeCount * vocab.length <= maxProbeFloats)
+      cosineTopKDenseWith(spark, dir, k, vocab)
     else cosineTopK(spark, dir, k)
   }
 
@@ -207,12 +221,14 @@ object Similarity {
       .select(col("probe_doc"), col("neighbor_doc"), col("rank"), col("cosine"))
   }
 
-  /** q17 is ADAPTIVE on dictionary size (cosineTopKAdaptive): dense
-    * kernel when the vocabulary is broadcast-sized, postings join —
-    * candidate pairs only from shared terms, shuffle bounded by the
-    * postings table, nothing corpus-sized on the driver — for the
-    * general case. The probe itself is bounded (≤ maxVocab+1 words
-    * collect), so no corpus makes the gate unsafe. */
+  /** q17 is ADAPTIVE on dictionary size AND probe count
+    * (cosineTopKAdaptive): dense kernel when both the vocabulary and
+    * the probe matrix are broadcast-sized, postings join — candidate
+    * pairs only from shared terms, shuffle bounded by the postings
+    * table, nothing corpus-sized on the driver — for the general
+    * case. Both gate probes are themselves bounded (≤ maxVocab+1
+    * words collect; probe COUNT via aggregate), so no input shape
+    * makes the gate unsafe. */
   def q17CosineTopK(spark: SparkSession, dir: String): DataFrame =
     cosineTopKAdaptive(spark, dir, 5)
 

@@ -208,8 +208,25 @@ class AnnSpec extends AnyFunSuite with SparkFixture {
     assert(r2 >= 0.80, s"recall $r2")
   }
 
+  test("q90 SemDeDup k is corpus-derived: expected cell size stays bounded at every n") {
+    // the scale contract: n/k <= targetCellSize for ALL n (below the
+    // 16-cell floor's crossover the floor itself keeps cells under
+    // target), so within-cell candidates are O(n * target) — linear.
+    for (n <- Seq(1L, 500L, 2000L, 4000L, 20000L, 200000L, 1000000L, 1000000000L)) {
+      val k = Ann.semDedupK(n)
+      assert(k >= 16, s"n=$n k=$k")
+      assert(n.toDouble / k <= 250.0, s"n=$n k=$k expected cell ${n.toDouble / k}")
+    }
+    // the three on-disk fixtures hit both regimes of the formula
+    assert(Ann.semDedupK(500) === 16)    // sf0.001/sf0.01: floor regime
+    assert(Ann.semDedupK(2000) === 16)   // sf0.1: floor regime
+    assert(Ann.semDedupK(20000) === 80)  // sf1: scaling regime
+  }
+
   test("q90 SemDeDup report matches an independent local replay") {
-    val cents = Clustering.centroidsQuantized(spark, sfDir, k = 16, iters = 5)
+    val embCount = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    val cents = Clustering.centroidsQuantized(spark, sfDir,
+      k = Ann.semDedupK(embCount), iters = 5)
     val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding").collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Seq[Float]]("embedding").toArray)

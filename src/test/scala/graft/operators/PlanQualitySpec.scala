@@ -96,6 +96,16 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q17: over-budget probe matrix falls back to the postings join") {
+    // vocab fits but the probe matrix would not: the dense kernel (a
+    // driver-resident FloatMatCosines literal) must not appear
+    val p = Similarity.cosineTopKAdaptive(spark, sfDir, 5, maxProbeFloats = 1L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("floatmat_cosines"),
+      "an over-budget probe set must not ride to the driver as a matrix literal")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("q36: ROLLUP compiles to a single Expand pass, not a union of aggregates") {
     val p = plan("q36_rollup")
     assert("Expand".r.findAllIn(p).length === 1)

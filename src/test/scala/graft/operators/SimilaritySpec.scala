@@ -48,6 +48,20 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(dense === postings) // bit-identical scores, same tie-breaks
   }
 
+  test("adaptive gate falls back to the postings join when the probe matrix exceeds budget") {
+    // a 1-float budget forces the probe-count branch (vocab fits, the
+    // probe matrix does not): the result must be the postings join's —
+    // no input shape may push corpus-proportional rows to the driver
+    val gated = Similarity.cosineTopKAdaptive(spark, sfDir, 5, maxProbeFloats = 1L)
+      .collect()
+      .map(r => (r.getAs[Long]("probe_doc"), r.getAs[Long]("neighbor_doc"),
+        r.getAs[Int]("rank"), r.getAs[Double]("cosine"))).toSet
+    val postings = Similarity.cosineTopK(spark, sfDir, 5).collect()
+      .map(r => (r.getAs[Long]("probe_doc"), r.getAs[Long]("neighbor_doc"),
+        r.getAs[Int]("rank"), r.getAs[Double]("cosine"))).toSet
+    assert(gated === postings)
+  }
+
   test("q54 tf-idf matches a local single-threaded computation") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text").collect()
