@@ -498,11 +498,16 @@ object SparkEntry {
       ) WHERE "rank" <= 5
     """,
     "q30_dedup_embedding" -> s"""
-      WITH ${hyperplaneBuckCte(nTables = 32, bitsPerTable = 4)},
+      WITH e AS (
+        SELECT vec_id, embedding,
+          sqrt(list_reduce(
+            list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+            (a, b) -> a + b)) AS norm
+        FROM embeddings
+      ),
       cand AS (
-        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-        FROM buck a JOIN buck b ON a.tbl = b.tbl AND a.bucket = b.bucket
-        WHERE a.vec_id < b.vec_id
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       )
       SELECT vec_a, vec_b, cosine FROM (
         SELECT c.vec_a, c.vec_b, $cosineSql AS cosine

@@ -82,6 +82,69 @@ object VectorKernels {
     new GenericArrayData(out)
   }
 
+  /** All qualifying pairs between two vector blocks — the kernel
+    * behind the blocked-dense near-dup path (Ann.dedupEmbeddingDense):
+    * a block is an array of (vec_id, embedding) structs; the kernel
+    * emits (min_id, max_id, cosine) for every cross pair with
+    * cosine >= threshold, enumerating i<j index pairs when both sides
+    * are the SAME block (detected by first-id equality — blocks are
+    * disjoint and non-empty) so no pair is visited twice. Cosines come
+    * from the exact per-pair left-fold loop above (bit-identical to
+    * FloatVecCosine / the oracle's list_reduce; min/max emission is
+    * sound because IEEE cosine is argument-symmetric). The O(|A|·|B|·d)
+    * loop runs over decoded primitive arrays — no join-row
+    * materialization, no shuffle, pure compute. */
+  def blockPairCosines(blkA: ArrayData, blkB: ArrayData,
+      threshold: Double): ArrayData = {
+    val na = blkA.numElements()
+    val nb = blkB.numElements()
+    if (na == 0 || nb == 0) return new GenericArrayData(new Array[Any](0))
+    def decode(blk: ArrayData, n: Int): (Array[Long], Array[Array[Double]], Array[Double]) = {
+      val ids = new Array[Long](n)
+      val vs = new Array[Array[Double]](n)
+      val norms = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        val row = blk.getStruct(i, 2)
+        ids(i) = row.getLong(0)
+        val e = row.getArray(1)
+        val d = e.numElements()
+        val v = new Array[Double](d)
+        var s = 0.0
+        var j = 0
+        while (j < d) { val x = e.getFloat(j).toDouble; v(j) = x; s += x * x; j += 1 }
+        vs(i) = v; norms(i) = math.sqrt(s)
+        i += 1
+      }
+      (ids, vs, norms)
+    }
+    val (idsA, vsA, nrmA) = decode(blkA, na)
+    val (idsB, vsB, nrmB) = decode(blkB, nb)
+    val same = idsA(0) == idsB(0)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < na) {
+      val vi = vsA(i)
+      var j = if (same) i + 1 else 0
+      while (j < nb) {
+        val vj = vsB(j)
+        var dot = 0.0
+        var k = 0
+        val d = vi.length
+        while (k < d) { dot += vi(k) * vj(k); k += 1 }
+        val cos = dot / (nrmA(i) * nrmB(j))
+        if (cos >= threshold) {
+          val a = idsA(i); val b = idsB(j)
+          out += org.apache.spark.sql.catalyst.InternalRow(
+            math.min(a, b), math.max(a, b), cos)
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Engine-neutral 32-bit mix (multiply-xorshift rounds) — the
     * kernel twin of operators/Exprs.mix32, asserted equal in
     * PropertySpec. Java wrap-around products masked to 32 bits equal
@@ -184,6 +247,28 @@ case class DenseFloatVec(child: Expression, size: Int)
   override protected def withNewChildInternal(newChild: Expression): DenseFloatVec =
     copy(child = newChild)
   override def prettyName: String = "dense_float_vec"
+}
+
+/** All qualifying cosine pairs between two vector blocks (see
+  * VectorKernels.blockPairCosines) — the per-row unit of the
+  * blocked-dense all-pairs path: one (blockA, blockB) row in, the
+  * thresholded pair structs out. */
+case class BlockPairCosines(left: Expression, right: Expression,
+    threshold: Double) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("vec_a", LongType, nullable = false),
+    StructField("vec_b", LongType, nullable = false),
+    StructField("cosine", DoubleType, nullable = false))), containsNull = false)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.blockPairCosines(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], threshold)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorKernels.blockPairCosines($a, $b, $threshold);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BlockPairCosines =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "block_pair_cosines"
 }
 
 /** Random-hyperplane LSH bucket codes, one per table (codegen kernel). */

@@ -251,18 +251,77 @@ object Ann {
     * standard contract of embedding dedup at scale (candidate
     * recall traded for pruning, cf. SNIPPETS.md MinHashLSH).
     *
-    * Parameter regime — measured, not assumed: the test embeddings
-    * hold NO high-cosine planted pairs (max pairwise cosine ~0.51;
-    * the 0.3 threshold sits just above the random-pair background of
-    * |cos|~0.12 for 64-d). Near the background there is no gap for
-    * ANY exact pruning scheme (prefix-filter bounds degenerate: a
-    * 0.3-suffix-norm prefix covers ~59/64 dims), so parameters here
-    * favor recall: b=4 bits, L=32 tables gives per-pair recall
-    * 1-(1-p^4)^32 with p = 1-acos(cos)/pi, ~0.99 at the 0.3 boundary.
-    * A production near-dup corpus (threshold >= 0.9) wants b=8, L=16:
-    * recall 0.996 with real pruning (random-pair collision 0.5^8/table). */
+    * Parameter regime — MEASURED (CandAudit main, r7), not assumed:
+    * the test embeddings hold NO high-cosine planted pairs (max
+    * pairwise cosine ~0.51; the 0.3 threshold sits just above the
+    * random-pair background of |cos|~0.12 for 64-d). Near the
+    * background there is no gap for ANY collision scheme — measured at
+    * b=4/L=32 across sf0.001/0.01/0.1: distinct candidates are a
+    * CONSTANT ~0.855 of all pairs and the collision stream is ~2.07×
+    * all pairs (sf0.1: 4.14M stream / 1.71M distinct of 2.0M pairs,
+    * candidate recall 0.99, 278 candidate rows per output pair) — LSH
+    * prunes nothing here and pays ~2× brute force in shuffled join
+    * rows, and the OUTPUT itself is Θ(n²) (0.75–4.6% of all pairs
+    * qualify; sf1 emits 1.5M pairs, ~90% cross-copy background), so
+    * EVERY correct engine is output-bound quadratic at this threshold.
+    * Hence the regime gate below: thresholds inside the no-gap band
+    * (< denseGapThreshold) run the blocked-dense exact path
+    * (dedupEmbeddingDense — zero join-row stream, recall 1.0, compute
+    * = the unavoidable n²d/2 flops at primitive-kernel speed);
+    * production near-dup thresholds (>= 0.9, where real structure
+    * exists) keep LSH with b=8, L=16: recall 0.996 with real pruning
+    * (random-pair collision 0.5^8/table ⇒ ~6% of pairs ever collide,
+    * and bucket joins prune the rest). */
   def q30DedupEmbedding(spark: SparkSession, dir: String): DataFrame =
-    dedupEmbedding(spark, dir, threshold = 0.3, nTables = 32, bitsPerTable = 4)
+    dedupEmbeddingAdaptive(spark, dir, threshold = 0.3)
+
+  /** Thresholds below this have no collision gap against the 64-d
+    * random-cosine background (see the measured regime note above):
+    * collision pruning retains >80% of all pairs, so the dense exact
+    * kernel is strictly better. At/above it, LSH buckets prune. */
+  val denseGapThreshold = 0.6
+
+  def dedupEmbeddingAdaptive(spark: SparkSession, dir: String,
+      threshold: Double): DataFrame =
+    if (threshold < denseGapThreshold) dedupEmbeddingDense(spark, dir, threshold)
+    else dedupEmbedding(spark, dir, threshold, nTables = 16, bitsPerTable = 8)
+
+  /** Exact all-pairs near-dup via blocked dense cosine — the no-gap
+    * regime path. Vectors are grouped into G = ceil(n/1024) disjoint
+    * id-keyed blocks; the G·(G+1)/2 block pairs form a tiny driver-free
+    * pair relation (spark.range — no cartesian, no BNLJ) that
+    * equi-joins the block table twice; each pair row then runs the
+    * BlockPairCosines kernel: O(|A|·|B|·d) primitive flops, pairs
+    * emitted only above threshold. Exactly the work a thresholded
+    * GEMM does — nothing is shuffled per PAIR, only per block pair
+    * (total shuffle = n·d·4·G/2 bytes = n²·d·2/B), and recall is 1.0
+    * by construction vs LSH's 0.99. Scale: at quadratic-output
+    * thresholds nothing subquadratic exists (the answer itself is
+    * Θ(n²)); raise blockSize to trade shuffle for task granularity —
+    * 8192 at n=2M keeps the block-pair shuffle ~130 GB on a cluster
+    * while 2000 cells × 4 MB pair rows spread over every executor. */
+  def dedupEmbeddingDense(spark: SparkSession, dir: String,
+      threshold: Double, blockSize: Int = 1024): DataFrame = {
+    val vecs = Tables.parallelized(Tables.embeddings(spark, dir), col("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+    val n = Tables.embeddings(spark, dir).count()
+    val g = math.max(1L, (n + blockSize - 1) / blockSize)
+    val blocks = vecs
+      .groupBy((col("vec_id") % g).as("gid"))
+      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("blk"))
+    val pairs = spark.range(g * g)
+      .select((col("id") / g).cast("long").as("ga"),
+        (col("id") % g).cast("long").as("gb"))
+      .filter(col("ga") <= col("gb"))
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+    pairs
+      .join(blocks.select(col("gid").as("ga"), col("blk").as("blka")), "ga")
+      .join(blocks.select(col("gid").as("gb"), col("blk").as("blkb")), "gb")
+      .select(explode(exprCol(graft.functions.BlockPairCosines(
+        expression(col("blka")), expression(col("blkb")), threshold))).as("p"))
+      .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"),
+        col("p.cosine").as("cosine"))
+  }
 
   def dedupEmbedding(spark: SparkSession, dir: String, threshold: Double,
       nTables: Int, bitsPerTable: Int): DataFrame = {

@@ -70,13 +70,15 @@ class AnnSpec extends AnyFunSuite with SparkFixture {
     (found & exact).size.toDouble / exact.size
   }
 
-  /** (precision-is-1.0 asserted inside; returns measured recall). */
-  private def lshNearDupRecall(dir: String): Double = {
-    // exact all-pairs ground truth computed locally (<=2000 x 64
-    // floats — collect is metadata-sized for the spec corpora). The
-    // corpora hold no high-cosine planted pairs, so threshold 0.3 sits
-    // near the random background — the hardest recall regime for LSH;
-    // the b=4/L=32 parameters are chosen for it (see Ann.scaladoc).
+  /** (precision-is-1.0 asserted inside; returns measured recall
+    * against locally-computed exact all-pairs ground truth — collect
+    * is metadata-sized for the spec corpora: <=2000 x 64 floats. The
+    * corpora hold no high-cosine planted pairs, so threshold 0.3 sits
+    * near the random background — the regime where the adaptive gate
+    * must pick the dense exact path; the LSH variant is exercised
+    * explicitly below.) */
+  private def nearDupRecall(dir: String,
+      pairs: => Array[org.apache.spark.sql.Row]): Double = {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet").collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Seq[Float]]("embedding").toArray)
       .toMap
@@ -85,7 +87,7 @@ class AnnSpec extends AnyFunSuite with SparkFixture {
       ai <- ids.indices.iterator; bi <- (ai + 1 until ids.length).iterator
       if cos(emb(ids(ai)), emb(ids(bi))) >= 0.3
     } yield (ids(ai), ids(bi))).toSet
-    val rows = Ann.q30DedupEmbedding(spark, dir).collect()
+    val rows = pairs
     assert(rows.forall(_.getAs[Double]("cosine") >= 0.3))
     assert(rows.forall(r => r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b")))
     val got = rows.map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
@@ -111,18 +113,28 @@ class AnnSpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.70, s"recall $recall")
   }
 
-  test("q30 LSH near-dup: precision 1.0, recall >= 0.95 vs exact ground truth") {
-    val recall = lshNearDupRecall(sfDir)
-    info(s"LSH near-dup recall = $recall")
-    assert(recall >= 0.95, s"recall $recall below floor")
+  test("q30 dense near-dup: precision 1.0 AND recall 1.0 vs exact ground truth") {
+    // threshold 0.3 < denseGapThreshold => the adaptive gate takes the
+    // blocked-dense exact path, whose recall is 1.0 by construction —
+    // the spec pins exactness, not a floor
+    val recall = nearDupRecall(sfDir, Ann.q30DedupEmbedding(spark, sfDir).collect())
+    assert(recall == 1.0, s"dense path must be exact, got recall $recall")
   }
 
-  test("q30 LSH near-dup recall holds at the bench scale factor (sf0.1, 2000 vectors)") {
-    // measured 0.991 (deterministic corpus): the b=4/L=32 tables keep
-    // their recall when the corpus quadruples — candidate generation
-    // can't regress behind the tiny default corpus
-    val recall = lshNearDupRecall("/root/testdata/sf0.1")
-    info(s"LSH near-dup recall at sf0.1 = $recall")
+  test("q30 dense near-dup stays exact at the bench scale factor (sf0.1, 2000 vectors)") {
+    val dir = "/root/testdata/sf0.1"
+    val recall = nearDupRecall(dir, Ann.q30DedupEmbedding(spark, dir).collect())
+    assert(recall == 1.0, s"dense path must be exact, got recall $recall")
+  }
+
+  test("LSH near-dup variant (production-threshold machinery): precision 1.0, recall >= 0.95 at threshold 0.3") {
+    // the collision machinery the adaptive gate uses ABOVE
+    // denseGapThreshold, exercised at 0.3 where ground truth is rich:
+    // recall-oriented b=4/L=32 measured 0.988-0.991 on the fixtures
+    val recall = nearDupRecall(sfDir,
+      Ann.dedupEmbedding(spark, sfDir, threshold = 0.3,
+        nTables = 32, bitsPerTable = 4).collect())
+    info(s"LSH near-dup recall = $recall")
     assert(recall >= 0.95, s"recall $recall below floor")
   }
 

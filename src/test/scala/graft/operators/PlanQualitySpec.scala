@@ -145,8 +145,23 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
-  test("q30: LSH bucket-join candidates reuse the signature exchange; no label block") {
+  test("q30: blocked-dense path pairs via equi-joined range, never a cartesian") {
     val df = graft.SparkEntry.queries("q30_dedup_embedding")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "block pairs must come from the range relation via equi-joins")
+    assert(p.contains("block_pair_cosines"),
+      "the dense kernel must be in the plan — the adaptive gate must not fall back to LSH at 0.3")
+    assert(p.contains("Range"), "block-pair relation must be a Range, not a collected list")
+  }
+
+  test("q30 LSH variant: bucket-join candidates reuse the signature exchange") {
+    // threshold 0.3 (not the production 0.9) so the result is
+    // non-empty — AQE folds an empty result to EmptyRelation and
+    // erases the very plan shape this guard pins
+    val df = graft.operators.Ann.dedupEmbedding(spark, sfDir,
+      threshold = 0.3, nTables = 16, bitsPerTable = 8)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("ReusedExchange"),
