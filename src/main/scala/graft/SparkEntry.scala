@@ -443,7 +443,7 @@ object SparkEntry {
       ) WHERE term_rank <= 3
     """,
     "q45_ann_ivf" -> s"""
-      WITH ${kmeansCtes(k = 16, iters = 5)},
+      WITH ${kmeansCtes("SELECT GREATEST(16, COUNT(*) // 1250) FROM v", iters = 5)},
       e AS (
         SELECT vec_id, embedding,
           sqrt(list_reduce(
@@ -2091,7 +2091,7 @@ object SparkEntry {
             ROW_NUMBER() OVER (PARTITION BY probe_id
               ORDER BY adc_dist ASC, neighbor_id ASC) AS adc_rank
           FROM adc
-        ) WHERE adc_rank <= 300
+        ) WHERE adc_rank <= (SELECT GREATEST(300, COUNT(*) * 3 // 20) FROM v)
       ),
       rerank AS (
         SELECT s.probe_id, s.neighbor_id, s.adc_dist,
@@ -2112,11 +2112,12 @@ object SparkEntry {
     // coarse-quantizer training (kmeansCtes — identical to q45's),
     // PQ codebook training (pqCtes — identical to q82's, sharing the
     // quantized-vector CTE v), corpus cell assignment + encode, 6-cell
-    // probe fan-out, candidate = cell match, ADC shortlist 300, exact
+    // probe fan-out, candidate = cell match, ADC shortlist (serveShortlist
+    // = 15% of the design-constant candidate pool), exact
     // integer rerank top-10 — proving the artifact's build AND serve
     // paths end-to-end, not just the in-query twin.
     "q88_ivfpq_probe" -> s"""
-      WITH ${kmeansCtes(k = 16, iters = 5)},
+      WITH ${kmeansCtes("SELECT GREATEST(16, COUNT(*) // 1250) FROM v", iters = 5)},
       ${pqCtes(m = 8, k = 16, iters = 3, defineV = false)},
       ad AS (
         SELECT v.vec_id, c.cluster,
@@ -2156,7 +2157,7 @@ object SparkEntry {
             ROW_NUMBER() OVER (PARTITION BY probe_id
               ORDER BY adc_dist ASC, neighbor_id ASC) AS adc_rank
           FROM adc
-        ) WHERE adc_rank <= 300
+        ) WHERE adc_rank <= ${graft.sources.IvfIndex.serveShortlist(6)}
       ),
       rerank AS (
         SELECT s.probe_id, s.neighbor_id, s.adc_dist,

@@ -82,8 +82,23 @@ object Ann {
     * "model" is k*dim doubles — broadcast-sized by construction, so
     * the index adds no join: cell ids ride along as columns and
     * candidates come from a cell-equality join. */
-  def q45AnnIvf(spark: SparkSession, dir: String): DataFrame =
-    annIvf(spark, dir, k = 16, iters = 5, probeCells = 6, topK = 5)
+  /** Corpus-derived IVF cell count — the q90 semDedupK discipline for
+    * the coarse quantizer: expected cell size n/k ≤ targetCellSize at
+    * every n (below 16·target the 16-cell floor already keeps cells
+    * under target), so per-probe candidate work is probeCells·target =
+    * O(1) rows regardless of corpus. 1250 ≈ the measured sweet spot on
+    * the 64-d corpora (identical cells to the committed k=16 at every
+    * fixture up to sf1 = 20k vectors, where 20000/1250 lands exactly on
+    * 16); past sf1 cells grow with n and recall is held by tuning
+    * probeCells, not by letting cells balloon. The oracle derives k
+    * with the same formula (GREATEST(16, COUNT(*) // 1250)). */
+  def ivfK(n: Long, targetCellSize: Int = 1250): Int =
+    math.max(16L, n / targetCellSize).toInt
+
+  def q45AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.embeddings(spark, dir).count()
+    annIvf(spark, dir, k = ivfK(n), iters = 5, probeCells = 6, topK = 5)
+  }
 
   /** IVF over the DETERMINISTIC quantized kmeans cells: training,
     * cell assignment, and probe fan-out all run in exact integer
@@ -200,8 +215,22 @@ object Ann {
     * at 100 TB the ADC scan reads m·4 bits per row instead of the
     * raw vectors (the classic PQ bandwidth win), and only the
     * shortlist touches full vectors. */
-  def q82Pq(spark: SparkSession, dir: String): DataFrame =
-    pqScan(spark, dir, m = 8, k = 16, iters = 3, shortlist = 300, topK = 10)
+  /** Corpus-derived ADC shortlist for the FLAT PQ scan: the rerank
+    * budget is a corpus FRACTION (15%, floored at 300), because with
+    * no IVF pruning the number of ADC near-ties that can crowd out a
+    * true neighbor grows with n — measured: a fixed 300 is 15% of
+    * sf0.1 (recall 0.83) but 1.5% of sf1 (recall 0.50); at 15% sf1
+    * recalls 0.82. Identical to the committed 300 at every fixture up
+    * to sf0.1. The IVF-PQ index (q88) needs NO such scaling: its
+    * candidate pool is probeCells·targetCellSize = O(1) by ivfK
+    * construction, so a fixed shortlist keeps a fixed fraction. */
+  def pqShortlist(n: Long): Int = math.max(300L, n * 3 / 20).toInt
+
+  def q82Pq(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.embeddings(spark, dir).count()
+    pqScan(spark, dir, m = 8, k = 16, iters = 3,
+      shortlist = pqShortlist(n), topK = 10)
+  }
 
   def pqScan(spark: SparkSession, dir: String, m: Int, k: Int, iters: Int,
       shortlist: Int, topK: Int): DataFrame = {

@@ -220,6 +220,57 @@ class AnnSpec extends AnyFunSuite with SparkFixture {
     assert(r2 >= 0.80, s"recall $r2")
   }
 
+  /** Exact top-k by quantized distance restricted to a probe's rows in
+    * a frame — shared by the q88-served floor below. */
+  private def servedRecall(dir: String, topK: Int): Double = {
+    val q = spark.read.parquet(s"$dir/embeddings.parquet").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding").map(x =>
+          math.floor(x.toDouble * Clustering.QuantScale).toLong).toArray)
+      .toMap
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var d = 0L; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
+      d
+    }
+    val probes = q.keys.filter(_ % 50 == 0)
+    val exact = probes.flatMap { p =>
+      q.toSeq.filter(_._1 != p)
+        .map { case (id, v) => (id, d2(q(p), v)) }
+        .sortBy { case (id, d) => (d, id) }.take(topK)
+        .map { case (id, _) => (p, id) }
+    }.toSet
+    val served = graft.sources.IvfIndex.q88IvfpqProbe(spark, dir).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    (served & exact).size.toDouble / exact.size
+  }
+
+  test("ANN recall floors hold at the sf1 scale step (20k vectors, cells at the 1250 target)") {
+    // VERDICT r6 #7: the sf1 corpus is 10x sf0.1 with the SAME 16
+    // coarse cells — exactly the 1250-vector target cell size ivfK
+    // pins (20000/1250 = 16), so these floors certify the
+    // constant-cell-size contract at its design point. Guarded on the
+    // generated corpus (tools/gen_sf1.py / tools/run_sf1_gate.sh).
+    val sf1 = "testdata/sf1"
+    assume(new java.io.File(sf1).isDirectory,
+      "sf1 corpus not generated — run tools/gen_sf1.py")
+    val ivf = ivfRecall(sf1)
+    info(s"IVF recall@5 at sf1 = $ivf")
+    assert(ivf >= 0.70, s"IVF recall $ivf")
+    val pq = pqRecall(sf1, 10)
+    info(s"PQ recall@10 at sf1 = $pq")
+    assert(pq >= 0.75, s"PQ recall $pq")
+    // measured 0.6415: the product of the 6-of-16-cell restriction
+    // ceiling (0.729 — the IVF number above) and ADC shortlist recall
+    // (0.93 at the 15%-of-pool serveShortlist; a fixed 300 measured
+    // 0.46). On near-random data the probe fan-out is the recall
+    // knob; the floor pins the serving path against regression, not
+    // a production target.
+    val srv = servedRecall(sf1, 10)
+    info(s"q88 served recall@10 at sf1 = $srv")
+    assert(srv >= 0.60, s"served recall $srv")
+  }
+
   test("q90 SemDeDup k is corpus-derived: expected cell size stays bounded at every n") {
     // the scale contract: n/k <= targetCellSize for ALL n (below the
     // 16-cell floor's crossover the floor itself keeps cells under
