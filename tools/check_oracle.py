@@ -20,15 +20,22 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-# optional overrides (argv[3]): semantically-equal oracle rewrites for
-# large scale factors where the committed all-pairs replays are
-# prohibitive in DuckDB — see tools/make_sf1_overrides.py
-if len(sys.argv) > 3:
+# optional overrides (argv[3], "-" to skip): semantically-equal oracle
+# rewrites for large scale factors where the committed all-pairs /
+# inlined-CTE-chain replays are prohibitive in DuckDB — see
+# tools/make_sf1_overrides.py for the per-query exactness arguments
+overridden = set()
+if len(sys.argv) > 3 and sys.argv[3] != "-":
     overrides = json.load(open(sys.argv[3]))
     unknown = set(overrides) - set(oracle)
     assert not unknown, f"overrides for unknown queries: {unknown}"
     oracle.update(overrides)
+    overridden = set(overrides)
     print(f"[overrides] {sorted(overrides)}")
+# optional JSON artifact (argv[4]): per-query record in the driver's
+# CORRECTNESS_r{N}.json shape, for committing scale-step gate results
+json_out = sys.argv[4] if len(sys.argv) > 4 else None
+record = {}
 
 def canon(df):
     df = df[sorted(df.columns)].copy()
@@ -39,21 +46,34 @@ def canon(df):
 
 fails = 0
 for name, sql in sorted(oracle.items()):
+    import time as _time
+    record[name] = {"rows_match": False, "schema_match": False,
+                    "hash_match": False, "spark_rows": None,
+                    "oracle_rows": None, "oracle_sec": None,
+                    "overridden": name in overridden, "err": None}
     spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
     if not spark_files:
-        print(f"{name}: NO SPARK OUTPUT"); fails += 1; continue
+        print(f"{name}: NO SPARK OUTPUT"); fails += 1
+        record[name]["err"] = "no_spark_output"; continue
     sdf = pd.concat([pd.read_parquet(f) for f in spark_files])
+    record[name]["spark_rows"] = len(sdf)
     try:
+        _t0 = _time.time()
         odf = con.sql(sql).df()
+        record[name]["oracle_sec"] = round(_time.time() - _t0, 2)
+        record[name]["oracle_rows"] = len(odf)
     except Exception as e:
-        print(f"{name}: ORACLE SQL ERROR: {e}"); fails += 1; continue
+        print(f"{name}: ORACLE SQL ERROR: {e}"); fails += 1
+        record[name]["err"] = f"oracle_sql_error: {e}"; continue
     s, o = canon(sdf), canon(odf)
     if list(s.columns) != list(o.columns):
         print(f"{name}: COLUMN MISMATCH spark={list(s.columns)} oracle={list(o.columns)}")
-        fails += 1; continue
+        fails += 1; record[name]["err"] = "column_mismatch"; continue
+    record[name]["schema_match"] = True
     if len(s) != len(o):
         print(f"{name}: ROWCOUNT MISMATCH spark={len(s)} oracle={len(o)}")
-        fails += 1; continue
+        fails += 1; record[name]["err"] = "rowcount_mismatch"; continue
+    record[name]["rows_match"] = True
     ok = True
     # Driver's hash gate is dtype-sensitive for NUMERIC columns: DuckDB
     # HUGEINT sums land in pandas as float64 while Spark emits int64 —
@@ -67,7 +87,7 @@ for name, sql in sorted(oracle.items()):
             print(f"{name}: DTYPE MISMATCH col={c} spark={s[c].dtype} oracle={o[c].dtype}")
             ok = False
     if not ok:
-        fails += 1; continue
+        fails += 1; record[name]["err"] = "dtype_mismatch"; continue
     for c in s.columns:
         a, b = s[c].values, o[c].values
         if np.issubdtype(s[c].dtype, np.floating) or np.issubdtype(o[c].dtype, np.floating):
@@ -84,8 +104,14 @@ for name, sql in sorted(oracle.items()):
                 print(f"{name}: VALUE MISMATCH col={c} row={i} spark={a[i]!r} oracle={b[i]!r}")
                 ok = False; break
     if ok:
-        print(f"{name}: OK ({len(s)} rows) [exact]")
+        record[name]["hash_match"] = True
+        print(f"{name}: OK ({len(s)} rows) [exact]"
+              f"{' [override]' if name in overridden else ''}")
     else:
+        record[name]["err"] = "value_mismatch"
         fails += 1
 print(f"\n{len(oracle)-fails}/{len(oracle)} matched")
+if json_out:
+    json.dump(record, open(json_out, "w"), indent=1)
+    print(f"record -> {json_out}")
 sys.exit(1 if fails else 0)

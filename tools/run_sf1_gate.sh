@@ -1,0 +1,33 @@
+#!/usr/bin/env bash
+# One-command sf1 scale-step gate: regenerate the 10x corpus, dump every
+# SparkEntry query at sf1, replay every oracle in DuckDB (with the
+# documented semantically-equal sf1 overrides), and bench. Writes the
+# committed artifacts:
+#   CORRECTNESS_SF1.json  per-query rows/schema/hash record (+ oracle
+#                         seconds and whether an override was used)
+#   BENCH_SF1.json        per-query median/min/max seconds at sf1
+# Run from anywhere; ~15 min end-to-end on 32 cores.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SF1=testdata/sf1
+OUT=${SF1_VERIFY_OUT:-/tmp/verify_sf1_gate}
+CPUS=${SPARK_GRAFT_CPUS:-32}
+CP="target/scala-2.13/classes:/opt/spark/jars/*"
+
+[ -d "$SF1" ] || python3 tools/gen_sf1.py
+sbt -batch compile
+
+echo "== Spark-side dumps at sf1 =="
+SPARK_GRAFT_CPUS=$CPUS java -Xmx48g -cp "$CP" graft.Verify "$PWD/$SF1" "$OUT"
+
+echo "== DuckDB oracle gate =="
+python3 tools/make_sf1_overrides.py "$OUT/oracle_sql.json" "$OUT/sf1_overrides.json"
+python3 tools/check_oracle.py "$SF1" "$OUT" "$OUT/sf1_overrides.json" CORRECTNESS_SF1.json
+
+echo "== Bench at sf1 =="
+SPARK_GRAFT_SF_DIR="$PWD/$SF1" SPARK_GRAFT_CPUS=$CPUS \
+  SPARK_GRAFT_BENCH_OUT=BENCH_SF1.json \
+  java -Xmx48g -cp "$CP" graft.Bench
+
+echo "sf1 gate complete: CORRECTNESS_SF1.json + BENCH_SF1.json"
