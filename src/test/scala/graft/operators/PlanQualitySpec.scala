@@ -293,10 +293,30 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     // the closing check is the per-edge sorted intersect, not a join
     // against a wedge table
     assert(p.contains("sorted_long_intersect"))
+    // the intersect expression appears exactly once: the single-pass
+    // credits explode must not re-evaluate the joins per corner (the
+    // union-of-three-selects form did — 3x the intersect cost at sf1)
+    assert(p.split("sorted_long_intersect").length - 1 <= 2,
+      "intersect evaluated once (plan may echo it in a Project alias)")
+    // under the edge budget both endpoint joins are broadcast probes of
+    // the node-sized adjacency — no neighbor ARRAY rides a shuffle
+    assert(p.contains("BroadcastHashJoin"))
     // final ranking: TakeOrdered (rank derived from returned order) —
     // never a partition-less row_number window over every node
     assert(p.contains("TakeOrderedAndProject"))
     assert(!p.matches("(?s).*\\bWindow\\b.*"))
+  }
+
+  test("q87: past the broadcast budget the adjacency joins shuffle, same shape") {
+    val (ranked, cks) = Graph.q87RankedPlan(spark, sfDir, maxBroadcastEdges = 0L)
+    val p = ranked.queryExecution.executedPlan.toString
+    org.apache.spark.sql.graftbridge.Bridge.releaseCheckpoints(cks: _*)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("sorted_long_intersect"))
+    // the fallback must not silently re-broadcast a table the gate
+    // judged too big: the endpoint joins become shuffled equi-joins
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
   }
 
   test("gated repartition is a no-op when the scan is already parallel") {
