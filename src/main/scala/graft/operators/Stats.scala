@@ -176,25 +176,32 @@ object Stats {
     * order-free at any scale — then corr derives from the exact
     * aggregates in one fixed double sequence both engines replicate.
     *
-    * Scale: the explode is dim²/2 rows per vector but map-side
-    * combine collapses the shuffle to the 2,016-cell triangle per
-    * partition — the aggregate state, not the row count, crosses the
-    * wire. (A fused outer-product Aggregator would cut the generate
-    * overhead ~dim×; at dim=64 the explode keeps the whole pass in
-    * codegen'd HashAggregate, the simpler win.) Pair ranking uses
-    * corr — derived from exact decimals, bit-identical — so the
-    * top-20 is engine-exact. */
+    * Scale: the pair triangle comes from the fused GramTriangleAgg
+    * kernel — per vector, dim²/2 multiply-adds into a partition-local
+    * long[] (exact decimal carries past int64), NO generated pair
+    * rows and NO positional self-join; the only exchange in the pass
+    * is one ~2k-cell buffer per partition. (The join form shuffled
+    * the exploded positions and sort-merge joined 40M rows at sf1 —
+    * 3.4 s for what is 40M MACs; a generate form ran interpreted:
+    * higher-order lambdas never enter codegen.) The sums are the
+    * same exact decimal(38,0) values. Pair ranking uses corr —
+    * derived from exact decimals, bit-identical — so the top-20 is
+    * engine-exact. */
   def q84EmbedStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val d = (c: Column) => c.cast("double")
     val pos = Clustering.quantizedVecs(spark, dir)
       .select(col("vec_id"), posexplode(col("q")).as(Seq("i", "x")))
     val dims = pos.groupBy(col("i"))
       .agg(count(lit(1)).as("n"), sum(bigint(col("x"))).as("sx"),
         sum(bigint(col("x") * col("x"))).as("sxx"))
-    val pairs = pos.as("a").join(pos.as("b"),
-        col("a.vec_id") === col("b.vec_id") && col("a.i") < col("b.i"))
-      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
-      .agg(sum(bigint(col("a.x") * col("b.x"))).as("sxy"))
+    val pairs = Clustering.quantizedVecs(spark, dir)
+      .select(col("q")).as[Seq[Long]]
+      .select(new graft.functions.GramTriangleAgg(64, strict = true).toColumn)
+      .toDF("cells")
+      .select(explode(col("cells")).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"),
+        col("p.s").cast("decimal(38,0)").as("sxy"))
     val w = Window.orderBy(abs(col("corr")).desc, col("i").asc, col("j").asc)
     pairs
       .join(broadcast(dims.select(col("i"), col("n"),
@@ -238,16 +245,22 @@ object Stats {
     val dim = 64
     val iters = 5
     val scaleV = 10000L
-    val pos = Tables.embeddings(spark, dir)
-      .select(col("vec_id"),
-        posexplode(expr(
-          "transform(embedding, x -> cast(floor(cast(x as double) * 4096.0D) as bigint))"))
-          .as(Seq("i", "x")))
-    // upper triangle (i <= j) of Σ x_i·x_j, plus the vector count
-    val tri = pos.as("a").join(pos.as("b"),
-        col("a.vec_id") === col("b.vec_id") && col("a.i") <= col("b.i"))
-      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
-      .agg(sum(col("a.x") * col("b.x")).as("s"))
+    // upper triangle (i <= j) of Σ x_i·x_j via the fused
+    // GramTriangleAgg kernel (the q84 shape): per vector dim²/2
+    // multiply-adds into partition-local state, no pair rows, no
+    // self-join — the only exchange is one ~2k-cell buffer per
+    // partition
+    import spark.implicits._
+    val tri = Tables.embeddings(spark, dir)
+      .select(expr(
+        "transform(embedding, x -> cast(floor(cast(x as double) * 4096.0D) as bigint))")
+        .as("qv"))
+      .as[Seq[Long]]
+      .select(new graft.functions.GramTriangleAgg(64, strict = false).toColumn)
+      .toDF("cells")
+      .select(explode(col("cells")).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"),
+        col("p.s").cast("bigint").as("s"))
       .collect()
     val n = Tables.embeddings(spark, dir).count()
     require(n > 0, "q96: empty embedding corpus")

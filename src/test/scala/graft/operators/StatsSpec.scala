@@ -181,4 +181,39 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     // the result is a direction: the max-|loading| dim sits at ±10000
     assert(got.values.map(p => math.abs(p._1)).max === 10000L)
   }
+
+  test("GramTriangleAgg is exact past int64 and flush/merge-order free") {
+    import graft.functions.GramTriangleAgg
+    // dim=2, components at the 2^24 quantization scale: products are
+    // 2^48, so 40,000 unflushed rows (> 2^15) would overflow a long —
+    // only the periodic decimal-string flush keeps the sum exact
+    // (true total 40,000 * 2^48 ≈ 1.13e19 > Long.MaxValue ≈ 9.2e18).
+    val agg = new GramTriangleAgg(2, strict = true, flushEvery = 8192)
+    val big = 1L << 24
+    val n = 40000
+    val rows = Seq.fill(n)(Seq(big, big))
+    val whole = rows.foldLeft(agg.zero)(agg.reduce)
+    val expect = (BigInt(n) * (BigInt(1) << 48)).toString
+    assert(BigInt(expect) > BigInt(Long.MaxValue), "test must cross int64")
+    assert(agg.finish(whole).map(c => (c.i, c.j, c.s)) === Seq((0, 1, expect)))
+    // merge of two half-streams gives the identical carry
+    val (l, r) = rows.splitAt(17000)
+    val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+      r.foldLeft(agg.zero)(agg.reduce))
+    assert(agg.finish(merged).head.s === expect)
+    // a component past the overflow-safety bound is rejected loudly
+    intercept[IllegalArgumentException] {
+      agg.reduce(agg.zero, Seq(1L << 31, 1L << 31))
+    }
+    // non-strict triangle matches a brute-force on deterministic data,
+    // with a flush forced mid-stream
+    val d3 = new GramTriangleAgg(3, strict = false, flushEvery = 1)
+    val vs = Seq(Seq(1L, -2L, 3L), Seq(-4L, 5L, 6L), Seq(7L, 8L, -9L))
+    val got = d3.finish(vs.foldLeft(d3.zero)(d3.reduce))
+      .map(c => (c.i, c.j) -> c.s).toMap
+    for (i <- 0 until 3; j <- i until 3) {
+      val brute = vs.map(v => BigInt(v(i)) * BigInt(v(j))).sum.toString
+      assert(got((i, j)) === brute, s"cell ($i,$j)")
+    }
+  }
 }
