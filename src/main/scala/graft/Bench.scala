@@ -32,13 +32,19 @@ object Bench {
     } catch { case _: Throwable => }
 
     // optional comma-separated subset for iterating on one query's
-    // plan without paying the full suite (default: everything)
+    // plan without paying the full suite (default: everything), and an
+    // explicit skip list for scale experiments (e.g. the documented
+    // quadratic-by-construction baselines at very large corpora).
+    // Skips are NEVER silent: they ride in the summary as "skipped".
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = only match {
+    val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val selected = (only match {
       case Some(s) => SparkEntry.queries.filter { case (k, _) => s(k) }
       case None    => SparkEntry.queries
-    }
+    }).filter { case (k, _) => !skip(k) }
 
     // q88 is a build-once / serve-many index: time the one-off artifact
     // build here (reported separately as build_sec) so the per-rep
@@ -72,9 +78,10 @@ object Bench {
     // the min/max rep spread, so a load-inflated run is self-diagnosing
     // — lives exclusively in bench.json.
     val failed = results.filterNot(_._5).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val skipped = skip.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val summary =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"reps":$reps,"sf":"$sfDir","n_queries":${results.length},"build_sec":${fmt(buildSec)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"reps":$reps,"sf":"$sfDir","n_queries":${results.length},"build_sec":${fmt(buildSec)},"skipped":$skipped}"""
     println(summary)
     // raw copy on stderr too: sbt prefixes stdout with "[info] ", which
     // breaks line-oriented parsers; stderr passes through un-prefixed
@@ -83,7 +90,7 @@ object Bench {
       "\"" + k + "\":{\"median\":" + fmt(med) + ",\"min\":" + fmt(min) + ",\"max\":" + fmt(max) + "}"
     }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"sf":"$sfDir","n_queries":${results.length},"build_sec":${fmt(buildSec)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"sf":"$sfDir","n_queries":${results.length},"build_sec":${fmt(buildSec)},"skipped":$skipped}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (full + "\n").getBytes("UTF-8"))
     spark.stop()

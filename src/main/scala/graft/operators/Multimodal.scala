@@ -21,10 +21,13 @@ import graft.sources.Tables
   *    (WAV/AIFF/AU PCM are pure-JVM), extracting sample-rate/channel
   *    metadata plus RMS energy and zero-crossing rate — the two
   *    first-pass quality features of audio corpus filtering.
-  * Compressed audio (mp3/opus) and video codecs aren't on the JVM:
-  * those decodes stay stubbed, with the schema / batching /
-  * frame-sampling plumbing real and tested, so swapping in an FFI
-  * decoder changes one function.
+  *  - `aviFrames` / `sampleVideoFrames` — REAL video frame sampling:
+  *    a pure-JVM AVI (RIFF) container walk feeding each MJPEG frame
+  *    through the imageio decode above.
+  * Compressed audio (mp3/opus) and inter-frame video codecs (H.264+)
+  * aren't on the JVM: those decodes stay stubbed, with the schema /
+  * batching / frame-sampling plumbing real and tested, so swapping in
+  * an FFI decoder changes one function.
   */
 object Multimodal {
 
@@ -172,6 +175,67 @@ object Multimodal {
         case (frame, idx) if idx % everyK == 0 => (r.doc_id, idx, frame)
       }
     }.toDF("doc_id", "frame_idx", "frame")
+  }
+
+  /** REAL video frame extraction, pure JVM: walk an AVI (RIFF)
+    * container and return the compressed video frame payloads
+    * (`##dc`/`##db` chunks inside the `movi` LIST, including frames
+    * wrapped in `rec ` sub-LISTs). For the ubiquitous MJPEG-in-AVI
+    * archival format each frame is a complete JPEG that
+    * `javax.imageio` decodes with no native codecs — so frame
+    * sampling + decode is genuinely end-to-end on the JVM. Malformed
+    * or truncated containers yield the frames parsed so far (never a
+    * task failure — the imageIoDecode degradation policy). */
+  def aviFrames(bytes: Array[Byte]): Vector[Array[Byte]] = {
+    def le32(off: Int): Long =
+      if (off + 4 > bytes.length) -1L
+      else (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    def fourcc(off: Int): String =
+      if (off + 4 > bytes.length) ""
+      else new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    val out = Vector.newBuilder[Array[Byte]]
+    def isFrame(id: String): Boolean =
+      id.length == 4 && id(0).isDigit && id(1).isDigit &&
+        (id.endsWith("dc") || id.endsWith("db"))
+    // walk chunks in [from, until); descend into movi / rec LISTs
+    def walk(from: Int, until: Int, inMovi: Boolean): Unit = {
+      var off = from
+      while (off + 8 <= until) {
+        val id = fourcc(off)
+        val size = le32(off + 4)
+        if (size < 0 || off + 8 + size > until) return // truncated
+        val body = off + 8
+        if (id == "LIST") {
+          val listType = fourcc(body)
+          if (listType == "movi" || (inMovi && listType == "rec "))
+            walk(body + 4, body + size.toInt, inMovi = true)
+        } else if (inMovi && isFrame(id) && size > 0) {
+          out += java.util.Arrays.copyOfRange(bytes, body, body + size.toInt)
+        }
+        off = body + size.toInt + (size.toInt & 1) // chunks pad to even
+      }
+    }
+    if (bytes.length >= 12 && fourcc(0) == "RIFF" && fourcc(8) == "AVI ")
+      walk(12, math.min(bytes.length, 8 + le32(4).toInt + 8), inMovi = false)
+    out.result()
+  }
+
+  /** Every k-th video frame of each payload, decoded: (doc_id,
+    * frame_idx, width, height, mean_byte). Partition-wise flatMap —
+    * the container parse and the per-frame JPEG decode both amortize
+    * across a batch, and frames that fail to decode drop out rather
+    * than failing the task. */
+  def sampleVideoFrames(media: Dataset[MediaRow], everyK: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    require(everyK >= 1, "everyK must be >= 1")
+    media.flatMap { r =>
+      aviFrames(r.content).zipWithIndex.collect {
+        case (jpeg, idx) if idx % everyK == 0 =>
+          imageIoDecode(MediaRow(r.doc_id, "frame", jpeg))
+            .map(f => (r.doc_id, idx, f.width, f.height, f.mean_byte))
+      }.flatten
+    }.toDF("doc_id", "frame_idx", "width", "height", "mean_byte")
   }
 
   /** Resize stub: nearest-neighbor subsample of the payload viewed as

@@ -84,6 +84,57 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(out(2L).rms === 0.0 && out(2L).zero_crossings === 0L)
   }
 
+  test("avi mjpeg: real container parse + frame decode, every k-th frame") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    def jpeg(w: Int, h: Int, gray: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val rgb = (gray << 16) | (gray << 8) | gray
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    // a minimal spec-correct AVI: RIFF("AVI " hdrl-LIST movi-LIST),
+    // frames as 00dc chunks (one wrapped in a `rec ` sub-LIST, the
+    // interleaved form), odd sizes padded to even per RIFF
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le32(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(listType: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", listType.getBytes("US-ASCII") ++ body)
+    val frames = Seq(jpeg(6, 4, 200), jpeg(6, 4, 80), jpeg(8, 2, 10))
+    val movi = list("movi",
+      chunk("00dc", frames(0)) ++
+        list("rec ", chunk("00dc", frames(1))) ++
+        chunk("00dc", frames(2)))
+    val hdrl = list("hdrl", chunk("avih", new Array[Byte](56)))
+    val aviBody = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val avi = "RIFF".getBytes("US-ASCII") ++ le32(aviBody.length) ++ aviBody
+    assert(Multimodal.aviFrames(avi).length === 3)
+    val ds = Seq(
+      Multimodal.MediaRow(1L, "video", avi),
+      Multimodal.MediaRow(2L, "video", Array[Byte](9, 9, 9))).toDS()
+      .repartition(2)
+    val all = Multimodal.sampleVideoFrames(ds, everyK = 1).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getInt(2), r.getInt(3), r.getDouble(4)))).toMap
+    assert(all.keySet === Set((1L, 0), (1L, 1), (1L, 2)),
+      "malformed payload yields no frames, not a failure")
+    assert(all((1L, 0))._1 === 6 && all((1L, 0))._2 === 4)
+    assert(all((1L, 2))._1 === 8 && all((1L, 2))._2 === 2)
+    // JPEG is lossy but a constant-gray frame stays near its gray
+    assert(math.abs(all((1L, 0))._3 - 200.0) < 6.0)
+    assert(math.abs(all((1L, 1))._3 - 80.0) < 6.0)
+    // sampling keeps frames 0 and 2 only
+    val sampled = Multimodal.sampleVideoFrames(ds, everyK = 2).collect()
+      .map(r => r.getInt(1)).sorted
+    assert(sampled.toSeq === Seq(0, 2))
+  }
+
   test("frame sampling blocks the payload and keeps every k-th frame") {
     import spark.implicits._
     val payload = Array.tabulate[Byte](10)(_.toByte)

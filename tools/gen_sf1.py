@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Deterministic sf1 generator: 10x sf0.1, for the scale-step gate.
+"""Deterministic scale-step generator: COPIES x sf0.1 (10 -> sf1, 100 -> sf10).
 
 Replicates every scaling table 10x with disjoint id spaces per copy
 (new_id = old_id + r * N_table), preserving the corpora's pair
@@ -32,10 +32,10 @@ per copy: N_doc=5000 ≡ 0 (mod 10, 1000) keeps the q73 batch split and
 sampling permilles aligned; N_vec=2000 ≡ 0 (mod 50) keeps the
 standard probe set (vec_id % 50 == 0) hitting the same per-copy rows.
 
-Each table lands as a DIRECTORY <out>/<t>.parquet/ of 10 part files
-(one per copy), so Spark scans sf1 with 10 input splits natively.
+Each table lands as a DIRECTORY <out>/<t>.parquet/ of COPIES part
+files (one per copy), so Spark scans the output with native splits.
 
-Usage: python3 tools/gen_sf1.py [src=/root/testdata/sf0.1] [out=testdata/sf1]
+Usage: python3 tools/gen_sf1.py [src=/root/testdata/sf0.1] [out=testdata/sf1] [copies=10]
 """
 import os, shutil, sys
 import numpy as np
@@ -46,7 +46,11 @@ import pyarrow.compute as pc
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 OUT = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "testdata/sf1")
-COPIES = 10
+# replication factor (argv[3]): 10 -> sf1; 100 -> sf10 (the 100x step).
+# Every id-derived convention survives any COPIES because the strides
+# are multiples of the library's modulus conventions (vec_id % 50,
+# doc_id % 10, user_id % 10).
+COPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 
 N = dict(customer=15000, supplier=1000, part=20000, orders=150000,
          lineitem=600000, events=100000, documents=5000, embeddings=2000,
@@ -73,7 +77,7 @@ def write_copies(name, transform):
     for r in range(COPIES):
         out = transform(src, r)
         assert out.schema.equals(src.schema), f"{name}: schema drift at copy {r}"
-        pq.write_table(out, f"{d}/part-{r:02d}.parquet", version="2.6",
+        pq.write_table(out, f"{d}/part-{r:03d}.parquet", version="2.6",
                        coerce_timestamps=None)
     print(f"{name}: {src.num_rows} x {COPIES} rows -> {d}")
 
@@ -132,7 +136,7 @@ def main():
     # exercises — the driver's testdata is timestamp[us])
     src_ts = pq.read_schema(f"{SRC}/events.parquet").field("ts").type
     ts_type = pq.read_schema(
-        f"{OUT}/events.parquet/part-00.parquet").field("ts").type
+        f"{OUT}/events.parquet/part-000.parquet").field("ts").type
     assert ts_type == src_ts, f"events.ts drifted {src_ts} -> {ts_type}"
     print(f"OK: events.ts preserved as {ts_type}")
 

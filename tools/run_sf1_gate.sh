@@ -14,12 +14,24 @@ SF1=testdata/sf1
 OUT=${SF1_VERIFY_OUT:-/tmp/verify_sf1_gate}
 CPUS=${SPARK_GRAFT_CPUS:-32}
 CP="target/scala-2.13/classes:/opt/spark/jars/*"
+# Spark 4.x on JDK 17 outside spark-submit needs the module opens from
+# build.sbt's jdk17AddOpens — WITHOUT them the first memory-pressure
+# block eviction dies in Kryo (FieldSerializer for HeapByteBuffer),
+# which only surfaces at scale factors big enough to evict.
+JOPTS=$(for p in java.lang java.lang.invoke java.lang.reflect java.io \
+    java.net java.nio java.util java.util.concurrent \
+    java.util.concurrent.atomic; do
+  printf -- "--add-opens=java.base/%s=ALL-UNNAMED " "$p"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  printf -- "--add-opens=java.base/%s=ALL-UNNAMED " "$p"
+done)
 
 [ -d "$SF1" ] || python3 tools/gen_sf1.py
 sbt -batch compile
 
 echo "== Spark-side dumps at sf1 =="
-SPARK_GRAFT_CPUS=$CPUS java -Xmx48g -cp "$CP" graft.Verify "$PWD/$SF1" "$OUT"
+SPARK_GRAFT_CPUS=$CPUS java $JOPTS -Xmx48g -cp "$CP" graft.Verify "$PWD/$SF1" "$OUT"
 
 echo "== DuckDB oracle gate =="
 python3 tools/make_sf1_overrides.py "$OUT/oracle_sql.json" "$OUT/sf1_overrides.json"
@@ -28,6 +40,6 @@ python3 tools/check_oracle.py "$SF1" "$OUT" "$OUT/sf1_overrides.json" CORRECTNES
 echo "== Bench at sf1 =="
 SPARK_GRAFT_SF_DIR="$PWD/$SF1" SPARK_GRAFT_CPUS=$CPUS \
   SPARK_GRAFT_BENCH_OUT=BENCH_SF1.json \
-  java -Xmx48g -cp "$CP" graft.Bench
+  java $JOPTS -Xmx48g -cp "$CP" graft.Bench
 
 echo "sf1 gate complete: CORRECTNESS_SF1.json + BENCH_SF1.json"
