@@ -151,22 +151,36 @@ object Similarity {
     * agreement test) — the q44 runtime-broadcast principle applied to
     * vocabulary size.
     *
-    * The dense path is gated on BOTH broadcast residents it creates:
-    * the dictionary (vocab collect, bounded by discoverVocab) AND the
-    * probe matrix (the probe-set rows ride to the driver as a
-    * FloatMatCosines literal). The probe set is a fraction of the
-    * corpus (doc_id % 50), so with vocab alone gated a large enough
-    * corpus would still push corpus-proportional floats through the
-    * driver; maxProbeFloats caps probes × vocab at ~128 MB of floats
-    * (32M) — past it the postings join runs instead. The probe count
-    * is one map-side-combined aggregate (no data to the driver). */
+    * The dense path is gated on the broadcast residents it creates
+    * AND on its compute shape:
+    *  - the dictionary (vocab collect, bounded by discoverVocab);
+    *  - the probe matrix (probe rows ride to the driver as a
+    *    FloatMatCosines literal) — maxProbeFloats caps probes × vocab
+    *    (the probe count is one map-side-combined aggregate, no data
+    *    to the driver);
+    *  - the SCORING WORK: the dense kernel evaluates probes × corpus
+    *    × vocab multiply-adds unconditionally, while the postings
+    *    join's cost is the term-collision volume, which sparsity can
+    *    make arbitrarily smaller. The sf10 scale step measured the
+    *    failure: 100 disjoint token universes kept vocab (3100) and
+    *    the probe literal (124 MB) inside the r6 budgets, but dense
+    *    work hit 1.5e13 MACs — 840 s where the postings join does
+    *    ~1.5e9 collision rows. maxDenseWork (16e9, ~10 s of one
+    *    core's MACs) bounds it with corpus count × probe count ×
+    *    vocab — three metadata-scale numbers. All gate outcomes
+    *    produce bit-identical results (SimilaritySpec agreement). */
   def cosineTopKAdaptive(spark: SparkSession, dir: String, k: Int,
-      maxVocab: Int = 4096, maxProbeFloats: Long = 32L * 1024 * 1024): DataFrame = {
+      maxVocab: Int = 4096, maxProbeFloats: Long = 32L * 1024 * 1024,
+      maxDenseWork: Long = 16L * 1000 * 1000 * 1000): DataFrame = {
     val vocab = discoverVocab(spark, dir, maxVocab)
     if (vocab.length > maxVocab) return cosineTopK(spark, dir, k)
-    val probeCount = Tables.documents(spark, dir)
-      .filter(col("doc_id") % 50 === 0).count()
-    if (probeCount * vocab.length <= maxProbeFloats)
+    val counts = Tables.documents(spark, dir).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("doc_id") % 50 === 0, 1L).otherwise(0L)).as("probes"))
+      .head()
+    val (corpusCount, probeCount) = (counts.getLong(0), counts.getLong(1))
+    val denseWork = probeCount * corpusCount * vocab.length
+    if (probeCount * vocab.length <= maxProbeFloats && denseWork <= maxDenseWork)
       cosineTopKDenseWith(spark, dir, k, vocab)
     else cosineTopK(spark, dir, k)
   }
@@ -221,14 +235,18 @@ object Similarity {
       .select(col("probe_doc"), col("neighbor_doc"), col("rank"), col("cosine"))
   }
 
-  /** q17 is ADAPTIVE on dictionary size AND probe count
-    * (cosineTopKAdaptive): dense kernel when both the vocabulary and
-    * the probe matrix are broadcast-sized, postings join — candidate
-    * pairs only from shared terms, shuffle bounded by the postings
-    * table, nothing corpus-sized on the driver — for the general
-    * case. Both gate probes are themselves bounded (≤ maxVocab+1
-    * words collect; probe COUNT via aggregate), so no input shape
-    * makes the gate unsafe. */
+  /** q17 is ADAPTIVE on dictionary size, probe count, AND dense
+    * scoring work (cosineTopKAdaptive): dense kernel when the
+    * vocabulary and probe matrix are broadcast-sized and probes ×
+    * corpus × vocab MACs fit the work budget (dense measured 5-6× the
+    * postings join at sf1 — but 840 s vs ~250 s at sf10, where the
+    * corpus is 100 disjoint token universes and sparsity is
+    * everything); postings join — candidate pairs only from shared
+    * terms, shuffle bounded by the term-collision volume, nothing
+    * corpus-sized on the driver — for the general case. All gate
+    * probes are themselves bounded (≤ maxVocab+1 words collect;
+    * corpus/probe COUNTS via one aggregate), so no input shape makes
+    * the gate unsafe. */
   def q17CosineTopK(spark: SparkSession, dir: String): DataFrame =
     cosineTopKAdaptive(spark, dir, 5)
 
