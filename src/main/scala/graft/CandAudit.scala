@@ -22,12 +22,7 @@ object CandAudit {
     val bits = if (args.length > 2) args(2).toInt else 4
     val threshold = if (args.length > 3) args(3).toDouble else 0.3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Sessions.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     val vecs = Tables.parallelized(Tables.embeddings(spark, dir), col("vec_id"))

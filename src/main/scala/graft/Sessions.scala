@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared SparkSession construction for every graft entrypoint (Bench,
+  * Verify, the audit mains, the test fixture), so session hygiene is
+  * decided once:
+  *
+  *  - Derby (the embedded metastore db some specs exercise through
+  *    JDBC) writes `derby.log` into `user.dir`, and Spark creates
+  *    `spark-warehouse/` there, unless redirected — both are repo-root
+  *    litter. Point both at target/ (already gitignored, wiped by
+  *    clean).
+  *
+  *  - The three deliberate partition-less windows in the library (the
+  *    date spine, the chi² ranking over the vocab-sized frame, the
+  *    dim²-triangle corr ranking) are metadata-bounded by construction,
+  *    but Spark logs a blanket "No Partition Defined for Window
+  *    operation" warning PER EXECUTION — hundreds of identical lines
+  *    per bench run, burying real warnings. Scope that logger (the
+  *    whole physical window-exec package — the warning's logger name is
+  *    the concrete exec class, which varies) to ERROR instead of
+  *    muting anything globally.
+  */
+object Sessions {
+
+  /** Builder with the shared hygiene + determinism settings applied.
+    * Callers add master/parallelism and any entrypoint-specific conf. */
+  def builder(cpus: String): SparkSession.Builder = {
+    val target = new java.io.File("target")
+    target.mkdirs()
+    System.setProperty("derby.system.home",
+      new java.io.File(target, "derby").getAbsolutePath)
+    new java.io.File(target, "derby").mkdirs()
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir",
+        new java.io.File(target, "spark-warehouse").getAbsolutePath)
+      .config("spark.ui.enabled", "false")
+  }
+
+  /** Narrow the benign-by-construction window warning out of the logs
+    * (see class doc). Call AFTER setLogLevel, which resets levels. */
+  def quietBoundedWindowWarnings(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
+
+  /** The standard entrypoint session: hygiene + WARN log level with
+    * the window-package warning scoped out. */
+  def local(cpus: String): SparkSession = {
+    val s = builder(cpus).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    quietBoundedWindowWarnings()
+    s
+  }
+}

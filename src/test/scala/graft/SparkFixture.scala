@@ -7,14 +7,9 @@ import org.apache.spark.sql.SparkSession
   * dominate test wall-clock. */
 object SharedSpark {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val s = Sessions.builder("4").appName("graft-test").getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    Sessions.quietBoundedWindowWarnings()
     s
   }
 }

@@ -140,6 +140,14 @@ def main():
     assert ts_type == src_ts, f"events.ts drifted {src_ts} -> {ts_type}"
     print(f"OK: events.ts preserved as {ts_type}")
 
+    # Completion marker, written LAST: the gate/bench scripts check this
+    # file, not bare directory existence, so an interrupted generation
+    # (makedirs is exist_ok and tables land one by one) can never be
+    # silently benched/gated as if complete.
+    with open(f"{OUT}/_GRAFT_COMPLETE", "w") as f:
+        f.write(f"copies={COPIES} src={SRC}\n")
+    print(f"OK: wrote {OUT}/_GRAFT_COMPLETE")
+
 
 if __name__ == "__main__":
     main()

@@ -1,6 +1,9 @@
 #!/usr/bin/env bash
 # 100x scale-step BENCH: generate sf10 (100 x sf0.1, ~1.7 GB) and run
-# the full suite once (reps=1 - a single pass at this scale is already
+# the full suite once. Heap: needs ~80 GiB by default; override with
+# SPARK_GRAFT_XMX (e.g. SPARK_GRAFT_XMX=48g) on smaller hosts - the
+# JVM fails to start (or the OS OOM-kills it) with no useful hint
+# otherwise (reps=1 - a single pass at this scale is already
 # ~half an hour; the sf1 gate carries the median-of-3 discipline).
 #
 # The two documented quadratic-BY-CONSTRUCTION baselines are skipped,
@@ -34,7 +37,10 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   printf -- "--add-opens=java.base/%s=ALL-UNNAMED " "$p"
 done)
 
-[ -d "$SF10" ] || python3 tools/gen_sf1.py /root/testdata/sf0.1 "$SF10" 100
+# _GRAFT_COMPLETE is written as the generator's LAST step - a bare
+# directory check would accept an interrupted half-generated corpus
+# (and sf10 has no DuckDB full-result gate to catch it downstream).
+[ -f "$SF10/_GRAFT_COMPLETE" ] || python3 tools/gen_sf1.py /root/testdata/sf0.1 "$SF10" 100
 sbt -batch compile
 
 echo "== Bench at sf10 (single rep, quadratic baselines skipped) =="
@@ -42,6 +48,6 @@ SPARK_GRAFT_SF_DIR="$PWD/$SF10" SPARK_GRAFT_CPUS=$CPUS \
   SPARK_GRAFT_BENCH_REPS=1 \
   SPARK_GRAFT_BENCH_SKIP=q24_ann_bruteforce,q30_dedup_embedding \
   SPARK_GRAFT_BENCH_OUT=BENCH_SF10.json \
-  java $JOPTS -Xmx80g -cp "$CP" graft.Bench
+  java $JOPTS -Xmx${SPARK_GRAFT_XMX:-80g} -cp "$CP" graft.Bench
 
 echo "sf10 bench complete: BENCH_SF10.json"

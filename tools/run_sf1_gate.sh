@@ -27,7 +27,9 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   printf -- "--add-opens=java.base/%s=ALL-UNNAMED " "$p"
 done)
 
-[ -d "$SF1" ] || python3 tools/gen_sf1.py
+# _GRAFT_COMPLETE is written as the generator's LAST step - a bare
+# directory check would accept an interrupted half-generated corpus.
+[ -f "$SF1/_GRAFT_COMPLETE" ] || python3 tools/gen_sf1.py
 sbt -batch compile
 
 echo "== Spark-side dumps at sf1 =="
