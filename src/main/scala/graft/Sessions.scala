@@ -48,6 +48,13 @@ object Sessions {
       "org.apache.spark.sql.execution.window",
       org.apache.logging.log4j.Level.ERROR)
 
+  /** Stable per-session-instance memo key (identity-based): session
+    * lifetime is the cache-invalidation granularity the library's
+    * per-JVM memos (q88 index build, q17/q18 gate probe) use — a fresh
+    * session re-probes, so on-disk data changes are picked up then. */
+  def sessionKey(spark: SparkSession): String =
+    java.lang.Integer.toHexString(System.identityHashCode(spark))
+
   /** The standard entrypoint session: hygiene + WARN log level with
     * the window-package warning scoped out. */
   def local(cpus: String): SparkSession = {

@@ -144,4 +144,40 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(got === expected)
     assert(got.map(_._1) === (0L to 9L).toSet, "all ten queries present")
   }
+
+  test("q54 overflow contract is self-enforcing; scale factor never reorders") {
+    // High-tf regime, synthesized through the scale factor rather than
+    // a petabyte corpus: the require() bound is maxTf * idfScale * N
+    // < 2^62, so an idfScale near Long range puts this corpus in
+    // exactly the regime a tf ~ 10^12 corpus would hit at 10^6.
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.tfidfTopTerms(spark, sfDir, 3, Long.MaxValue / 1024)
+    }
+    assert(ex.getMessage.contains("overflow"))
+    assert(ex.getMessage.contains("idfScale"), "mitigation must be named")
+    // A safe smaller factor keeps the per-doc term ORDER identical
+    // (idf = (scale*N) div df is monotone in 1/df for any constant
+    // factor) — the contract that lets an operator shrink the factor
+    // at scale without disturbing downstream consumers.
+    def ranks(scale: Long) =
+      Similarity.tfidfTopTerms(spark, sfDir, 3, scale).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term"),
+          r.getAs[Int]("term_rank"))).toSet
+    assert(ranks(1000L) === ranks(1000000L))
+  }
+
+  test("q17/q18 gate discovery is memoized per (session, dir)") {
+    val key = (graft.Sessions.sessionKey(spark), sfDir, 4096)
+    Similarity.gateMemo.remove(key)
+    val first = Similarity.q17CosineTopK(spark, sfDir).collect()
+    assert(Similarity.gateMemo.containsKey(key), "gate probe cached")
+    val cached = Similarity.gateMemo.get(key)
+    // q18 shares the gate: same session+dir must reuse the same probe
+    // object, not re-run the discovery aggregates
+    Similarity.q18WeightedRecs(spark, sfDir).count()
+    assert(Similarity.gateMemo.get(key) eq cached,
+      "q18 reused q17's cached gate probe")
+    val second = Similarity.q17CosineTopK(spark, sfDir).collect()
+    assert(first.map(_.toString).toSet === second.map(_.toString).toSet)
+  }
 }
