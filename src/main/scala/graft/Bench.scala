@@ -1,5 +1,6 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, map_entries, xxhash64}
 
 /** Benchmark main: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and emits one JSON line of per-query seconds.
@@ -12,22 +13,70 @@ import org.apache.spark.sql.SparkSession
   * that throws is reported with "failed":[names] and a non-zero exit —
   * never silently counted as a healthy time.
   *
-  * Protocol caveat, recorded for honest cross-query comparison: the
-  * timed action is count(), so Catalyst prunes output columns that
-  * nothing downstream consumes. Queries ending in aggregates, joins,
-  * windows, or filters (the overwhelming majority) compute everything
-  * count() needs; a few pure per-row projections (e.g. q27's quality
-  * score) are measured as scan+count only — their full computation IS
-  * exercised wherever a downstream query consumes them (q94 consumes
-  * q27) and in Verify, which materializes every output column to
-  * parquet for the DuckDB gate. Keeping count() preserves
-  * comparability with every prior round's record. */
+  * TWO timed actions per query, side by side in bench.json:
+  *  - `median` (with min/max rep spread): count() — the action every
+  *    prior round recorded, kept for cross-round comparability.
+  *    Caveat: Catalyst prunes output columns nothing downstream
+  *    consumes, so a few pure per-row projections (e.g. q27's quality
+  *    score) are measured as scan+count under this action.
+  *  - `full_median`: a full-width consumer — bit_xor(xxhash64(every
+  *    output column)) — that forces all output columns to
+  *    materialize, closing the pruning blind spot; the hash aggregate
+  *    is codegen'd and map-side-combined, so the added cost beyond
+  *    the query itself is one hash per row.
+  *    SPARK_GRAFT_BENCH_FULL_REPS reps (default 1).
+  *
+  * Per-probe normalization: the retrieval family's probe set scales
+  * with the corpus BY BENCHMARK CONSTRUCTION (the every-50th-id
+  * convention), so raw wall across scale factors conflates kernel
+  * scaling with benchmark-contract scaling. For that family bench.json
+  * also records `probes` (counted from the same table the query
+  * probes) and `ms_per_probe` = median×1000/probes — the kernel
+  * readout to compare across sf0.1/sf1/sf10. */
 object Bench {
+
+  /** Probe-set cardinality per retrieval query: the every-50th-id
+    * convention on the table each query probes (documents for the
+    * text-cosine family, embeddings for the vector-ANN family).
+    * Counted, not assumed, so a corpus with a different id layout
+    * records its true divisor. */
+  private val probeCounters: Map[String, (SparkSession, String) => Long] = {
+    val docProbes = (s: SparkSession, dir: String) =>
+      graft.sources.Tables.documents(s, dir)
+        .filter(col("doc_id") % 50 === 0).count()
+    val vecProbes = (s: SparkSession, dir: String) =>
+      graft.sources.Tables.embeddings(s, dir)
+        .filter(col("vec_id") % 50 === 0).count()
+    Map(
+      "q17_cosine_topk" -> docProbes, "q18_weighted_recs" -> docProbes,
+      "q24_ann_bruteforce" -> vecProbes, "q25_ann_lsh" -> vecProbes,
+      "q45_ann_ivf" -> vecProbes, "q82_pq_ann" -> vecProbes,
+      "q88_ivfpq_probe" -> vecProbes)
+  }
+
+  /** Full-width consumer: fold every output column into one hash
+    * aggregate so nothing is prunable. bit_xor folds without the
+    * int64 overflow a sum of hash values hits under ANSI mode; map
+    * columns go through map_entries (hash expressions reject raw
+    * MapType). */
+  private def consumeAll(df: DataFrame): Unit = {
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case _: org.apache.spark.sql.types.MapType => map_entries(col(f.name))
+        case _ => col(f.name)
+      }
+    }
+    df.select(xxhash64(cols.toIndexedSeq: _*).as("h"))
+      .agg(expr("bit_xor(h)")).collect()
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val fullReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL_REPS", "1").toInt
     val spark = Sessions.local(cpus)
 
     // warmup: exercise scan + shuffle + window codegen paths once
@@ -62,6 +111,14 @@ object Bench {
         try { graft.sources.IvfIndex.ensureQ88Built(spark, sfDir); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
       } else 0.0
+    // probe divisors counted up front (cheap filtered counts) so the
+    // timing loop stays pure
+    val probeCounts: Map[String, Long] = probeCounters.collect {
+      case (name, cnt) if selected.contains(name) =>
+        name -> (try cnt(spark, sfDir) catch { case _: Throwable => -1L })
+    }
+    case class R(name: String, median: Double, min: Double, max: Double,
+      fullMedian: Double, ok: Boolean)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -71,34 +128,52 @@ object Bench {
                    false }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
+      val fullRuns = (1 to fullReps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { consumeAll(fn(spark, sfDir)); true }
+                 catch { case e: Throwable =>
+                   System.err.println(s"BENCH FULL FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
+                   false }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
       val sorted = runs.map(_._1).sorted
-      val median = sorted(sorted.length / 2)
-      (name, median, sorted.head, sorted.last, runs.forall(_._2))
+      val fullSorted = fullRuns.map(_._1).sorted
+      R(name, sorted(sorted.length / 2), sorted.head, sorted.last,
+        fullSorted(fullSorted.length / 2),
+        runs.forall(_._2) && fullRuns.forall(_._2))
     }
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    // stdout gets ONLY the fixed-size summary object (~140 B): the
+    // stdout gets ONLY the fixed-size summary object (~170 B): the
     // per-query map grew past the driver's ~2.26 KB stdout tail buffer
     // at 99 queries (rounds 5 AND 6 arrived truncated, parsed:null) and
     // will only keep growing. The full per-query detail — median plus
-    // the min/max rep spread, so a load-inflated run is self-diagnosing
-    // — lives exclusively in bench.json.
-    val failed = results.filterNot(_._5).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    // the min/max rep spread, full_median, and the probe divisors —
+    // lives exclusively in bench.json.
+    val failed = results.filterNot(_.ok).map("\"" + _.name + "\"").mkString("[", ",", "]")
     val skipped = skip.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    val total = results.map(_.median).sum
+    val fullTotal = results.map(_.fullMedian).sum
     val summary =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"reps":$reps,"sf":"$sfDir","n_queries":${results.length},"build_sec":${fmt(buildSec)},"skipped":$skipped}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"reps":$reps,"sf":"$sfDir","n_queries":${results.length},"build_sec":${fmt(buildSec)},"skipped":$skipped,"full_total":${fmt(fullTotal)}}"""
     println(summary)
     // raw copy on stderr too: sbt prefixes stdout with "[info] ", which
     // breaks line-oriented parsers; stderr passes through un-prefixed
     System.err.println(summary)
-    val qs = results.map { case (k, med, min, max, _) =>
-      "\"" + k + "\":{\"median\":" + fmt(med) + ",\"min\":" + fmt(min) + ",\"max\":" + fmt(max) + "}"
+    val qs = results.map { r =>
+      val probeFields = probeCounts.get(r.name) match {
+        case Some(p) if p > 0 =>
+          s""","probes":$p,"ms_per_probe":${fmt(r.median * 1000.0 / p)}"""
+        case _ => ""
+      }
+      "\"" + r.name + "\":{\"median\":" + fmt(r.median) +
+        ",\"min\":" + fmt(r.min) + ",\"max\":" + fmt(r.max) +
+        ",\"full_median\":" + fmt(r.fullMedian) + probeFields + "}"
     }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"sf":"$sfDir","n_queries":${results.length},"build_sec":${fmt(buildSec)},"skipped":$skipped}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"sf":"$sfDir","n_queries":${results.length},"build_sec":${fmt(buildSec)},"skipped":$skipped,"full_total":${fmt(fullTotal)},"full_reps":$fullReps}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (full + "\n").getBytes("UTF-8"))
     spark.stop()
-    if (results.exists(!_._5)) sys.exit(1)
+    if (results.exists(!_.ok)) sys.exit(1)
   }
 }
