@@ -2,18 +2,35 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * SPARK_GRAFT_VERIFY_SKIP (comma list) exists for the scale-step
+  * gates, which exclude the documented quadratic-by-construction
+  * baselines exactly as the scale bench does. NEVER silent: the list
+  * is echoed and written to outDir/skipped.json so the downstream
+  * checker records each name as deliberately-skipped rather than
+  * missing. */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val skip = sys.env.get("SPARK_GRAFT_VERIFY_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     val spark = Sessions.local(cpus)
     new java.io.File(outDir).mkdirs()
+    if (skip.nonEmpty)
+      System.err.println(s"[verify] SKIPPING (documented scale-step " +
+        s"exclusions): ${skip.toSeq.sorted.mkString(",")}")
+    Files.writeString(Paths.get(s"$outDir/skipped.json"),
+      skip.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]"))
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      if (!skip(name)) {
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

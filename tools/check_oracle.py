@@ -37,6 +37,18 @@ if len(sys.argv) > 3 and sys.argv[3] != "-":
 json_out = sys.argv[4] if len(sys.argv) > 4 else None
 record = {}
 
+# optional deliberate-skip list (argv[5]: path to a JSON array, the
+# Verify skipped.json): queries the scale-step gate excludes BY
+# DOCUMENTED POLICY (quadratic-by-construction baselines, oracle
+# replays impractical at the scale). Recorded as skipped_at_scale, not
+# counted as failures, never silent.
+skipped_at_scale = set()
+if len(sys.argv) > 5 and sys.argv[5] != "-":
+    skipped_at_scale = set(json.load(open(sys.argv[5])))
+    unknown = skipped_at_scale - set(oracle)
+    assert not unknown, f"skip list names unknown queries: {unknown}"
+    print(f"[skipped_at_scale] {sorted(skipped_at_scale)}")
+
 def canon(df):
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -51,6 +63,9 @@ for name, sql in sorted(oracle.items()):
                     "hash_match": False, "spark_rows": None,
                     "oracle_rows": None, "oracle_sec": None,
                     "overridden": name in overridden, "err": None}
+    if name in skipped_at_scale:
+        print(f"{name}: SKIPPED (documented scale-step exclusion)")
+        record[name]["err"] = "skipped_at_scale"; continue
     spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
     if not spark_files:
         print(f"{name}: NO SPARK OUTPUT"); fails += 1
@@ -110,7 +125,9 @@ for name, sql in sorted(oracle.items()):
     else:
         record[name]["err"] = "value_mismatch"
         fails += 1
-print(f"\n{len(oracle)-fails}/{len(oracle)} matched")
+n_skip = len(skipped_at_scale)
+print(f"\n{len(oracle)-fails-n_skip}/{len(oracle)-n_skip} matched"
+      + (f" ({n_skip} skipped_at_scale)" if n_skip else ""))
 if json_out:
     json.dump(record, open(json_out, "w"), indent=1)
     print(f"record -> {json_out}")

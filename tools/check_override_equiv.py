@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Prove each sf1 oracle OVERRIDE result-identical to its COMMITTED
+oracle, inside DuckDB, at every scale factor where both still
+terminate (default: sf0.01 AND sf0.1 — one order of magnitude from the
+driver's gate, one from where the overrides are actually used).
+
+The overrides (tools/make_sf1_overrides.py) carry written semantic-
+equality arguments; this script is the executable counterpart: run
+committed and override SQL over the SAME tables and assert the
+canonicalized results are identical, value by value. Exact comparison,
+no tolerance — the override contract is bit-identity, not closeness.
+
+Usage:
+  check_override_equiv.py <oracle_sql.json> [sf_dir ...]
+    oracle_sql.json  a Verify dump's committed oracle map (the SQL is
+                     scale-independent; any Verify outDir's copy works)
+    sf_dir           table dirs to prove at (default /root/testdata/sf0.01
+                     and /root/testdata/sf0.1)
+"""
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def same(a, b):
+    """Exact equality with NaN==NaN for float columns."""
+    if list(a.columns) != list(b.columns) or len(a) != len(b):
+        return False
+    for c in a.columns:
+        if np.issubdtype(a[c].dtype, np.floating) or \
+           np.issubdtype(b[c].dtype, np.floating):
+            af = pd.to_numeric(a[c], errors="coerce").values.astype(float)
+            bf = pd.to_numeric(b[c], errors="coerce").values.astype(float)
+            if not ((np.isnan(af) & np.isnan(bf)) | (af == bf)).all():
+                return False
+        else:
+            if not (a[c].astype(str).values == b[c].astype(str).values).all():
+                return False
+    return True
+
+
+def main():
+    oracle_path = sys.argv[1]
+    sf_dirs = sys.argv[2:] or ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+    oracle = json.load(open(oracle_path))
+    with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as f:
+        ov_path = f.name
+    subprocess.check_call([sys.executable,
+                           os.path.join(os.path.dirname(__file__),
+                                        "make_sf1_overrides.py"),
+                           oracle_path, ov_path])
+    overrides = json.load(open(ov_path))
+    os.unlink(ov_path)
+
+    fails = 0
+    for sf_dir in sf_dirs:
+        con = duckdb.connect()
+        for t in TABLES:
+            path = f"{sf_dir}/{t}.parquet"
+            src = f"{path}/*.parquet" if os.path.isdir(path) else path
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+        print(f"== {sf_dir} ==")
+        for name in sorted(overrides):
+            import time
+            t0 = time.time()
+            committed = canon(con.sql(oracle[name]).df())
+            t1 = time.time()
+            rewritten = canon(con.sql(overrides[name]).df())
+            t2 = time.time()
+            if same(committed, rewritten):
+                print(f"{name}: IDENTICAL ({len(committed)} rows; "
+                      f"committed {t1-t0:.1f}s, override {t2-t1:.1f}s)")
+            else:
+                print(f"{name}: MISMATCH committed={len(committed)} rows "
+                      f"override={len(rewritten)} rows")
+                fails += 1
+        con.close()
+    print(f"\n{'FAIL' if fails else 'OK'}: {fails} mismatches across "
+          f"{len(sf_dirs)} scale factors x {len(overrides)} overrides")
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
