@@ -21,15 +21,33 @@ object Sketches {
   val Depth = 4
   val Width = 512
 
-  /** The d hash rows for one key: row i buckets by
-    * mix32(key + i·1000003) mod w. Seed-by-addition keeps every row's
-    * input in the masked 32-bit domain, and the mix rounds decorrelate
-    * the rows (a multiplicative-only hash would bucket row i as a
-    * fixed permutation of row 0). */
-  private def rowBuckets(key: Column): Column = array(
-    (0 until Depth).map(i => struct(
-      lit(i).as("r"),
-      (Exprs.mix32(key + lit(i.toLong * 1000003L)) % Width).as("bucket"))): _*)
+  /** Hash row i for one key: bucket by mix32(key + i·1000003) mod w.
+    * Seed-by-addition keeps every row's input in the masked 32-bit
+    * domain, and the mix rounds decorrelate the rows (a
+    * multiplicative-only hash would bucket row i as a fixed
+    * permutation of row 0). */
+  private def bucketCol(key: Column, i: Int): Column =
+    Exprs.mix32(key + lit(i.toLong * 1000003L)) % Width
+
+  /** The d buckets, PROJECTED FLAT before the explode. The original
+    * form exploded array(struct(i, bucket_i)...) directly: mix32's
+    * expression tree textually duplicates its mulMod32 subtree at
+    * every round, and inside a Generate those giant generator
+    * expressions evaluate WITHOUT whole-stage codegen's subexpression
+    * reuse — measured 10.4 s for a 600 k-row sketch build where this
+    * form (each bucket evaluated ONCE in a codegen'd Project under
+    * the Generate, which then explodes four plain column refs) takes
+    * 0.7 s. CollapseProject does not inline a Project under a
+    * Generate, so the let-binding holds — the same trap class as the
+    * round-1 HOF-loop inlining, one level down. */
+  private def flatBuckets(df: DataFrame, key: Column,
+      carry: Seq[String]): DataFrame =
+    df.select(
+      carry.map(col) ++ (0 until Depth).map(i => bucketCol(key, i).as(s"_cm_b$i")): _*)
+      .select(
+        carry.map(col) :+ posexplode(
+          array((0 until Depth).map(i => col(s"_cm_b$i")): _*))
+          .as(Seq("r", "bucket")): _*)
 
   /** The sketch itself: d×w counter cells from one pass over the
     * keys. One explode(×d) + one map-side-combinable groupBy — each
@@ -39,8 +57,7 @@ object Sketches {
     * sketches combine by cell-wise addition, exactly what partial
     * aggregation does. */
   def countMinSketch(keys: DataFrame, key: Column): DataFrame =
-    keys.select(explode(rowBuckets(key)).as("rb"))
-      .select(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+    flatBuckets(keys, key, Seq.empty)
       .groupBy(col("r"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
@@ -48,8 +65,7 @@ object Sketches {
     * sketch: min over the d cells the key hashes to. Empty cells
     * count 0 (the left join's null). */
   def countMinEstimate(sketch: DataFrame, probes: DataFrame): DataFrame =
-    probes.select(col("key"), explode(rowBuckets(col("key"))).as("rb"))
-      .select(col("key"), col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+    flatBuckets(probes, col("key"), Seq("key"))
       .join(sketch, Seq("r", "bucket"), "left")
       .groupBy(col("key"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_estimate"))

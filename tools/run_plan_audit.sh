@@ -1,0 +1,32 @@
+#!/usr/bin/env bash
+# Plans-at-scale audit: dump the formatted plans of the heaviest
+# queries and assert the runtime branch gates (q17 adaptive cosine,
+# q87 adjacency broadcast) chose the DOCUMENTED branch in BOTH
+# regimes: sf0.1 (dense + broadcast) and sf10 (postings + shuffle).
+# Committed artifacts: PLANS_SF01.md, PLANS_SF10.md.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+CPUS=${SPARK_GRAFT_CPUS:-16}
+CP="target/scala-2.13/classes:/opt/spark/jars/*"
+JOPTS=$(for p in java.lang java.lang.invoke java.lang.reflect java.io \
+    java.net java.nio java.util java.util.concurrent \
+    java.util.concurrent.atomic; do
+  printf -- "--add-opens=java.base/%s=ALL-UNNAMED " "$p"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  printf -- "--add-opens=java.base/%s=ALL-UNNAMED " "$p"
+done)
+
+sbt -batch compile
+
+echo "== plan audit at sf0.1 (documented: dense + broadcast) =="
+SPARK_GRAFT_CPUS=$CPUS java $JOPTS -Xmx16g -cp "$CP" \
+  graft.GateAudit /root/testdata/sf0.1 PLANS_SF01.md dense broadcast
+
+echo "== plan audit at sf10 (documented: postings + shuffle) =="
+[ -f testdata/sf10/_GRAFT_COMPLETE ] || python3 tools/gen_sf1.py /root/testdata/sf0.1 testdata/sf10 100
+SPARK_GRAFT_CPUS=$CPUS java $JOPTS -Xmx${SPARK_GRAFT_XMX:-48g} -cp "$CP" \
+  graft.GateAudit "$PWD/testdata/sf10" PLANS_SF10.md postings shuffle
+
+echo "plan audit complete: PLANS_SF01.md PLANS_SF10.md"
