@@ -62,9 +62,21 @@ object StreamSessionize {
     }
 
     cur.foreach { s =>
-      state.update(s)
-      // close the session once the event-time watermark passes last+gap
-      state.setTimeoutTimestamp(s.last + GapMs)
+      if (s.last + GapMs <= state.getCurrentWatermarkMs()) {
+        // A single micro-batch can span hours of EVENT time (backfill,
+        // catch-up, a bursty file feed), so the batch-end watermark may
+        // already be past this session's close point — and setting a
+        // timeout earlier than the watermark throws by contract. The
+        // session is closed by definition; emit it now instead of
+        // parking it one more batch.
+        out ::= SessionOut(userId, new Timestamp(s.start), s.last - s.start,
+          s.hits, s.hits == 1)
+        state.remove()
+      } else {
+        state.update(s)
+        // close the session once the event-time watermark passes last+gap
+        state.setTimeoutTimestamp(s.last + GapMs)
+      }
     }
     out.reverseIterator
   }

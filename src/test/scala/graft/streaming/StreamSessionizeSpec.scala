@@ -89,6 +89,38 @@ class StreamSessionizeSpec extends AnyFunSuite with SparkFixture {
       assert(spark.sql("SELECT * FROM win_out").count() >= 0)
     } finally query.stop()
   }
+
+  test("a micro-batch spanning hours of event time closes old sessions immediately") {
+    // Regression: one batch whose max event time puts the watermark
+    // past an in-batch session's close point used to park that session
+    // via setTimeoutTimestamp(past) — which THROWS by the GroupState
+    // contract (surfaced by the sf1 file feed, where AvailableNow
+    // batches span days of event time). The session must be emitted in
+    // the same batch instead.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessions_span")
+      .outputMode("append").start()
+    try {
+      // batch 1 establishes a watermark near ts(0)
+      input.addData(Event(1L, 1L, ts(0)))
+      query.processAllAvailable()
+      // batch 2 spans 6 h: user 9's session sits 5.5 h before the
+      // batch max, so the new watermark (max - 10 min) is far past
+      // its last+gap when state is updated at batch end
+      input.addData(
+        Event(9L, 2L, ts(600)), Event(9L, 3L, ts(900)),
+        Event(2L, 4L, ts(6 * 3600)))
+      query.processAllAvailable()
+      val out = spark.sql("SELECT * FROM sessions_span").as[SessionOut].collect()
+      val u9 = out.filter(_.user_id == 9L)
+      assert(u9.length === 1, s"user 9 session must close in-batch, got ${out.toSeq}")
+      assert(u9(0).duration_ms === 300000L)
+      assert(u9(0).hit_depth === 2L)
+    } finally query.stop()
+  }
 }
 
 /** Minimal GroupState stub for unit-testing the update function. */
