@@ -10,6 +10,14 @@ committed and override SQL over the SAME tables and assert the
 canonicalized results are identical, value by value. Exact comparison,
 no tolerance — the override contract is bit-identity, not closeness.
 
+Each committed-form replay runs under a PER-QUERY wall timeout
+(OVERRIDE_EQUIV_TIMEOUT seconds, default 600): the committed forms are
+deliberately naive (that is their value as independent checks), and
+some are super-polynomially slow outside the driver's sf0.01 — e.g.
+the q88 composed replay's inlined CTE chain. A timeout is reported as
+TIMEOUT (proof for that query stays at the smaller sf), not a failure;
+a MISMATCH is always fatal.
+
 Usage:
   check_override_equiv.py <oracle_sql.json> [sf_dir ...]
     oracle_sql.json  a Verify dump's committed oracle map (the SQL is
@@ -22,10 +30,28 @@ import os
 import subprocess
 import sys
 import tempfile
+import threading
 
 import duckdb
 import numpy as np
 import pandas as pd
+
+TIMEOUT = int(os.environ.get("OVERRIDE_EQUIV_TIMEOUT", "600"))
+
+
+def run_with_timeout(con, sql, seconds):
+    """Run sql; on timeout interrupt the connection and raise."""
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(seconds):
+            con.interrupt()
+    t = threading.Thread(target=watchdog, daemon=True)
+    t.start()
+    try:
+        return con.sql(sql).df()
+    finally:
+        done.set()
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -69,30 +95,42 @@ def main():
     overrides = json.load(open(ov_path))
     os.unlink(ov_path)
 
-    fails = 0
+    fails, timeouts = 0, 0
     for sf_dir in sf_dirs:
-        con = duckdb.connect()
-        for t in TABLES:
-            path = f"{sf_dir}/{t}.parquet"
-            src = f"{path}/*.parquet" if os.path.isdir(path) else path
-            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
-        print(f"== {sf_dir} ==")
+        print(f"== {sf_dir} ==", flush=True)
         for name in sorted(overrides):
+            # fresh connection per query: an interrupted (timed-out)
+            # connection is not reliably reusable
+            con = duckdb.connect()
+            for t in TABLES:
+                path = f"{sf_dir}/{t}.parquet"
+                src = f"{path}/*.parquet" if os.path.isdir(path) else path
+                con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
             import time
             t0 = time.time()
-            committed = canon(con.sql(oracle[name]).df())
+            try:
+                committed = canon(run_with_timeout(con, oracle[name], TIMEOUT))
+            except Exception as e:
+                print(f"{name}: TIMEOUT/ERROR on committed form after "
+                      f"{time.time()-t0:.0f}s ({type(e).__name__}) — proof "
+                      f"for this query stays at the smaller sf", flush=True)
+                timeouts += 1
+                con.close()
+                continue
             t1 = time.time()
-            rewritten = canon(con.sql(overrides[name]).df())
+            rewritten = canon(run_with_timeout(con, overrides[name], TIMEOUT))
             t2 = time.time()
             if same(committed, rewritten):
                 print(f"{name}: IDENTICAL ({len(committed)} rows; "
-                      f"committed {t1-t0:.1f}s, override {t2-t1:.1f}s)")
+                      f"committed {t1-t0:.1f}s, override {t2-t1:.1f}s)",
+                      flush=True)
             else:
                 print(f"{name}: MISMATCH committed={len(committed)} rows "
-                      f"override={len(rewritten)} rows")
+                      f"override={len(rewritten)} rows", flush=True)
                 fails += 1
-        con.close()
-    print(f"\n{'FAIL' if fails else 'OK'}: {fails} mismatches across "
+            con.close()
+    print(f"\n{'FAIL' if fails else 'OK'}: {fails} mismatches, "
+          f"{timeouts} committed-form timeouts across "
           f"{len(sf_dirs)} scale factors x {len(overrides)} overrides")
     sys.exit(1 if fails else 0)
 
