@@ -10,14 +10,21 @@ import numpy as np
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 
-con = duckdb.connect()
-for t in ["region","nation","customer","supplier","part","orders","lineitem",
-          "events","documents","embeddings"]:
-    # a table may be a single file (driver layout) or a directory of
-    # part files (the sf1 generator's multi-split layout)
-    path = f"{sf_dir}/{t}.parquet"
-    src = f"{path}/*.parquet" if os.path.isdir(path) else path
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+def connect():
+    """Fresh connection with the table views. One connection per QUERY
+    (see the loop): at large scale a single failing replay (disk-full
+    spill, OOM) poisons the connection's temp/memory state and cascades
+    spurious failures into every later query — the r8 sf10 gate lost
+    five healthy replays to one q82 disk-full that way."""
+    c = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        # a table may be a single file (driver layout) or a directory of
+        # part files (the sf1 generator's multi-split layout)
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+    return c
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 # optional overrides (argv[3], "-" to skip): semantically-equal oracle
@@ -33,9 +40,18 @@ if len(sys.argv) > 3 and sys.argv[3] != "-":
     overridden = set(overrides)
     print(f"[overrides] {sorted(overrides)}")
 # optional JSON artifact (argv[4]): per-query record in the driver's
-# CORRECTNESS_r{N}.json shape, for committing scale-step gate results
+# CORRECTNESS_r{N}.json shape, for committing scale-step gate results.
+# If the artifact already exists and CHECK_ORACLE_ONLY names a comma-
+# separated query subset, only that subset re-runs and the rest of the
+# record carries over — for amending a single environment-failed entry
+# without paying the full multi-hour replay again.
 json_out = sys.argv[4] if len(sys.argv) > 4 else None
+only = {s for s in os.environ.get("CHECK_ORACLE_ONLY", "").split(",") if s}
 record = {}
+if only and json_out and os.path.exists(json_out):
+    record = json.load(open(json_out))
+    print(f"[only] re-running {sorted(only)}; carrying "
+          f"{len(record) - len(only)} prior entries")
 
 # optional deliberate-skip list (argv[5]: path to a JSON array, the
 # Verify skipped.json): queries the scale-step gate excludes BY
@@ -59,6 +75,8 @@ def canon(df):
 fails = 0
 for name, sql in sorted(oracle.items()):
     import time as _time
+    if only and name not in only:
+        continue
     record[name] = {"rows_match": False, "schema_match": False,
                     "hash_match": False, "spark_rows": None,
                     "oracle_rows": None, "oracle_sec": None,
@@ -72,6 +90,7 @@ for name, sql in sorted(oracle.items()):
         record[name]["err"] = "no_spark_output"; continue
     sdf = pd.concat([pd.read_parquet(f) for f in spark_files])
     record[name]["spark_rows"] = len(sdf)
+    con = connect()
     try:
         _t0 = _time.time()
         odf = con.sql(sql).df()
@@ -80,6 +99,8 @@ for name, sql in sorted(oracle.items()):
     except Exception as e:
         print(f"{name}: ORACLE SQL ERROR: {e}"); fails += 1
         record[name]["err"] = f"oracle_sql_error: {e}"; continue
+    finally:
+        con.close()
     s, o = canon(sdf), canon(odf)
     if list(s.columns) != list(o.columns):
         print(f"{name}: COLUMN MISMATCH spark={list(s.columns)} oracle={list(o.columns)}")
