@@ -9,7 +9,12 @@ import java.nio.file.{Files, Paths}
   * baselines exactly as the scale bench does. NEVER silent: the list
   * is echoed and written to outDir/skipped.json so the downstream
   * checker records each name as deliberately-skipped rather than
-  * missing. */
+  * missing.
+  *
+  * SPARK_GRAFT_VERIFY_ONLY (comma list) is the builder's inner-loop
+  * twin of the bench's ONLY knob: dump just the named queries (paired
+  * with check_oracle.py's CHECK_ORACLE_ONLY for a single-query gate
+  * while iterating). The full driver gate never sets it. */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
@@ -17,6 +22,8 @@ object Verify {
     val skip = sys.env.get("SPARK_GRAFT_VERIFY_SKIP")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = Sessions.local(cpus)
     new java.io.File(outDir).mkdirs()
     if (skip.nonEmpty)
@@ -25,7 +32,7 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/skipped.json"),
       skip.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]"))
     SparkEntry.queries.foreach { case (name, fn) =>
-      if (!skip(name)) {
+      if (!skip(name) && only.forall(_.contains(name))) {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>

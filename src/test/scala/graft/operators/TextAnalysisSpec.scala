@@ -262,6 +262,17 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q86/q89 share one memoized BPE training per (session, dir)") {
+    val key = (graft.Sessions.sessionKey(spark), sfDir, 5)
+    TextAnalysis.mergeMemo.remove(key)
+    TextAnalysis.q86Bpe(spark, sfDir).collect()
+    assert(TextAnalysis.mergeMemo.containsKey(key), "merge log cached")
+    val cached = TextAnalysis.mergeMemo.get(key)
+    TextAnalysis.q89BpeApply(spark, sfDir).count()
+    assert(TextAnalysis.mergeMemo.get(key) eq cached,
+      "q89 reused q86's cached merge log")
+  }
+
   test("q95: batch novelty matches a local shingle-set replay") {
     def tri(text: String): Set[String] = {
       val w = text.split(" ", -1)
