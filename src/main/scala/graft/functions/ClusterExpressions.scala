@@ -200,6 +200,26 @@ object ClusterKernels {
       java.util.Arrays.copyOf(buf, k))
   }
 
+  /** Int variant of sortedLongIntersect, for the narrow-id adjacency
+    * encoding (q87): when every node id fits in 32 bits the adjacency
+    * arrays — the dominant shuffle/broadcast volume of the triangle
+    * join, sum-of-squared-higher-degrees entries in total — carry half
+    * the bytes, and the merge compares ints. */
+  def sortedIntIntersect(a: ArrayData, b: ArrayData): ArrayData = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val buf = new Array[Int](math.min(na, nb))
+    var i = 0; var j = 0; var k = 0
+    while (i < na && j < nb) {
+      val x = a.getInt(i); val y = b.getInt(j)
+      if (x == y) { buf(k) = x; k += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(buf, k))
+  }
+
   /** Exact int64 squared distance between two quantized vectors —
     * the PQ rerank unit (and the ground truth ADC approximates). */
   def intSqDist(a: ArrayData, b: ArrayData): Long = {
@@ -354,6 +374,24 @@ case class SortedLongIntersect(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): SortedLongIntersect =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "sorted_long_intersect"
+}
+
+/** Intersection of two sorted int arrays — the narrow-id twin of
+  * SortedLongIntersect (half the bytes per adjacency entry; see
+  * ClusterKernels.sortedIntIntersect). */
+case class SortedIntIntersect(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ClusterKernels.sortedIntIntersect(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.ClusterKernels.sortedIntIntersect($a, $b);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntIntersect =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "sorted_int_intersect"
 }
 
 /** Exact int64 squared distance between two quantized vectors. */

@@ -245,7 +245,8 @@ object Graph {
     * equi-joins shuffle — the formulation that holds at any scale. */
   private[graft] def q87RankedPlan(
       spark: SparkSession, dir: String,
-      maxBroadcastEdges: Long = 16L * 1024 * 1024): (DataFrame, Seq[DataFrame]) = {
+      maxBroadcastEdges: Long = 16L * 1024 * 1024,
+      forceWideIds: Boolean = false): (DataFrame, Seq[DataFrame]) = {
     // edge-sized but skinny (2 longs/row); checkpointed because three
     // consumers (degree, orientation, and the final readout join)
     // would otherwise each re-derive the edge pipeline from the scan
@@ -264,9 +265,24 @@ object Graph {
         when(lowFirst, col("u")).otherwise(col("v")).as("s"),
         when(lowFirst, col("v")).otherwise(col("u")).as("d"))
       .localCheckpoint() // reused by the adjacency build + both joins
+    // NARROW-ID gate: the adjacency lists are the join's dominant
+    // shuffle/broadcast payload (sum-of-squared-higher-degrees entries
+    // in total — the algorithm's E^1.5 volume), so their element width
+    // is the one constant factor left to cut. When every node id fits
+    // in 32 bits — checked, not assumed, via a min/max over the
+    // node-sized deg frame — the lists carry ints (half the bytes,
+    // and the merge kernel compares ints); ids past 2^31 keep the
+    // int64 encoding. Both branches produce bit-identical credits
+    // (ids are exact either way; GraphSpec replays the wide branch
+    // against the narrow one on the same corpus).
+    val idBounds = deg.agg(min(col("node")).as("lo"), max(col("node")).as("hi")).head()
+    val narrowIds = !forceWideIds && !idBounds.isNullAt(0) &&
+      idBounds.getLong(0) >= Int.MinValue.toLong &&
+      idBounds.getLong(1) <= Int.MaxValue.toLong
     // node-sized rows; each list is <= ~sqrt(E) long (compact-forward)
     val adjHi = oriented.groupBy(col("s").as("node"))
-      .agg(sort_array(collect_list(col("d"))).as("nbrs"))
+      .agg(sort_array(collect_list(
+        if (narrowIds) col("d").cast("int") else col("d"))).as("nbrs"))
       .localCheckpoint() // reused by both endpoint joins
     import org.apache.spark.sql.graftbridge.Bridge.{column => exprCol, expression => exprOf}
     // edge count is free on the checkpointed frame; the gate decides
@@ -277,12 +293,16 @@ object Graph {
         col("nbrs").as(s"nbrs_$from"))
       if (bcast) broadcast(renamed) else renamed
     }
+    def intersect(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      if (narrowIds)
+        exprCol(graft.functions.SortedIntIntersect(exprOf(a), exprOf(b)))
+      else
+        exprCol(graft.functions.SortedLongIntersect(exprOf(a), exprOf(b)))
     val triEdges = oriented
       .join(side("s"), "s")
       .join(side("d"), "d")
       .select(col("s"), col("d"),
-        exprCol(graft.functions.SortedLongIntersect(
-          exprOf(col("nbrs_s")), exprOf(col("nbrs_d")))).as("common"))
+        intersect(col("nbrs_s"), col("nbrs_d")).as("common"))
       .filter(size(col("common")) > 0)
     // credit all three corners — s and d once per closing vertex, w
     // once — in a SINGLE pass: one struct array per edge, exploded.
@@ -294,7 +314,8 @@ object Graph {
         array(
           struct(col("s").as("node"), size(col("common")).cast("long").as("c")),
           struct(col("d").as("node"), size(col("common")).cast("long").as("c"))),
-        transform(col("common"), w => struct(w.as("node"), lit(1L).as("c")))))
+        transform(col("common"),
+          w => struct(w.cast("long").as("node"), lit(1L).as("c")))))
         .as("nc"))
       .select(col("nc.node").as("node"), col("nc.c").as("c"))
     // TakeOrdered (orderBy+limit), not a partition-less row_number

@@ -113,4 +113,21 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(got === expected)
     assert(got.nonEmpty)
   }
+
+  test("q87 narrow-id (int) and wide-id (long) adjacency branches agree") {
+    // the fixture's part keys fit in 32 bits, so the default plan takes
+    // the narrow branch; forcing the wide branch must yield the exact
+    // same ranked result (ids are exact in both encodings)
+    def ranked(forceWide: Boolean): Seq[(Long, Long, Long)] = {
+      val (df, cks) = Graph.q87RankedPlan(spark, sfDir, forceWideIds = forceWide)
+      val rows = df.collect().map(r => (r.getAs[Long]("part_key"),
+        r.getAs[Long]("triangles"), r.getAs[Long]("degree"))).toSeq
+      org.apache.spark.sql.graftbridge.Bridge.releaseCheckpoints(cks: _*)
+      rows
+    }
+    val narrow = ranked(forceWide = false)
+    val wide = ranked(forceWide = true)
+    assert(narrow === wide)
+    assert(narrow.nonEmpty)
+  }
 }
