@@ -452,4 +452,24 @@ class PropertySpec extends AnyFunSuite with graft.SparkFixture {
         s"a=${sa.mkString(",")} b=${sb.mkString(",")}")
     }
   }
+
+  test("sortedIntIntersect equals set intersection, incl. empty/negative/bounds") {
+    val gen = for {
+      a <- Gen.listOf(Gen.choose(-100, 100))
+      b <- Gen.listOf(Gen.choose(-100, 100))
+    } yield (a, b)
+    val edgeCases = Seq(
+      (Array.empty[Int], Array(1, 2, 3)),
+      (Array(1, 2, 3), Array.empty[Int]),
+      (Array(Int.MinValue, 0, Int.MaxValue), Array(Int.MinValue, Int.MaxValue)))
+    (samples(gen, 50).map { case (a, b) =>
+      (a.distinct.sorted.toArray, b.distinct.sorted.toArray)
+    } ++ edgeCases).foreach { case (sa, sb) =>
+      val got = ClusterKernels.sortedIntIntersect(
+        new GenericArrayData(sa), new GenericArrayData(sb)).toIntArray()
+      val expected = (sa.toSet & sb.toSet).toArray.sorted
+      assert(got.sameElements(expected),
+        s"a=${sa.mkString(",")} b=${sb.mkString(",")}")
+    }
+  }
 }
