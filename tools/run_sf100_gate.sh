@@ -1,0 +1,81 @@
+#!/usr/bin/env bash
+# 1000x scale step: generate sf100 (1000 x sf0.1, ~17 GB) and run
+#   1. a CORRECTNESS gate over the documented practical subset
+#      (CORRECTNESS_SF100.json) — DuckDB replays the oracle for every
+#      query whose replay stays tractable at 17 GB (79 of the 97
+#      oracle-backed queries; the rest are recorded skipped_at_scale,
+#      never silently), and
+#   2. a BENCH over the scale-story subset (BENCH_SF100.json) — the
+#      near-linear dedup/text/pipeline families plus the sublinear
+#      indexed-ANN pair and the iterative graph/learning family.
+#
+# Subset policy (same discipline as the sf10 gate, one more order):
+#   - ORACLE EXCLUDED, measured from sf10 oracle_sec x ~10 linear (or
+#     worse for iterative replays): q17/q18 (probe-set retrieval,
+#     ~38 s @ sf10 each), q21 (71 s), q22 (37 s), q25 (15 s hyperplane
+#     replay over 2M vectors), q32 (34 s iterative kmeans), q41 (77 s
+#     CC fixpoint), q45 (852 s), q53 (130 s iterative), q73 (74 s),
+#     q87 (97 s @ sf10 with ~E^1.5 growth), q88 (571 s), q96 (28 s
+#     power iteration); q82/q90 (filled the disk at sf10 already);
+#     q59 (the 80M-row dump/pandas compare, not the SQL, is the
+#     bottleneck); q24/q30 (quadratic by construction — also skipped
+#     on the Spark side, as at sf10). All remain oracle-proven at
+#     sf0.01/sf0.1/sf1 (and sf10 where gated).
+#   - BENCH subset: the families whose 1000x behavior is the claim
+#     under test — dedup (q20-q23, q41, q73, q90), text/LLM pipeline
+#     (q26-q29, q54, q63, q72, q74-q76, q79, q80, q83, q86, q89, q95,
+#     q97-q99), indexed ANN (q45, q88 — per-probe ms is the readout;
+#     the probe set itself scales 10x by contract), clustering/graph
+#     (q32, q53, q84), and a relational/CDC spine (q01, q06, q37,
+#     q49, q58, q59, q64, q94).
+#
+# Heap: ~80 GiB default (SPARK_GRAFT_XMX to override). Expect ~2 h
+# end-to-end on 32 cores: ~10 min generate, ~45 min Spark dump,
+# ~20 min DuckDB, ~40 min bench.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SF100=testdata/sf100
+OUT=${SF100_VERIFY_OUT:-/tmp/verify_sf100_gate}
+CPUS=${SPARK_GRAFT_CPUS:-32}
+CP="target/scala-2.13/classes:/opt/spark/jars/*"
+JOPTS=$(for p in java.lang java.lang.invoke java.lang.reflect java.io \
+    java.net java.nio java.util java.util.concurrent \
+    java.util.concurrent.atomic; do
+  printf -- "--add-opens=java.base/%s=ALL-UNNAMED " "$p"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  printf -- "--add-opens=java.base/%s=ALL-UNNAMED " "$p"
+done)
+
+GATE_ONLY=q01_agg_filter,q02_star_join,q03_topn_order,q04_window_topn,q05_distinct_agg,q06_sessionize,q07_trending,q08_url_normalize,q09_explode_conf,q10_dynamic_cube,q11_pivot,q12_calendar_window,q13_date_intervals,q14_threshold_monitor,q15_bin_histogram,q16_num_format,q19_feature_matrix,q20_dedup_exact,q23_ngram_jaccard,q26_lang_id,q27_quality_score,q28_token_count,q29_fingerprint,q31_multimodal_features,q33_json_extract,q34_timezone,q35_percentiles,q36_rollup,q37_running_window,q38_asof_join,q39_range_join,q40_hash_split,q43_stratified_sample,q44_contamination,q46_pii_redact,q47_repetition,q49_sequence_pack,q50_zorder,q51_kmv_distinct,q52_balanced_sample,q54_tfidf,q55_funnel,q56_retention,q57_vocab,q58_cdc_merge,q60_transitions,q61_anomaly,q62_bloom_prune,q63_boilerplate,q64_countmin,q65_session_paths,q66_gap_fill,q67_correlation,q68_experiment,q69_pacing,q70_refresh_select,q71_rfm,q72_corpus_rarity,q74_token_budget,q75_chunking,q76_mixture_report,q77_incremental_rollup,q78_session_funnel,q79_containment,q80_tokenize,q81_chisq_drift,q83_dup_span,q84_embed_stats,q85_snapshot_diff,q86_bpe,q89_bpe_apply,q91_skew_profile,q92_mixture_sample,q93_watermark_audit,q94_shard_manifest,q95_ngram_novelty,q97_bm25,q98_bigram_lm,q99_perceptron
+
+BENCH_ONLY=q01_agg_filter,q06_sessionize,q20_dedup_exact,q21_dedup_minhash,q22_dedup_simhash,q23_ngram_jaccard,q26_lang_id,q27_quality_score,q28_token_count,q29_fingerprint,q31_multimodal_features,q32_kmeans,q37_running_window,q41_dedup_pipeline,q45_ann_ivf,q49_sequence_pack,q53_pagerank,q54_tfidf,q58_cdc_merge,q59_scd2,q63_boilerplate,q64_countmin,q72_corpus_rarity,q73_incremental_dedup,q74_token_budget,q75_chunking,q76_mixture_report,q79_containment,q80_tokenize,q83_dup_span,q84_embed_stats,q86_bpe,q88_ivfpq_probe,q89_bpe_apply,q90_semantic_dedup,q94_shard_manifest,q95_ngram_novelty,q97_bm25,q98_bigram_lm,q99_perceptron
+
+[ -f "$SF100/_GRAFT_COMPLETE" ] || python3 tools/gen_sf1.py /root/testdata/sf0.1 "$SF100" 1000
+sbt -batch compile
+
+echo "== Spark-side dumps at sf100 (practical-oracle subset) =="
+SPARK_GRAFT_CPUS=$CPUS SPARK_GRAFT_VERIFY_ONLY=$GATE_ONLY \
+  java $JOPTS -Xmx${SPARK_GRAFT_XMX:-80g} -cp "$CP" graft.Verify "$PWD/$SF100" "$OUT"
+
+echo "== DuckDB oracle gate at sf100 =="
+python3 tools/make_sf1_overrides.py "$OUT/oracle_sql.json" "$OUT/sf100_overrides.json"
+# skipped_at_scale = every oracle-backed query NOT in the allow list
+python3 - "$OUT" "$GATE_ONLY" <<'EOF'
+import json, sys
+out, only = sys.argv[1], set(sys.argv[2].split(","))
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+json.dump(sorted(set(oracle) - only), open(f"{out}/gate_skips.json", "w"))
+EOF
+python3 tools/check_oracle.py "$SF100" "$OUT" "$OUT/sf100_overrides.json" \
+  CORRECTNESS_SF100.json "$OUT/gate_skips.json"
+
+echo "== Bench at sf100 (single rep, scale-story subset) =="
+SPARK_GRAFT_SF_DIR="$PWD/$SF100" SPARK_GRAFT_CPUS=$CPUS \
+  SPARK_GRAFT_BENCH_REPS=1 \
+  SPARK_GRAFT_BENCH_ONLY=$BENCH_ONLY \
+  SPARK_GRAFT_BENCH_OUT=BENCH_SF100.json \
+  java $JOPTS -Xmx${SPARK_GRAFT_XMX:-80g} -cp "$CP" graft.Bench
+
+echo "sf100 step complete: CORRECTNESS_SF100.json + BENCH_SF100.json"
