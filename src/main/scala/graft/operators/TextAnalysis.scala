@@ -164,12 +164,23 @@ object TextAnalysis {
     val dupWordFrac =
       lit(1.0) - size(array_distinct(col("w"))).cast("double") / nWords
     val tri = Dedup.shingles(3)
-    // top word share via a fold over the distinct words (docs are
-    // tens of words; the O(distinct * n) per-row fold beats a
-    // corpus-wide explode+groupBy+join at any scale)
+    // top word share via sort + one run-length pass: O(n log n) per row
+    // and zero nested array allocations (the previous distinct-fold was
+    // O(distinct * n) with a filter() alloc per distinct word — ~n² on
+    // prose, where most words are unique). Still beats a corpus-wide
+    // explode+groupBy+join at any scale: the whole computation stays
+    // inside one row's codegen. The max run of equal adjacent words in
+    // the sorted array IS the top word's occurrence count, so the value
+    // is bit-identical to the fold (and to the oracle's list_max form).
     val topWordFrac = expr(
-      """aggregate(array_distinct(w), 0,
-           (acc, x) -> greatest(acc, size(filter(w, y -> y = x))))""")
+      """aggregate(array_sort(w),
+           named_struct('prev', cast(null as string), 'run', 0, 'best', 0),
+           (acc, x) -> named_struct(
+             'prev', x,
+             'run',  CASE WHEN x = acc.prev THEN acc.run + 1 ELSE 1 END,
+             'best', greatest(acc.best,
+               CASE WHEN x = acc.prev THEN acc.run + 1 ELSE 1 END)),
+           acc -> acc.best)""")
       .cast("double") / nWords
     Tables.documents(spark, dir)
       .withColumn("w", w)

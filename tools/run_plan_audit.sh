@@ -8,7 +8,11 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 CPUS=${SPARK_GRAFT_CPUS:-16}
-CP="target/scala-2.13/classes:/opt/spark/jars/*"
+# Frozen-jar classpath: a long-running gate JVM loads classes lazily, so
+# running `sbt compile` mid-gate would swap class files under it. The jar
+# is written once by `sbt package` and untouched by later compiles.
+JAR=$(ls target/scala-2.13/*_2.13-*.jar 2>/dev/null | head -1)
+CP="$JAR:/opt/spark/jars/*"
 JOPTS=$(for p in java.lang java.lang.invoke java.lang.reflect java.io \
     java.net java.nio java.util java.util.concurrent \
     java.util.concurrent.atomic; do
@@ -18,7 +22,8 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   printf -- "--add-opens=java.base/%s=ALL-UNNAMED " "$p"
 done)
 
-sbt -batch compile
+sbt -batch package
+JAR=$(ls target/scala-2.13/*_2.13-*.jar | head -1); CP="$JAR:/opt/spark/jars/*"
 
 echo "== plan audit at sf0.1 (documented: dense + broadcast) =="
 SPARK_GRAFT_CPUS=$CPUS java $JOPTS -Xmx16g -cp "$CP" \

@@ -38,7 +38,11 @@ cd "$(dirname "$0")/.."
 SF100=testdata/sf100
 OUT=${SF100_VERIFY_OUT:-/tmp/verify_sf100_gate}
 CPUS=${SPARK_GRAFT_CPUS:-32}
-CP="target/scala-2.13/classes:/opt/spark/jars/*"
+# Frozen-jar classpath: a long-running gate JVM loads classes lazily, so
+# running `sbt compile` mid-gate would swap class files under it. The jar
+# is written once by `sbt package` and untouched by later compiles.
+JAR=$(ls target/scala-2.13/*_2.13-*.jar 2>/dev/null | head -1)
+CP="$JAR:/opt/spark/jars/*"
 JOPTS=$(for p in java.lang java.lang.invoke java.lang.reflect java.io \
     java.net java.nio java.util java.util.concurrent \
     java.util.concurrent.atomic; do
@@ -53,7 +57,8 @@ GATE_ONLY=q01_agg_filter,q02_star_join,q03_topn_order,q04_window_topn,q05_distin
 BENCH_ONLY=q01_agg_filter,q06_sessionize,q20_dedup_exact,q21_dedup_minhash,q22_dedup_simhash,q23_ngram_jaccard,q26_lang_id,q27_quality_score,q28_token_count,q29_fingerprint,q31_multimodal_features,q32_kmeans,q37_running_window,q41_dedup_pipeline,q45_ann_ivf,q49_sequence_pack,q53_pagerank,q54_tfidf,q58_cdc_merge,q59_scd2,q63_boilerplate,q64_countmin,q72_corpus_rarity,q73_incremental_dedup,q74_token_budget,q75_chunking,q76_mixture_report,q79_containment,q80_tokenize,q83_dup_span,q84_embed_stats,q86_bpe,q88_ivfpq_probe,q89_bpe_apply,q90_semantic_dedup,q94_shard_manifest,q95_ngram_novelty,q97_bm25,q98_bigram_lm,q99_perceptron
 
 [ -f "$SF100/_GRAFT_COMPLETE" ] || python3 tools/gen_sf1.py /root/testdata/sf0.1 "$SF100" 1000
-sbt -batch compile
+sbt -batch package
+JAR=$(ls target/scala-2.13/*_2.13-*.jar | head -1); CP="$JAR:/opt/spark/jars/*"
 
 echo "== Spark-side dumps at sf100 (practical-oracle subset) =="
 SPARK_GRAFT_CPUS=$CPUS SPARK_GRAFT_VERIFY_ONLY=$GATE_ONLY \

@@ -27,7 +27,11 @@ cd "$(dirname "$0")/.."
 
 SF10=testdata/sf10
 CPUS=${SPARK_GRAFT_CPUS:-32}
-CP="target/scala-2.13/classes:/opt/spark/jars/*"
+# Frozen-jar classpath: a long-running gate JVM loads classes lazily, so
+# running `sbt compile` mid-gate would swap class files under it. The jar
+# is written once by `sbt package` and untouched by later compiles.
+JAR=$(ls target/scala-2.13/*_2.13-*.jar 2>/dev/null | head -1)
+CP="$JAR:/opt/spark/jars/*"
 JOPTS=$(for p in java.lang java.lang.invoke java.lang.reflect java.io \
     java.net java.nio java.util java.util.concurrent \
     java.util.concurrent.atomic; do
@@ -41,7 +45,8 @@ done)
 # directory check would accept an interrupted half-generated corpus
 # (and sf10 has no DuckDB full-result gate to catch it downstream).
 [ -f "$SF10/_GRAFT_COMPLETE" ] || python3 tools/gen_sf1.py /root/testdata/sf0.1 "$SF10" 100
-sbt -batch compile
+sbt -batch package
+JAR=$(ls target/scala-2.13/*_2.13-*.jar | head -1); CP="$JAR:/opt/spark/jars/*"
 
 echo "== Bench at sf10 (single rep, quadratic baselines skipped) =="
 SPARK_GRAFT_SF_DIR="$PWD/$SF10" SPARK_GRAFT_CPUS=$CPUS \

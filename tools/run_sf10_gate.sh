@@ -29,7 +29,11 @@ cd "$(dirname "$0")/.."
 SF10=testdata/sf10
 OUT=${SF10_VERIFY_OUT:-/tmp/verify_sf10_gate}
 CPUS=${SPARK_GRAFT_CPUS:-32}
-CP="target/scala-2.13/classes:/opt/spark/jars/*"
+# Frozen-jar classpath: a long-running gate JVM loads classes lazily, so
+# running `sbt compile` mid-gate would swap class files under it. The jar
+# is written once by `sbt package` and untouched by later compiles.
+JAR=$(ls target/scala-2.13/*_2.13-*.jar 2>/dev/null | head -1)
+CP="$JAR:/opt/spark/jars/*"
 JOPTS=$(for p in java.lang java.lang.invoke java.lang.reflect java.io \
     java.net java.nio java.util java.util.concurrent \
     java.util.concurrent.atomic; do
@@ -42,7 +46,8 @@ done)
 # _GRAFT_COMPLETE is written as the generator's LAST step - a bare
 # directory check would accept an interrupted half-generated corpus.
 [ -f "$SF10/_GRAFT_COMPLETE" ] || python3 tools/gen_sf1.py /root/testdata/sf0.1 "$SF10" 100
-sbt -batch compile
+sbt -batch package
+JAR=$(ls target/scala-2.13/*_2.13-*.jar | head -1); CP="$JAR:/opt/spark/jars/*"
 
 SKIP=q24_ann_bruteforce,q30_dedup_embedding
 

@@ -13,7 +13,11 @@ cd "$(dirname "$0")/.."
 SF1=testdata/sf1
 OUT=${SF1_VERIFY_OUT:-/tmp/verify_sf1_gate}
 CPUS=${SPARK_GRAFT_CPUS:-32}
-CP="target/scala-2.13/classes:/opt/spark/jars/*"
+# Frozen-jar classpath: a long-running gate JVM loads classes lazily, so
+# running `sbt compile` mid-gate would swap class files under it. The jar
+# is written once by `sbt package` and untouched by later compiles.
+JAR=$(ls target/scala-2.13/*_2.13-*.jar 2>/dev/null | head -1)
+CP="$JAR:/opt/spark/jars/*"
 # Spark 4.x on JDK 17 outside spark-submit needs the module opens from
 # build.sbt's jdk17AddOpens — WITHOUT them the first memory-pressure
 # block eviction dies in Kryo (FieldSerializer for HeapByteBuffer),
@@ -30,7 +34,8 @@ done)
 # _GRAFT_COMPLETE is written as the generator's LAST step - a bare
 # directory check would accept an interrupted half-generated corpus.
 [ -f "$SF1/_GRAFT_COMPLETE" ] || python3 tools/gen_sf1.py
-sbt -batch compile
+sbt -batch package
+JAR=$(ls target/scala-2.13/*_2.13-*.jar | head -1); CP="$JAR:/opt/spark/jars/*"
 
 echo "== Spark-side dumps at sf1 =="
 SPARK_GRAFT_CPUS=$CPUS java $JOPTS -Xmx48g -cp "$CP" graft.Verify "$PWD/$SF1" "$OUT"
