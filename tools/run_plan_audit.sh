@@ -34,4 +34,11 @@ echo "== plan audit at sf10 (documented: postings + shuffle) =="
 SPARK_GRAFT_CPUS=$CPUS java $JOPTS -Xmx${SPARK_GRAFT_XMX:-48g} -cp "$CP" \
   graft.GateAudit "$PWD/testdata/sf10" PLANS_SF10.md postings shuffle
 
-echo "plan audit complete: PLANS_SF01.md PLANS_SF10.md"
+if [ -f testdata/sf100/_GRAFT_COMPLETE ]; then
+  echo "== plan audit at sf100 (documented: postings + shuffle) =="
+  SPARK_GRAFT_CPUS=$CPUS java $JOPTS -Xmx${SPARK_GRAFT_XMX:-48g} -cp "$CP" \
+    graft.GateAudit "$PWD/testdata/sf100" PLANS_SF100.md postings shuffle
+  echo "plan audit complete: PLANS_SF01.md PLANS_SF10.md PLANS_SF100.md"
+else
+  echo "plan audit complete: PLANS_SF01.md PLANS_SF10.md (sf100 corpus absent)"
+fi
