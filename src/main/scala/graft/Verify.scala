@@ -14,7 +14,12 @@ import java.nio.file.{Files, Paths}
   * SPARK_GRAFT_VERIFY_ONLY (comma list) is the builder's inner-loop
   * twin of the bench's ONLY knob: dump just the named queries (paired
   * with check_oracle.py's CHECK_ORACLE_ONLY for a single-query gate
-  * while iterating). The full driver gate never sets it. */
+  * while iterating). The full driver gate never sets it.
+  *
+  * SPARK_GRAFT_VERIFY_RESUME=1 skips any query whose dump already has
+  * a _SUCCESS marker — lets an interrupted multi-hour scale gate pick
+  * up where it stopped instead of recomputing finished dumps. The
+  * full driver gate never sets it (fresh outDir every round). */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
@@ -31,14 +36,24 @@ object Verify {
         s"exclusions): ${skip.toSeq.sorted.mkString(",")}")
     Files.writeString(Paths.get(s"$outDir/skipped.json"),
       skip.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]"))
+    val resume = sys.env.get("SPARK_GRAFT_VERIFY_RESUME").contains("1")
     SparkEntry.queries.foreach { case (name, fn) =>
-      if (!skip(name) && only.forall(_.contains(name))) {
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      val done = resume && Files.exists(Paths.get(s"$outDir/$name/_SUCCESS"))
+      if (!skip(name) && only.forall(_.contains(name)) && !done) {
+        // repartition(1), NOT coalesce(1): the checker needs one part
+        // file, but coalesce(1) removes the stage boundary and drags
+        // the WHOLE upstream computation onto a single thread — for the
+        // shuffle-free per-row queries that serializes the entire scan
+        // (observed: 15 min on one core for a dump the 32-way plan does
+        // in seconds). repartition keeps upstream parallel and pays one
+        // result-sized shuffle into the single writer task.
+        try fn(spark, sfDir).repartition(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
-      }
+      } else if (done)
+        System.err.println(s"[verify] $name: resume skip (_SUCCESS present)")
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
