@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{FloatVecCosine, HyperplaneBuckets, IntVecSqDist, MinhashBandHashes, Simhash64, SimhashWords}
+import graft.functions.{FloatVecCosine, HyperplaneBuckets, IntVecSqDist, MinhashBandHashes, NgramHashes, Simhash64, SimhashWords, WordRepStats, WordShingles}
 
 /** SQL surface for graft's custom Catalyst expressions. Two ways in:
   *
@@ -20,6 +20,9 @@ import graft.functions.{FloatVecCosine, HyperplaneBuckets, IntVecSqDist, Minhash
   *   floatvec_cosine(arr<float>, arr<float>) -> double
   *   hyperplane_buckets(arr<float>, nTables, bits) -> arr<long>
   *   int_vec_sq_dist(arr<long>, arr<long>) -> long
+  *   ngram_hashes(text, n, distinct) -> arr<long>
+  *   word_shingles(text, n) -> arr<string>
+  *   word_rep_stats(text) -> struct<n_words, n_distinct, top_count>
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -56,7 +59,21 @@ object GraftExtensions {
         HyperplaneBuckets(args(0), intLit(args(1), "nTables"), intLit(args(2), "bitsPerTable"))),
     ("int_vec_sq_dist",
       new ExpressionInfo(classOf[IntVecSqDist].getName, "int_vec_sq_dist"),
-      (args: Seq[Expression]) => IntVecSqDist(args(0), args(1))))
+      (args: Seq[Expression]) => IntVecSqDist(args(0), args(1))),
+    ("ngram_hashes",
+      new ExpressionInfo(classOf[NgramHashes].getName, "ngram_hashes"),
+      (args: Seq[Expression]) => NgramHashes(args(0), intLit(args(1), "n"),
+        args(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, _) => v
+          case other => throw new IllegalArgumentException(
+            s"distinct must be a boolean literal, got $other")
+        })),
+    ("word_shingles",
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (args: Seq[Expression]) => WordShingles(args(0), intLit(args(1), "n"))),
+    ("word_rep_stats",
+      new ExpressionInfo(classOf[WordRepStats].getName, "word_rep_stats"),
+      (args: Seq[Expression]) => WordRepStats(args(0))))
 
   /** Imperative registration on an existing session. */
   def register(spark: SparkSession): Unit =

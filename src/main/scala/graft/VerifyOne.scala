@@ -12,7 +12,9 @@ object VerifyOne {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = Sessions.local(cpus)
     names.foreach { name =>
-      SparkEntry.queries(name)(spark, sfDir).coalesce(1)
+      // repartition, not coalesce: see Verify — coalesce(1) would run
+      // shuffle-free queries' whole scan on one thread.
+      SparkEntry.queries(name)(spark, sfDir).repartition(1)
         .write.mode("overwrite").parquet(s"$outDir/$name")
       SparkEntry.oracleSql.get(name).foreach(sql =>
         java.nio.file.Files.writeString(

@@ -31,19 +31,16 @@ object Dedup {
         count(lit(1)).as("dup_count"),
         sum(col("n_chars")).as("total_chars"))
 
-  /** Distinct word-n-shingles of the text column, as one expression.
-    * Docs with <n words have no n-shingles: guarded to an empty array,
-    * because sequence(0, negative) counts DOWN and the resulting
-    * negative indices throw under ANSI mode (the DuckDB oracle's
-    * range() is simply empty for the same input). */
+  /** Distinct word-n-shingles of the text column (first-occurrence
+    * order; docs with <n words get an empty array). Native codegen
+    * kernel — the HOF formulation it replaces
+    * (array_distinct(transform(sequence(..), i ->
+    * array_join(slice(split(text,' '), i+1, n), ' ')))) evaluates
+    * interpreted per element; TextKernelsSpec pins bit-identity to
+    * it. */
   def shingles(n: Int): Column = {
-    require(n >= 1, "shingle length must be positive")
-    val w = split(col("text"), " ")
-    when(size(w) >= n,
-      array_distinct(transform(
-        sequence(lit(0), size(w) - n),
-        i => array_join(slice(w, i + 1, lit(n)), " "))))
-      .otherwise(array().cast("array<string>"))
+    import org.apache.spark.sql.graftbridge.Bridge.{column => exprCol, expression}
+    exprCol(graft.functions.WordShingles(expression(col("text")), n))
   }
 
   /** Distinct word-3-shingles (the q23/DedupSpec ground-truth unit). */
@@ -54,22 +51,17 @@ object Dedup {
   val triHash: Column = ngramHash(3)
 
   /** Distinct 64-bit n-gram hashes (the triHash technique generalized
-    * to any window): hash each word once, combine windows with one
-    * variadic xxhash64 — equality structure identical to hashing the
+    * to any window): hash each word once, combine windows by folding
+    * the per-word hashes — equality structure identical to hashing the
     * n-gram string (modulo ~2^-64 collisions) with no string building
-    * and |w| word hashes instead of n|w|. The transform(array(..))[0]
-    * let-binding keeps the word-hash array from re-evaluating inside
-    * the window loop. */
+    * and |w| word hashes instead of n|w|. Native codegen kernel,
+    * bit-identical (TextKernelsSpec) to the HOF chain it replaces:
+    * transform(sequence(..), i -> xxhash64(hw[i],..,hw[i+n-1])) over
+    * hw = transform(split(text,' '), x -> xxhash64(x)), then
+    * array_distinct. */
   def ngramHash(n: Int): Column = {
-    require(n >= 1, "n-gram length must be positive")
-    val args = (0 until n).map(k => s"hw[i+$k]").mkString(", ")
-    expr(
-      s"""transform(
-           array(transform(split(text, ' '), x -> xxhash64(x))),
-           hw -> CASE WHEN size(hw) >= $n THEN array_distinct(transform(
-             sequence(0, size(hw) - $n),
-             i -> xxhash64($args)))
-             ELSE CAST(array() AS array<bigint>) END)[0]""")
+    import org.apache.spark.sql.graftbridge.Bridge.{column => exprCol, expression}
+    exprCol(graft.functions.NgramHashes(expression(col("text")), n, distinct = true))
   }
 
   /** MinHash(128) + banded LSH near-dup detection:
@@ -453,16 +445,10 @@ object Dedup {
 
   /** POSITIONAL 4-gram hashes — ngramHash without the distinct and
     * with window order preserved, so consecutive-run structure
-    * survives (the q83 unit). */
+    * survives (the q83 unit). Same native kernel, distinct off. */
   private[operators] def ngramHashPositional(n: Int): Column = {
-    val args = (0 until n).map(k => s"hw[i+$k]").mkString(", ")
-    expr(
-      s"""transform(
-           array(transform(split(text, ' '), x -> xxhash64(x))),
-           hw -> CASE WHEN size(hw) >= $n THEN transform(
-             sequence(0, size(hw) - $n),
-             i -> xxhash64($args))
-             ELSE CAST(array() AS array<bigint>) END)[0]""")
+    import org.apache.spark.sql.graftbridge.Bridge.{column => exprCol, expression}
+    exprCol(graft.functions.NgramHashes(expression(col("text")), n, distinct = false))
   }
 
   /** Duplicated-SPAN detection — the exact-substring dedup signal

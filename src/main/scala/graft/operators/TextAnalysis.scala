@@ -159,41 +159,30 @@ object TextAnalysis {
     * tokenize; the only non-scan work is a size()/array_distinct()
     * pair per rule. */
   def q47Repetition(spark: SparkSession, dir: String): DataFrame = {
-    val w = split(col("text"), " ")
-    val nWords = size(col("w"))
-    val dupWordFrac =
-      lit(1.0) - size(array_distinct(col("w"))).cast("double") / nWords
-    val tri = Dedup.shingles(3)
-    // top word share via sort + one run-length pass: O(n log n) per row
-    // and zero nested array allocations (the previous distinct-fold was
-    // O(distinct * n) with a filter() alloc per distinct word — ~n² on
-    // prose, where most words are unique). Still beats a corpus-wide
-    // explode+groupBy+join at any scale: the whole computation stays
-    // inside one row's codegen. The max run of equal adjacent words in
-    // the sorted array IS the top word's occurrence count, so the value
-    // is bit-identical to the fold (and to the oracle's list_max form).
-    val topWordFrac = expr(
-      """aggregate(array_sort(w),
-           named_struct('prev', cast(null as string), 'run', 0, 'best', 0),
-           (acc, x) -> named_struct(
-             'prev', x,
-             'run',  CASE WHEN x = acc.prev THEN acc.run + 1 ELSE 1 END,
-             'best', greatest(acc.best,
-               CASE WHEN x = acc.prev THEN acc.run + 1 ELSE 1 END)),
-           acc -> acc.best)""")
-      .cast("double") / nWords
+    import org.apache.spark.sql.graftbridge.Bridge.{column => exprCol, expression}
+    // One native kernel pass per row (TextKernels.wordRepStats) yields
+    // word count, distinct-word count, and the top word's multiplicity;
+    // the trigram side reuses the native shingle kernel. top_count is
+    // bit-identical to the previous sorted-run-length aggregate (max
+    // multiset multiplicity does not depend on how equal words are
+    // grouped) and n_distinct to size(array_distinct(w)); both pinned
+    // by TextKernelsSpec. The interpreted-HOF formulations this
+    // replaces were the per-row CPU floor of the whole query.
+    val stats = exprCol(graft.functions.WordRepStats(expression(col("text"))))
+    val nWords = col("st.n_words")
     Tables.documents(spark, dir)
-      .withColumn("w", w)
-      .withColumn("tri", tri)
+      .withColumn("st", stats)
+      .withColumn("tri", Dedup.shingles(3))
       .select(
         col("doc_id"),
         nWords.as("n_words"),
-        dupWordFrac.as("dup_word_frac"),
+        (lit(1.0) - col("st.n_distinct").cast("double") / nWords)
+          .as("dup_word_frac"),
         // tri nonempty implies nWords >= 3, so the denominator is >= 1
         (when(size(col("tri")) > 0,
           lit(1.0) - size(col("tri")).cast("double") / (nWords - 2))
           .otherwise(lit(0.0))).as("dup_tri_frac"),
-        topWordFrac.as("top_word_frac"))
+        (col("st.top_count").cast("double") / nWords).as("top_word_frac"))
       .withColumn("flagged",
         col("dup_word_frac") > 0.9 || col("dup_tri_frac") > 0.5 ||
           col("top_word_frac") > 0.3)

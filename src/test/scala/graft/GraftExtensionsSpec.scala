@@ -29,6 +29,24 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkFixture {
     assert(row.getAs[Long]("sh") === row2.getAs[Long]("sh"))
   }
 
+  test("text kernels evaluate through SQL and agree with built-ins") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT
+           word_shingles('a b c d', 3) AS sh,
+           ngram_hashes('a b c d', 3, true) AS ng,
+           ngram_hashes('a b a b a b', 2, false) AS pos,
+           word_rep_stats('x y x x z') AS st,
+           xxhash64(xxhash64('a'), xxhash64('b'), xxhash64('c')) AS ref
+      """).collect()(0)
+    assert(r.getAs[scala.collection.Seq[String]]("sh").toList ===
+      List("a b c", "b c d"))
+    assert(r.getAs[scala.collection.Seq[Long]]("ng").head === r.getAs[Long]("ref"))
+    assert(r.getAs[scala.collection.Seq[Long]]("pos").length === 5)
+    val st = r.getAs[org.apache.spark.sql.Row]("st")
+    assert((st.getInt(0), st.getInt(1), st.getInt(2)) === ((5, 3, 3)))
+  }
+
   test("minhash_band_hashes of identical inputs collide in every band") {
     GraftExtensions.register(spark)
     val r = spark.sql(
