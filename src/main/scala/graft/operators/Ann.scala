@@ -432,19 +432,23 @@ object Ann {
       .withColumn("q", Clustering.quantizedCol)
       .select(col("vec_id"), col("embedding"),
         exprCol(NearestCellsInt(expression(col("q")), cents, 1))(0).as("cell"))
-    // within-cell candidate pairs: ids only through the self-join (the
-    // q30 discipline — 64-float vectors never ride the exploded side),
-    // vectors fetched back for the codegen cosine verify.
-    val byCell = emb.select(col("cell"), col("vec_id"))
+    // within-cell candidate pairs: each side carries its vector
+    // through the single cell-keyed exchange (n rows of ~600 B — the
+    // only data the join SORTS), so the O(n·250) pair stream flows
+    // straight through the codegen cosine filter without ever being
+    // materialized, shuffled, or sorted AS pairs. An earlier shape
+    // joined ids-only pairs back to the vectors — at sf100 (2 M
+    // vectors, ~250 M candidate pairs) the fetch re-join sorted the
+    // pair stream with a 512 B embedding payload attached (~130 GB)
+    // and exhausted local disk; sorting n rows instead of n·250 is
+    // the difference between 1 GB and 130 GB at that scale.
+    val byCell = emb.select(col("cell"), col("vec_id"), col("embedding"))
       .repartition(col("cell")) // one exchange, reused by both join sides
     val pruned = byCell.as("a")
       .join(byCell.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
-      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")
-      .filter(cosine(col("emb_a"), col("emb_b")) >= threshold)
-      .select(col("vec_b").as("vec_id")).distinct()
+      .filter(cosine(col("a.embedding"), col("b.embedding")) >= threshold)
+      .select(col("b.vec_id").as("vec_id")).distinct()
       .withColumn("is_pruned", lit(1L))
     emb.select(col("cell"), col("vec_id"))
       .join(pruned, Seq("vec_id"), "left")
