@@ -183,8 +183,16 @@ object Dedup {
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long")
           .as("hamming"))
-      .dropDuplicates("doc_a", "doc_b")
+      // filter BEFORE the pair-keyed dedup shuffle: hamming is a pure
+      // function of the pair (every duplicate row is identical), so the
+      // order is semantics-free — but bucket occupancy grows linearly
+      // with corpus over the fixed 2^width buckets, so the candidate
+      // stream grows ~quadratically (~760 M pairs at sf100) while the
+      // surviving near-dup set stays many orders smaller. The codegen
+      // xor+popcount filter costs nothing; the shuffle it avoids was
+      // the whole cost of this query at 1000x.
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("doc_a", "doc_b")
   }
 
   /** SimHash near-dup at the guaranteed-complete hamming <= 3 — the
