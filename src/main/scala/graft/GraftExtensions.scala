@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{FloatVecCosine, HyperplaneBuckets, IntVecSqDist, MinhashBandHashes, NgramHashes, Simhash64, SimhashWords, WordRepStats, WordShingles}
+import graft.functions.{FingerprintMin, FloatVecCosine, HyperplaneBuckets, IntVecSqDist, MinhashBandHashes, NgramHashes, Simhash64, SimhashWords, WordRepStats, WordShingles}
 
 /** SQL surface for graft's custom Catalyst expressions. Two ways in:
   *
@@ -23,6 +23,7 @@ import graft.functions.{FloatVecCosine, HyperplaneBuckets, IntVecSqDist, Minhash
   *   ngram_hashes(text, n, distinct) -> arr<long>
   *   word_shingles(text, n) -> arr<string>
   *   word_rep_stats(text) -> struct<n_words, n_distinct, top_count>
+  *   fingerprint_min(text, n) -> long (null under n words)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -73,7 +74,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => WordShingles(args(0), intLit(args(1), "n"))),
     ("word_rep_stats",
       new ExpressionInfo(classOf[WordRepStats].getName, "word_rep_stats"),
-      (args: Seq[Expression]) => WordRepStats(args(0))))
+      (args: Seq[Expression]) => WordRepStats(args(0))),
+    ("fingerprint_min",
+      new ExpressionInfo(classOf[FingerprintMin].getName, "fingerprint_min"),
+      (args: Seq[Expression]) => FingerprintMin(args(0), intLit(args(1), "n"))))
 
   /** Imperative registration on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -122,6 +122,43 @@ object TextKernels {
     new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
   }
 
+  /** Min polynomial rolling hash over every n-word window (the q29
+    * winnowing fingerprint). Per word the engine-neutral value is
+    * numChars*131 + first-codepoint (0 for the empty word) — exactly
+    * `length(w)*131 + ascii(w)`, Ascii's contract being the first
+    * CODEPOINT (substring(0,1).codePointAt, 0 on empty); the window
+    * hash folds acc*31 + v in wrapping Long math and the fingerprint
+    * is the Long-ordered minimum, matching array_min over the
+    * transform(aggregate(...)) form bit-for-bit (TextKernelsSpec).
+    * NULL when the doc has fewer than n words (no window exists),
+    * matching the legacy `when(size(w) >= n, ...)` guard. */
+  def fingerprintMin(text: UTF8String, n: Int): Any = {
+    val words = splitWords(text)
+    val len = words.length
+    if (len < n) return null
+    val v = new Array[Long](len)
+    var i = 0
+    while (i < len) {
+      val w = words(i)
+      val first = w.substring(0, 1)
+      val cp = if (first.numChars > 0) first.toString.codePointAt(0) else 0
+      v(i) = w.numChars.toLong * 131L + cp
+      i += 1
+    }
+    val m = len - n + 1
+    var min = 0L
+    var any = false
+    i = 0
+    while (i < m) {
+      var h = 0L
+      var k = 0
+      while (k < n) { h = h * 31L + v(i + k); k += 1 }
+      if (!any || h < min) { min = h; any = true }
+      i += 1
+    }
+    java.lang.Long.valueOf(min)
+  }
+
   /** One-pass word repetition stats (the q47 unit): word count,
     * distinct-word count, and the top word's occurrence count. The
     * top count equals the legacy sorted-run-length aggregate by
@@ -169,6 +206,28 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
     copy(child = newChild)
   override def prettyName: String = "word_shingles"
+}
+
+/** Min n-word-window rolling-hash fingerprint (see
+  * TextKernels.fingerprintMin). Null for docs with fewer than n words. */
+case class FingerprintMin(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "window length must be positive")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.fingerprintMin(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val obj = ctx.freshName("fpObj")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         Object $obj = graft.functions.TextKernels.fingerprintMin($c, $n);
+         if ($obj == null) { ${ev.isNull} = true; }
+         else { ${ev.value} = ((Long) $obj).longValue(); }
+       """)
+  }
+  override protected def withNewChildInternal(newChild: Expression): FingerprintMin =
+    copy(child = newChild)
+  override def prettyName: String = "fingerprint_min"
 }
 
 /** Per-doc word repetition stats (see TextKernels.wordRepStats). */

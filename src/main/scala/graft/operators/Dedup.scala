@@ -258,11 +258,18 @@ object Dedup {
            (acc, k) -> acc * 31 + (length(element_at(w, i + k + 1)) * 131
                                    + ascii(element_at(w, i + k + 1))))))"""))
 
-  def q29Fingerprint(spark: SparkSession, dir: String): DataFrame =
+  def q29Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    // fingerprint via the native kernel (bit-identical to the
+    // fingerprint8 HOF form above, pinned by TextKernelsSpec): the
+    // nested transform+aggregate evaluates interpreted — ~48 s of
+    // per-row tree-walks over 5 M docs at sf100 vs scan speed here
+    import org.apache.spark.sql.graftbridge.Bridge.{column => exprCol, expression}
     docs(spark, dir)
-      .withColumn("w", split(col("text"), " "))
-      .withColumn("fingerprint", fingerprint8)
-      .select(col("doc_id"), col("fingerprint"), size(col("w")).as("n_words"))
+      .withColumn("fingerprint",
+        exprCol(graft.functions.FingerprintMin(expression(col("text")), 8)))
+      .select(col("doc_id"), col("fingerprint"),
+        size(split(col("text"), " ")).as("n_words"))
+  }
 
   /** Within-corpus boilerplate detection: for each document, the
     * fraction of its distinct 8-gram shingles that appear in at least

@@ -37,8 +37,13 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkFixture {
            ngram_hashes('a b c d', 3, true) AS ng,
            ngram_hashes('a b a b a b', 2, false) AS pos,
            word_rep_stats('x y x x z') AS st,
+           fingerprint_min('a b', 2) AS fp,
+           fingerprint_min('a b', 3) AS fp_null,
            xxhash64(xxhash64('a'), xxhash64('b'), xxhash64('c')) AS ref
       """).collect()(0)
+    // one 2-word window: (1*131+97)*31 + (1*131+98) = 7297
+    assert(r.getAs[Long]("fp") === (131L + 97L) * 31L + 131L + 98L)
+    assert(r.isNullAt(r.fieldIndex("fp_null")))
     assert(r.getAs[scala.collection.Seq[String]]("sh").toList ===
       List("a b c", "b c d"))
     assert(r.getAs[scala.collection.Seq[Long]]("ng").head === r.getAs[Long]("ref"))

@@ -87,6 +87,24 @@ class TextKernelsSpec extends AnyFunSuite with SparkFixture {
       assertSame(df, legacyNgramHash(n, d), nativeNgram(n, d), s"ngram($n,$d)")
   }
 
+  test("rolling fingerprint bit-matches the transform+aggregate form") {
+    // verbatim legacy q29 form (over w = split(text, ' ')); NULL when
+    // the doc has fewer than n words
+    def legacyFp(n: Int): Column = {
+      val w = split(col("text"), " ")
+      when(size(w) >= n, expr(
+        s"""array_min(transform(
+             sequence(0, size(split(text, ' ')) - $n),
+             i -> aggregate(
+               sequence(0, ${n - 1}), 0L,
+               (acc, k) -> acc * 31 + (length(element_at(split(text, ' '), i + k + 1)) * 131
+                                       + ascii(element_at(split(text, ' '), i + k + 1))))))"""))
+    }
+    for (df <- Seq(corpus, edgy); n <- Seq(1, 3, 8))
+      assertSame(df, legacyFp(n),
+        exprCol(FingerprintMin(expression(col("text")), n)), s"fingerprint($n)")
+  }
+
   test("word rep stats match size/distinct/run-length formulations") {
     val st = exprCol(WordRepStats(expression(col("text"))))
     val w = split(col("text"), " ")
