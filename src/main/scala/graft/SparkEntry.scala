@@ -177,6 +177,127 @@ object SparkEntry {
       ),${(1 to iters).map(iterCte).mkString(",")}"""
   }
 
+  /** DuckDB replay of the deterministic TWO-LEVEL coarse quantizer
+    * (operators/Clustering.twoLevelQuantizer — q90's cell carve):
+    * level 1 trains k1 = ceil(sqrt(max(16, n/250))) supers with the
+    * quantized Lloyd's recipe; level 2 trains ceil(n_c/tgt)
+    * sub-centroids per super as a GROUPED Lloyd's chain (the argmin
+    * joins on the super id instead of crossing the full codebook —
+    * the same ~sqrt(k) work reduction the Spark side gets), with
+    * identical first-k init by vec_id at both levels, integer argmin
+    * tie-breaks, floor-division updates, and empty-cell carry-over.
+    * Ends in `cellasg(vec_id, cell)`, cell = prefix-sum offset + sub.
+    *
+    * CTE DISCIPLINE — every round references its predecessor exactly
+    * ONCE: the update computes new means AND the empty-cell carry-over
+    * from one scored set (each (cluster, dim) group carries its own
+    * old coordinate as `oj`), unlike kmeansCtes' two-reference rounds
+    * (assignment + carry-over join). Two chained two-reference rounds
+    * here would inline 2^iters × 2^iters plans — the flat-oracle
+    * recipe, composed, exceeded the process file-handle budget before
+    * it exceeded any CPU budget. Single-reference rounds keep the
+    * inlined plan LINEAR in iters, no materialization hints needed,
+    * at the cost of exploding the scored set (rows × codebook × dims)
+    * instead of just the argmin rows — the committed form's replay is
+    * ~n·sqrt(k)·64 rows per round, the same complexity as the engine. */
+  private def twoLevelCtes(iters: Int): String = {
+    val k1Sql = """SELECT CASE WHEN t * t >= k THEN t ELSE t + 1 END FROM (
+          SELECT GREATEST(16, COUNT(*) // 250) AS k,
+            CAST(floor(sqrt(CAST(GREATEST(16, COUNT(*) // 250) AS DOUBLE))) AS BIGINT) AS t
+          FROM v)"""
+    // one single-reference Lloyd's round: score prev's codebook
+    // (rows = every vector × the codebook entries it can reach),
+    // argmin by window, then per (keys, dim): floor-div mean of the
+    // chosen rows, or the carried old coordinate when none chose it.
+    // keys = "cluster" (level 1, reach = CROSS JOIN) or "super, sub"
+    // (level 2, reach = equi-join on super).
+    def round(out: String, keysIn: String, keys: String, join: String,
+        tieCol: String): String = s"""
+      $out AS (
+        SELECT $keys, list(cq_j ORDER BY j) AS cq FROM (
+          SELECT $keys, j,
+            CASE WHEN SUM(ch) > 0
+              THEN (SUM(qj) - ((SUM(qj) % SUM(ch) + SUM(ch)) % SUM(ch))) // SUM(ch)
+              ELSE any_value(oj) END AS cq_j
+          FROM (
+            SELECT $keys, dims.j,
+              CASE WHEN rn = 1 THEN 1 ELSE 0 END AS ch,
+              CASE WHEN rn = 1 THEN q[dims.j] ELSE 0 END AS qj,
+              cq[dims.j] AS oj
+            FROM (
+              SELECT $keysIn, c.cq, x.q,
+                ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                  ORDER BY list_sum(list_transform(range(1, 65),
+                    j -> (x.q[j]-c.cq[j])*(x.q[j]-c.cq[j]))) ASC,
+                  $tieCol ASC) AS rn
+              FROM $join
+            ) sc CROSS JOIN (SELECT unnest(range(1, 65)) AS j) dims
+          ) GROUP BY ALL
+        ) GROUP BY ALL
+      )"""
+    def l1Round(i: Int): String = round(s"l$i",
+      "c.cluster", "cluster", s"v x CROSS JOIN l${i - 1} c", "c.cluster")
+    def l2Round(i: Int): String = round(s"d$i",
+      "c.super, c.sub", "super, sub",
+      s"sv x JOIN d${i - 1} c ON c.super = x.super", "c.sub")
+    s"""v AS (
+        SELECT vec_id,
+          list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 16777216.0) AS BIGINT)) AS q
+        FROM embeddings
+      ),
+      l0 AS (
+        SELECT rn - 1 AS cluster, q AS cq FROM (
+          SELECT q, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM v
+        ) WHERE rn <= ($k1Sql)
+      ),${(1 to iters).map(l1Round).mkString(",")},
+      sasg AS (
+        SELECT vec_id, cluster AS super FROM (
+          SELECT v.vec_id, c.cluster,
+            ROW_NUMBER() OVER (PARTITION BY v.vec_id
+              ORDER BY ${qDist("c")} ASC, c.cluster ASC) AS rn
+          FROM v CROSS JOIN l$iters c
+        ) WHERE rn = 1
+      ),
+      sv AS (SELECT s.vec_id, s.super, v.q FROM sasg s JOIN v USING (vec_id)),
+      tgtsel AS (
+        SELECT GREATEST(1, LEAST(250, (COUNT(*) + 15) // 16)) AS tgt FROM v
+      ),
+      k2 AS (
+        SELECT super,
+          (COUNT(*) + (SELECT tgt FROM tgtsel) - 1)
+            // (SELECT tgt FROM tgtsel) AS k2
+        FROM sv GROUP BY 1
+      ),
+      d0 AS (
+        SELECT x.super, x.rn - 1 AS sub, x.q AS cq FROM (
+          SELECT super, q,
+            ROW_NUMBER() OVER (PARTITION BY super ORDER BY vec_id) AS rn
+          FROM sv
+        ) x JOIN k2 ON x.super = k2.super
+        WHERE x.rn <= k2.k2
+      ),${(1 to iters).map(l2Round).mkString(",")},
+      fa AS (
+        SELECT vec_id, super, sub FROM (
+          SELECT x.vec_id, x.super, d.sub,
+            ROW_NUMBER() OVER (PARTITION BY x.vec_id
+              ORDER BY list_sum(list_transform(range(1, 65),
+                j -> (x.q[j]-d.cq[j])*(x.q[j]-d.cq[j]))) ASC, d.sub ASC) AS rn
+          FROM sv x JOIN d$iters d ON d.super = x.super
+        ) WHERE rn = 1
+      ),
+      off AS (
+        SELECT super,
+          CAST(SUM(k2) OVER (ORDER BY super ROWS UNBOUNDED PRECEDING) - k2
+            AS BIGINT) AS off
+        FROM k2
+      ),
+      cellasg AS (
+        SELECT f.vec_id, o.off + f.sub AS cell
+        FROM fa f JOIN off o USING (super)
+      )"""
+  }
+
   /** Exact int64 squared distance between two quantized SUBVECTORS
     * (dsub dims) — the per-subspace unit of the PQ oracle. */
   private def pqSdist(a: String, b: String, dsub: Int): String =
@@ -2335,13 +2456,17 @@ object SparkEntry {
       JOIN w5 ON w5.word = t.word
       GROUP BY 1
     """,
-    // the full SemDeDup lifecycle replayed: quantized-kmeans training
-    // (kmeansCtes), integer cell assignment, within-cell pairs, and
-    // the bit-exact cosine verify. k is derived from the corpus size
-    // by the SAME formula as Ann.semDedupK (max(16, n/250)), so this
-    // oracle stays valid at every scale factor without overrides.
+    // the full SemDeDup lifecycle replayed: TWO-LEVEL quantizer
+    // training (twoLevelCtes — both Lloyd's chains, the grouped
+    // level-2 argmin, prefix-sum cell offsets), integer cell
+    // assignment, within-cell pairs, and the bit-exact cosine verify.
+    // k1/tgt derive from the corpus size by the SAME formulas as
+    // Clustering.twoLevelQuantizer, so this oracle stays valid at
+    // every scale factor without overrides — and, unlike the flat
+    // replay (whose assignment crossed n × n/250 cells and filled the
+    // disk at sf10), its replay cost is ~n·sqrt(k) too.
     "q90_semantic_dedup" -> s"""
-      WITH ${kmeansCtes("SELECT GREATEST(16, COUNT(*) // 250) FROM v", iters = 5)},
+      WITH ${twoLevelCtes(iters = 5)},
       e AS (
         SELECT vec_id, embedding,
           sqrt(list_reduce(
@@ -2349,25 +2474,18 @@ object SparkEntry {
             (a, b) -> a + b)) AS norm
         FROM embeddings
       ),
-      ad AS (
-        SELECT v.vec_id, c.cluster,
-          ROW_NUMBER() OVER (PARTITION BY v.vec_id
-            ORDER BY ${qDist("c")} ASC, c.cluster ASC) AS rn
-        FROM v CROSS JOIN c5 c
-      ),
-      asg AS (SELECT vec_id, cluster FROM ad WHERE rn = 1),
       pruned AS (
         SELECT DISTINCT b.vec_id
-        FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        FROM cellasg a JOIN cellasg b ON a.cell = b.cell AND a.vec_id < b.vec_id
         JOIN e p ON a.vec_id = p.vec_id
         JOIN e n ON b.vec_id = n.vec_id
         WHERE $cosineSql >= 0.25
       )
-      SELECT g.cluster AS cell, CAST(COUNT(*) AS BIGINT) AS n,
+      SELECT g.cell AS cell, CAST(COUNT(*) AS BIGINT) AS n,
         CAST(COUNT(pr.vec_id) AS BIGINT) AS pruned,
         CAST(COUNT(*) - COUNT(pr.vec_id) AS BIGINT) AS kept,
         CAST(COUNT(pr.vec_id) * 10000 // COUNT(*) AS BIGINT) AS prune_bp
-      FROM asg g LEFT JOIN pruned pr ON g.vec_id = pr.vec_id
+      FROM cellasg g LEFT JOIN pruned pr ON g.vec_id = pr.vec_id
       GROUP BY 1
     """,
     "q91_skew_profile" ->

@@ -220,6 +220,42 @@ object ClusterKernels {
       java.util.Arrays.copyOf(buf, k))
   }
 
+  /** Nearest SUB-centroid index within one super-cell's codebook — the
+    * per-row half of the grouped (two-level) Lloyd's iteration: every
+    * vector only scores the sub-centroids of ITS super-cell, so one
+    * assignment pass over the corpus costs n * (n_c/tgt) * dim instead
+    * of the flat quantizer's n * k * dim. Same exact-integer distances
+    * and lower-index tie-break as nearestInt, so the grouped argmin is
+    * engine-reproducible. A vector can only reach a super-cell the
+    * final level-1 assignment populated; an empty codebook here means
+    * the caller paired the vector with a model trained on different
+    * data — fail fast rather than emit a colliding cell id. */
+  def nearestSubInt(v: ArrayData, superId: Int,
+      subCents: Array[Array[Array[Long]]]): Int = {
+    val cents = subCents(superId)
+    if (cents.length == 0)
+      throw new IllegalStateException(
+        s"two-level quantizer: super-cell $superId has no sub-centroids " +
+          "(vector assigned outside the trained model's population)")
+    val dim = v.numElements()
+    var best = -1
+    var bestD = Long.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var d = 0L
+      var i = 0
+      while (i < dim) {
+        val diff = v.getLong(i) - cent(i)
+        d += diff * diff
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** Exact int64 squared distance between two quantized vectors —
     * the PQ rerank unit (and the ground truth ADC approximates). */
   def intSqDist(a: ArrayData, b: ArrayData): Long = {
@@ -424,4 +460,26 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]], p: I
   override protected def withNewChildInternal(newChild: Expression): NearestCells =
     copy(child = newChild)
   override def prettyName: String = "nearest_cells"
+}
+
+/** Nearest sub-centroid index within the row's super-cell (two-level
+  * coarse quantizer assignment) — see ClusterKernels.nearestSubInt.
+  * The per-super codebooks ride along as one broadcast-style reference
+  * object; the row only scores its own super-cell's entries. */
+case class NearestSubCentroidInt(left: Expression, right: Expression,
+    subCents: Array[Array[Array[Long]]])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any, superId: Any): Any =
+    ClusterKernels.nearestSubInt(
+      v.asInstanceOf[ArrayData], superId.asInstanceOf[Int], subCents)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("subCents", subCents, "long[][][]")
+    nullSafeCodeGen(ctx, ev, (v, s) =>
+      s"${ev.value} = graft.functions.ClusterKernels.nearestSubInt($v, $s, $ref);")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestSubCentroidInt =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "nearest_sub_centroid_int"
 }

@@ -401,15 +401,19 @@ object Ann {
     * q21 (MinHash bands): LSH prunes by data-OBLIVIOUS hyperplanes,
     * SemDeDup by the corpus's own density structure — on real
     * embedding corpora the cluster restriction is what makes
-    * quadratic-free semantic dedup possible at scale: k grows with N
-    * (semDedupK below — k = max(16, n/250)) so the EXPECTED cell size
-    * never exceeds 250 and the within-cell pair join stays a cell-keyed
-    * equi-join generating O(n·250) candidates — linear in corpus, never
-    * corpus×corpus. The trained quantizer is the q32/q45 deterministic
-    * integer kmeans, so clustering, candidates, and the bit-exact
-    * cosine verify all replay in DuckDB (kmeansCtes with the SAME
-    * n-derived k expression) — an oracle over the ENTIRE
-    * train-assign-prune lifecycle, valid at every scale factor. */
+    * quadratic-free semantic dedup possible at scale: the total cell
+    * count grows with N (semDedupK below — k = max(16, n/250)) so the
+    * EXPECTED cell size never exceeds 250 and the within-cell pair
+    * join stays a cell-keyed equi-join generating O(n·250) candidates
+    * — linear in corpus, never corpus×corpus. The quantizer carving
+    * those cells is TWO-LEVEL (sqrt(k) supers, then sub-codebooks
+    * within — Clustering.twoLevelQuantizer), so training/assignment
+    * is ~n·sqrt(k)·dim per pass instead of flat Lloyd's quadratic
+    * n·k·dim; every step stays integer-deterministic, so clustering,
+    * candidates, and the bit-exact cosine verify all replay in DuckDB
+    * (the twoLevelCtes chain with the SAME n-derived k1/tgt
+    * expressions) — an oracle over the ENTIRE train-assign-prune
+    * lifecycle, valid at every scale factor. */
   /** Corpus-size-derived SemDeDup cluster count: expected cell size
     * n/k ≤ targetCellSize for EVERY n (k = max(16, n/target) — below
     * 16·target the 16-cell floor already keeps cells under target), so
@@ -423,15 +427,25 @@ object Ann {
 
   def q90SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
     val threshold = 0.25
-    // corpus-derived cluster count: the count() is a parquet-metadata
-    // read (no data pass), and k scales with n so cells stay bounded
+    // corpus-derived quantizer: the count() is a parquet-metadata read
+    // (no data pass). TWO-LEVEL since round 8: training one flat
+    // k = n/250 quantizer is n²·dim/250 MACs per Lloyd's pass —
+    // quadratic in corpus, and measured as 494 of q90's 494 s at
+    // sf100. The two-level quantizer (Clustering.twoLevelQuantizer)
+    // trains sqrt(k) supers then sub-codebooks within, cutting every
+    // training/assignment pass to ~n·sqrt(k)·dim while keeping the
+    // SemDeDup contract stronger than before: EVERY super's expected
+    // sub-cell size is bounded by construction, so within-cell pairs
+    // stay O(n·250) — linear. The whole train-assign-prune lifecycle
+    // remains integer-deterministic and replayed by the DuckDB oracle
+    // (both level chains, the offsets, the bit-exact cosine verify).
     val n = Tables.embeddings(spark, dir).count()
-    val cents = Clustering.centroidsQuantized(spark, dir, k = semDedupK(n), iters = 5)
+    val model = Clustering.twoLevelQuantizer(spark, dir, n, target = 250, iters = 5)
     val emb = Tables.parallelized(Tables.embeddings(spark, dir), col("vec_id"))
       .select(col("vec_id"), col("embedding"))
       .withColumn("q", Clustering.quantizedCol)
       .select(col("vec_id"), col("embedding"),
-        exprCol(NearestCellsInt(expression(col("q")), cents, 1))(0).as("cell"))
+        Clustering.twoLevelCellCol(col("q"), model).as("cell"))
     // within-cell candidate pairs: each side carries its vector
     // through the single cell-keyed exchange (n rows of ~600 B — the
     // only data the join SORTS), so the O(n·250) pair stream flows

@@ -286,23 +286,61 @@ class AnnSpec extends AnyFunSuite with SparkFixture {
     assert(Ann.semDedupK(20000) === 80)  // sf1: scaling regime
   }
 
+  test("two-level quantizer formulas: sqrt supers, bounded sub-cells, MAC budget") {
+    // ceilSqrt is the exact integer ceiling of sqrt
+    for (k <- Seq(1L, 2L, 4L, 15L, 16L, 17L, 80L, 81L, 82L, 8000L, 1000000L)) {
+      val s = Clustering.ceilSqrt(k).toLong
+      assert(s * s >= k && (s - 1) * (s - 1) < k, s"k=$k s=$s")
+    }
+    // per-sub-cell bound: tgt <= 250 always; k2_c = ceil(n_c/tgt) keeps
+    // EVERY super's expected sub-cell size <= tgt (stronger than the
+    // flat formula's global expectation), and the per-pass assignment
+    // work n*(k1 + max k2) stays ~n*sqrt(k) — sub-quadratic (the flat
+    // trainer's n*k was q90's measured 494 s at sf100)
+    for (n <- Seq(20L, 200L, 2000L, 20000L, 200000L, 2000000L)) {
+      val tgt = Clustering.twoLevelTarget(n, 250)
+      assert(tgt >= 1 && tgt <= 250, s"n=$n tgt=$tgt")
+      val k = Ann.semDedupK(n)
+      val k1 = Clustering.ceilSqrt(k)
+      // even at perfect super balance, cells ~= k; at total imbalance
+      // (one super holds all n) sub-cells still bound at tgt each
+      val worstK2 = (n + tgt - 1) / tgt
+      assert(worstK2 * tgt >= n, s"n=$n")
+      val flatMacs = n.toDouble * k
+      val twoLevelMacs = n.toDouble * (k1 + (n.toDouble / k1 / tgt + 1))
+      if (n >= 20000) // above the floor regime the saving is real
+        assert(twoLevelMacs < flatMacs / 2.0,
+          s"n=$n flat=$flatMacs two-level=$twoLevelMacs")
+    }
+  }
+
   test("q90 SemDeDup report matches an independent local replay") {
     val embCount = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
-    val cents = Clustering.centroidsQuantized(spark, sfDir,
-      k = Ann.semDedupK(embCount), iters = 5)
+    val model = Clustering.twoLevelQuantizer(spark, sfDir, embCount,
+      target = 250, iters = 5)
+    // structural contract on the trained artifact itself: every
+    // non-empty super's codebook honors the ceil(n_c/tgt) size, and
+    // offsets are the dense prefix sums
+    assert(model.offsets.zip(model.subCents.map(_.length.toLong))
+      .scanLeft(0L) { case (acc, (off, len)) => assert(off === acc); acc + len }
+      .last === model.totalCells)
     val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding").collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Seq[Float]]("embedding").toArray)
     val idToVec = embs.toMap
-    def cellOf(v: Array[Float]): Int = {
+    def cellOf(v: Array[Float]): Long = {
       val q = v.map(x => math.floor(x.toDouble * 16777216.0).toLong)
-      var best = -1; var bd = Long.MaxValue
-      for (c <- cents.indices) {
-        var d = 0L; var j = 0
-        while (j < q.length) { val t = q(j) - cents(c)(j); d += t * t; j += 1 }
-        if (d < bd) { bd = d; best = c }
+      def argmin(cents: Array[Array[Long]]): Int = {
+        var best = -1; var bd = Long.MaxValue
+        for (c <- cents.indices) {
+          var d = 0L; var j = 0
+          while (j < q.length) { val t = q(j) - cents(c)(j); d += t * t; j += 1 }
+          if (d < bd) { bd = d; best = c }
+        }
+        best
       }
-      best
+      val s = argmin(model.superCents)
+      model.offsets(s) + argmin(model.subCents(s))
     }
     def cos(a: Array[Float], b: Array[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0
