@@ -85,13 +85,32 @@ object Graph {
     * so `iters` may be raised freely without unbounded plan growth —
     * a durable checkpoint dir replaces localCheckpoint on a real
     * cluster, as in Pipeline.labelPropagate. */
-  def pagerank(edges: DataFrame, iters: Int): DataFrame = {
+  def pagerank(edges: DataFrame, iters: Int,
+      narrowIds: Boolean = false): DataFrame = {
+    // NARROW-ID gate (the q87 discipline): when the caller certifies
+    // every node id fits in 32 bits — q53 checks the part DIMENSION's
+    // key bounds, one metadata-sized scan, instead of re-running the
+    // edge pipeline for a min/max — the adjacency arrays, the build
+    // shuffle, and each iteration's contribution shuffle all carry
+    // ints: half the cached bytes (the arrays are the edge-sized
+    // payload) and half the per-iteration explode+shuffle volume.
+    // The cast is CHECKED row-by-row (raise_error, not a silent
+    // non-ANSI wrap), so a wrong certificate fails loudly. Ranks stay
+    // int64 either way — ids are labels, the arithmetic is identical,
+    // and the output casts back to long (GraphSpec replays both
+    // branches bit-identical).
+    def asId(c: org.apache.spark.sql.Column) =
+      if (narrowIds)
+        when(c.between(Int.MinValue.toLong, Int.MaxValue.toLong), c.cast("int"))
+          .otherwise(raise_error(concat(
+            lit("pagerank narrowIds certificate violated by id "), c.cast("string"))))
+      else c
     // one shuffle builds adjacency + dedup + degree together; skew
     // note: a node's neighbor array is bounded by the node count of
     // its connected component's frontier — for real power-law graphs
     // cap/sample neighbor lists upstream
-    val adj = edges.groupBy(col("src"))
-      .agg(array_distinct(collect_list(col("dst"))).as("nbrs"))
+    val adj = edges.groupBy(asId(col("src")).as("src"))
+      .agg(array_distinct(collect_list(asId(col("dst")))).as("nbrs"))
       .select(col("src").as("node"), col("nbrs"),
         size(col("nbrs")).cast("long").as("outdeg"))
       .persist()
@@ -124,8 +143,16 @@ object Graph {
         .select(explode(col("nbrs")).as("dst"), expr("rank div outdeg").as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("inc"))
+      // SHUFFLE_HASH on the node-sized inc side: both sides are
+      // already hash-partitioned on the node key (adj from its build
+      // groupBy, inc from the contribution groupBy), so the join is
+      // exchange-free either way — but a sort-merge join would SORT
+      // adj's array-carrying rows every iteration (the arrays are the
+      // edge-sized payload; at sf100 that is ~2.4B longs through the
+      // sorter per round). Hash-building the skinny inc rows streams
+      // the arrays untouched.
       state = adj
-        .join(inc, col("node") === col("dst"), "left")
+        .join(inc.hint("SHUFFLE_HASH"), col("node") === col("dst"), "left")
         .select(col("node"), col("nbrs"), col("outdeg"),
           (lit(base) + expr("(85 * coalesce(inc, 0L)) div 100")).as("rank"))
       if (i % truncateEvery == 0 && i < iters) {
@@ -141,8 +168,10 @@ object Graph {
       }
     }
     // node-sized: drop the arrays, one cheap materialization so the
-    // cache can drop
-    val out = state.select(col("node"), col("outdeg"), col("rank"))
+    // cache can drop; ids widen back to long at the boundary so the
+    // narrow encoding never leaks into a caller's schema
+    val out = state.select(col("node").cast("long").as("node"),
+        col("outdeg"), col("rank"))
       .localCheckpoint()
     prevTrunc.foreach(p =>
       org.apache.spark.sql.graftbridge.Bridge.releaseCheckpoints(p))
@@ -156,7 +185,16 @@ object Graph {
     * node-sized state checkpoint can be released immediately (q87's
     * hygiene discipline) instead of outliving the query. */
   def q53Pagerank(spark: SparkSession, dir: String): DataFrame = {
-    val pr = pagerank(copurchasePairs(spark, dir), iters = 3)
+    // narrow-id certificate from the part DIMENSION (node ids are
+    // partkeys, referentially intact by schema contract): one
+    // metadata-cheap min/max instead of a pass over the edge stream.
+    // pagerank still row-checks the cast, so a violated certificate
+    // fails loudly rather than wrapping.
+    val b = Tables.part(spark, dir)
+      .agg(min(col("p_partkey")).as("lo"), max(col("p_partkey")).as("hi")).head()
+    val narrow = !b.isNullAt(0) &&
+      b.getLong(0) >= Int.MinValue.toLong && b.getLong(1) <= Int.MaxValue.toLong
+    val pr = pagerank(copurchasePairs(spark, dir), iters = 3, narrowIds = narrow)
     val top = pr
       .select(col("node").as("part_key"), col("outdeg").as("out_degree"),
         col("rank"))

@@ -76,6 +76,22 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(got === rank)
   }
 
+  test("pagerank narrow-id (int) and wide-id (long) branches agree; bad certificate fails") {
+    val edges = Graph.copurchaseEdges(spark, sfDir)
+    val wide = Graph.pagerank(edges, iters = 3, narrowIds = false).collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("outdeg"), r.getAs[Long]("rank"))).sorted
+    val narrow = Graph.pagerank(edges, iters = 3, narrowIds = true).collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("outdeg"), r.getAs[Long]("rank"))).sorted
+    assert(wide.sameElements(narrow))
+    // a violated certificate must fail loudly, not wrap ids
+    val ss = spark; import ss.implicits._
+    val big = Seq((Int.MaxValue.toLong + 1, 1L), (1L, Int.MaxValue.toLong + 1)).toDF("src", "dst")
+    val e = intercept[Exception] {
+      Graph.pagerank(big, iters = 1, narrowIds = true).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("q53/q86/q87 release their checkpoint blocks (no block-manager litter)") {
     val sc = spark.sparkContext
     def persisted: Set[Int] = sc.getPersistentRDDs.keySet.toSet
