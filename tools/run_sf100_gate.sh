@@ -16,11 +16,17 @@
 #     replay over 2M vectors), q32 (34 s iterative kmeans), q41 (77 s
 #     CC fixpoint), q45 (852 s), q53 (130 s iterative), q73 (74 s),
 #     q87 (97 s @ sf10 with ~E^1.5 growth), q88 (571 s), q96 (28 s
-#     power iteration); q82/q90 (filled the disk at sf10 already);
-#     q59 (the 80M-row dump/pandas compare, not the SQL, is the
-#     bottleneck); q24/q30 (quadratic by construction — also skipped
-#     on the Spark side, as at sf10). All remain oracle-proven at
-#     sf0.01/sf0.1/sf1 (and sf10 where gated).
+#     power iteration); q82 (filled the disk at sf10); q90 (gated at
+#     sf10 since the two-level quantizer — 19 min there, ~10x linear
+#     puts its sf100 replay past 3 h);
+#     q24/q30 (quadratic by construction — also skipped on the Spark
+#     side, as at sf10). All remain oracle-proven at sf0.01/sf0.1/sf1
+#     (and sf10 where gated).
+#   - q59 IS gated since the checksum comparator: its old skip was the
+#     80M-row pandas compare, not the SQL — check_oracle's
+#     CHECK_ORACLE_CHECKSUM mode compares COUNT(*) + an order-
+#     independent SUM of row hashes inside DuckDB on both sides
+#     (single-value perturbation verified to fail it).
 #   - BENCH subset: the families whose 1000x behavior is the claim
 #     under test — dedup (q20-q23, q41, q73, q90), text/LLM pipeline
 #     (q26-q29, q54, q63, q72, q74-q76, q79, q80, q83, q86, q89, q95,
@@ -52,7 +58,7 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   printf -- "--add-opens=java.base/%s=ALL-UNNAMED " "$p"
 done)
 
-GATE_ONLY=q01_agg_filter,q02_star_join,q03_topn_order,q04_window_topn,q05_distinct_agg,q06_sessionize,q07_trending,q08_url_normalize,q09_explode_conf,q10_dynamic_cube,q11_pivot,q12_calendar_window,q13_date_intervals,q14_threshold_monitor,q15_bin_histogram,q16_num_format,q19_feature_matrix,q20_dedup_exact,q23_ngram_jaccard,q26_lang_id,q27_quality_score,q28_token_count,q29_fingerprint,q31_multimodal_features,q33_json_extract,q34_timezone,q35_percentiles,q36_rollup,q37_running_window,q38_asof_join,q39_range_join,q40_hash_split,q43_stratified_sample,q44_contamination,q46_pii_redact,q47_repetition,q49_sequence_pack,q50_zorder,q51_kmv_distinct,q52_balanced_sample,q54_tfidf,q55_funnel,q56_retention,q57_vocab,q58_cdc_merge,q60_transitions,q61_anomaly,q62_bloom_prune,q63_boilerplate,q64_countmin,q65_session_paths,q66_gap_fill,q67_correlation,q68_experiment,q69_pacing,q70_refresh_select,q71_rfm,q72_corpus_rarity,q74_token_budget,q75_chunking,q76_mixture_report,q77_incremental_rollup,q78_session_funnel,q79_containment,q80_tokenize,q81_chisq_drift,q83_dup_span,q84_embed_stats,q85_snapshot_diff,q86_bpe,q89_bpe_apply,q91_skew_profile,q92_mixture_sample,q93_watermark_audit,q94_shard_manifest,q95_ngram_novelty,q97_bm25,q98_bigram_lm,q99_perceptron
+GATE_ONLY=q01_agg_filter,q02_star_join,q03_topn_order,q04_window_topn,q05_distinct_agg,q06_sessionize,q07_trending,q08_url_normalize,q09_explode_conf,q10_dynamic_cube,q11_pivot,q12_calendar_window,q13_date_intervals,q14_threshold_monitor,q15_bin_histogram,q16_num_format,q19_feature_matrix,q20_dedup_exact,q23_ngram_jaccard,q26_lang_id,q27_quality_score,q28_token_count,q29_fingerprint,q31_multimodal_features,q33_json_extract,q34_timezone,q35_percentiles,q36_rollup,q37_running_window,q38_asof_join,q39_range_join,q40_hash_split,q43_stratified_sample,q44_contamination,q46_pii_redact,q47_repetition,q49_sequence_pack,q50_zorder,q51_kmv_distinct,q52_balanced_sample,q54_tfidf,q55_funnel,q56_retention,q57_vocab,q58_cdc_merge,q59_scd2,q60_transitions,q61_anomaly,q62_bloom_prune,q63_boilerplate,q64_countmin,q65_session_paths,q66_gap_fill,q67_correlation,q68_experiment,q69_pacing,q70_refresh_select,q71_rfm,q72_corpus_rarity,q74_token_budget,q75_chunking,q76_mixture_report,q77_incremental_rollup,q78_session_funnel,q79_containment,q80_tokenize,q81_chisq_drift,q83_dup_span,q84_embed_stats,q85_snapshot_diff,q86_bpe,q89_bpe_apply,q91_skew_profile,q92_mixture_sample,q93_watermark_audit,q94_shard_manifest,q95_ngram_novelty,q97_bm25,q98_bigram_lm,q99_perceptron
 
 BENCH_ONLY=q01_agg_filter,q06_sessionize,q20_dedup_exact,q21_dedup_minhash,q22_dedup_simhash,q23_ngram_jaccard,q26_lang_id,q27_quality_score,q28_token_count,q29_fingerprint,q31_multimodal_features,q32_kmeans,q37_running_window,q41_dedup_pipeline,q45_ann_ivf,q49_sequence_pack,q53_pagerank,q54_tfidf,q58_cdc_merge,q59_scd2,q63_boilerplate,q64_countmin,q72_corpus_rarity,q73_incremental_dedup,q74_token_budget,q75_chunking,q76_mixture_report,q79_containment,q80_tokenize,q83_dup_span,q84_embed_stats,q86_bpe,q88_ivfpq_probe,q89_bpe_apply,q90_semantic_dedup,q94_shard_manifest,q95_ngram_novelty,q97_bm25,q98_bigram_lm,q99_perceptron
 
@@ -73,7 +79,8 @@ out, only = sys.argv[1], set(sys.argv[2].split(","))
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 json.dump(sorted(set(oracle) - only), open(f"{out}/gate_skips.json", "w"))
 EOF
-python3 tools/check_oracle.py "$SF100" "$OUT" "$OUT/sf100_overrides.json" \
+CHECK_ORACLE_CHECKSUM=q59_scd2 \
+  python3 tools/check_oracle.py "$SF100" "$OUT" "$OUT/sf100_overrides.json" \
   CORRECTNESS_SF100.json "$OUT/gate_skips.json"
 
 echo "== Bench at sf100 (single rep, scale-story subset) =="

@@ -11,14 +11,16 @@
 #   q24_ann_bruteforce, q30_dedup_embedding — quadratic BY CONSTRUCTION
 #   on both engines (the same exclusions the sf10 bench documents);
 #   plus SF10_ORACLE_SKIP for oracle replays measured impractical at
-#   this scale. Defaults: q82_pq_ann — flat PQ is exhaustive ADC by
+#   this scale. Default: q82_pq_ann — flat PQ is exhaustive ADC by
 #   DECLARED semantics, so its replay aggregates ~6.4e9 (probe,
 #   neighbor, sub) rows at sf10 and spilled DuckDB temp past the disk
-#   (its indexed counterpart q88 IS gated here: 40k rows exact); and
-#   q90_semantic_dedup — the kmeans assignment join carries two
-#   64-float lists across 200k vectors x 800 cells per round (~90 GB
-#   of uncompressed temp), same disk-full failure. Both stay
-#   oracle-proven at sf0.01/sf0.1/sf1.
+#   (its indexed counterpart q88 IS gated here: 40k rows exact). It
+#   stays oracle-proven at sf0.01/sf0.1/sf1.
+#   q90_semantic_dedup is GATED since the two-level quantizer landed:
+#   the flat replay's assignment crossed 200k vectors x 800 cells per
+#   round (~90 GB of temp, disk-full); the two-level chain scores
+#   ~sqrt(k) centroids per vector per level and replays in ~19 min
+#   (measured, 815 rows exact).
 #
 # Heap: ~80 GiB default, override with SPARK_GRAFT_XMX. Expect ~1 h
 # end-to-end on 32 cores (the Spark dump dominates; DuckDB replays the
@@ -63,7 +65,7 @@ import json, os, sys
 out = sys.argv[1]
 skips = set(json.load(open(f"{out}/skipped.json")))
 skips |= {s for s in
-          os.environ.get("SF10_ORACLE_SKIP", "q82_pq_ann,q90_semantic_dedup").split(",") if s}
+          os.environ.get("SF10_ORACLE_SKIP", "q82_pq_ann").split(",") if s}
 json.dump(sorted(skips), open(f"{out}/gate_skips.json", "w"))
 EOF
 python3 tools/check_oracle.py "$SF10" "$OUT" "$OUT/sf10_overrides.json" \
