@@ -139,22 +139,7 @@ object Graph {
     val truncateEvery = 4
     var prevTrunc: Option[DataFrame] = None
     for (i <- 1 to iters) {
-      val inc = state
-        .select(explode(col("nbrs")).as("dst"), expr("rank div outdeg").as("c"))
-        .groupBy(col("dst"))
-        .agg(sum(col("c")).as("inc"))
-      // SHUFFLE_HASH on the node-sized inc side: both sides are
-      // already hash-partitioned on the node key (adj from its build
-      // groupBy, inc from the contribution groupBy), so the join is
-      // exchange-free either way — but a sort-merge join would SORT
-      // adj's array-carrying rows every iteration (the arrays are the
-      // edge-sized payload; at sf100 that is ~2.4B longs through the
-      // sorter per round). Hash-building the skinny inc rows streams
-      // the arrays untouched.
-      state = adj
-        .join(inc.hint("SHUFFLE_HASH"), col("node") === col("dst"), "left")
-        .select(col("node"), col("nbrs"), col("outdeg"),
-          (lit(base) + expr("(85 * coalesce(inc, 0L)) div 100")).as("rank"))
+      state = prRound(adj, state, base)
       if (i % truncateEvery == 0 && i < iters) {
         // carry only (node, rank); re-attach the cached adjacency so
         // the checkpointed frame is node-rank-sized, not array-sized
@@ -177,6 +162,28 @@ object Graph {
       org.apache.spark.sql.graftbridge.Bridge.releaseCheckpoints(p))
     adj.unpersist()
     out
+  }
+
+  /** One PageRank round: the contribution explode + partially
+    * aggregated groupBy, then the rank reattachment. SHUFFLE_HASH on
+    * the node-sized inc side: both sides are already hash-partitioned
+    * on the node key (adj from its build groupBy, inc from the
+    * contribution groupBy), so the join is exchange-free either way —
+    * but a sort-merge join would SORT adj's array-carrying rows every
+    * iteration (the arrays are the edge-sized payload; at sf100 that
+    * is ~2.4B longs through the sorter per round). Hash-building the
+    * skinny inc rows streams the arrays untouched. Package-private so
+    * the plan-shape guard can inspect one un-materialized round. */
+  private[graft] def prRound(adj: DataFrame, state: DataFrame,
+      base: Long): DataFrame = {
+    val inc = state
+      .select(explode(col("nbrs")).as("dst"), expr("rank div outdeg").as("c"))
+      .groupBy(col("dst"))
+      .agg(sum(col("c")).as("inc"))
+    adj
+      .join(inc.hint("SHUFFLE_HASH"), col("node") === col("dst"), "left")
+      .select(col("node"), col("nbrs"), col("outdeg"),
+        (lit(base) + expr("(85 * coalesce(inc, 0L)) div 100")).as("rank"))
   }
 
   /** Top 20 parts by co-purchase PageRank after 3 iterations —

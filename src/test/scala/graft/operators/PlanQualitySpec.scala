@@ -384,6 +384,42 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q53: rank reattachment hash-builds the node-sized side; adjacency never sorts") {
+    // one un-materialized PageRank round over the real corpus's
+    // adjacency shape: the reattachment join must be a shuffled hash
+    // join (or a broadcast at tiny scale) — NEVER a sort-merge join,
+    // whose per-iteration sort of the array-carrying side is the
+    // O(E log n)-bytes cost the SHUFFLE_HASH hint exists to remove —
+    // and must add no exchange beyond the two groupBys (both sides
+    // are co-partitioned on the node key already).
+    import org.apache.spark.sql.functions._
+    val edges = Graph.copurchaseEdges(spark, sfDir)
+    val adj = edges.groupBy(col("src"))
+      .agg(array_distinct(collect_list(col("dst"))).as("nbrs"))
+      .select(col("src").as("node"), col("nbrs"),
+        size(col("nbrs")).cast("long").as("outdeg"))
+    val state = adj.withColumn("rank", lit(1000000L))
+    val plan = Graph.prRound(adj, state, 1L).queryExecution.sparkPlan
+    val pstr = plan.toString
+    assert(!pstr.contains("SortMergeJoin"),
+      "rank reattachment must not sort the adjacency arrays")
+    val shjs = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(shjs.nonEmpty, s"expected a shuffled hash join:\n$pstr")
+    // co-partition property: walking down from the join, each side
+    // reaches its groupBy's aggregate WITHOUT crossing an exchange —
+    // the join reuses the partitioning both groupBys already paid for
+    shjs.head.children.foreach { side =>
+      var n: org.apache.spark.sql.execution.SparkPlan = side
+      while (n.isInstanceOf[org.apache.spark.sql.execution.ProjectExec] ||
+             n.isInstanceOf[org.apache.spark.sql.execution.FilterExec])
+        n = n.children.head
+      assert(!n.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec],
+        s"exchange between the join and its side's aggregate:\n$pstr")
+    }
+  }
+
   test("q91: key profiles aggregate without windows or global sorts") {
     val p = plan("q91_skew_profile")
     assert(!p.matches("(?s).*\\bWindow\\b.*"),
