@@ -35,6 +35,18 @@ object Sessions {
     SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Let AQE pick the per-stage shuffle width instead of pinning
+      // every exchange to `cpus` partitions: start each shuffle at
+      // 8×cpus and let coalescePartitions shrink toward the 64 MB
+      // advisory target. At sf0.1 this coalesces right back to ~cpus
+      // (no small-partition overhead); at sf100 the 500M-row postings
+      // and pair shuffles keep enough partitions to stay under the
+      // per-task memory that was forcing sort-spills at a fixed 32.
+      // Results are partitioning-free by library-wide design (integer
+      // determinism, data-derived shard keys), which the oracle gates
+      // verify at every scale factor.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (scala.util.Try(cpus.toInt).getOrElse(32) * 8).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir",
         new java.io.File(target, "spark-warehouse").getAbsolutePath)
