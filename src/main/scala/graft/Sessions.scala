@@ -47,6 +47,14 @@ object Sessions {
       // verify at every scale factor.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         (scala.util.Try(cpus.toInt).getOrElse(32) * 8).toString)
+      // Shuffle files of FINISHED queries are only deleted when the
+      // driver GCs their RDD references (ContextCleaner); with a large
+      // heap a long multi-query session can go 30+ min (the default
+      // periodicGC interval) without one, accumulating tens of GB of
+      // dead shuffle files — the sf100 bench hit ENOSPC exactly this
+      // way while its LIVE working set fit comfortably. A 2-minute
+      // periodic GC bounds the debris at a few queries' worth.
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir",
         new java.io.File(target, "spark-warehouse").getAbsolutePath)
