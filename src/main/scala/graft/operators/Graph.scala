@@ -127,16 +127,21 @@ object Graph {
     // two joins of the (node, rank)-only formulation, which had to
     // join adj a second time just to find the neighbor lists
     var state = adj.withColumn("rank", lit(per))
-    // PLAN-GROWTH GUARD: each un-materialized iteration appends a
-    // join+agg to the logical plan; at small fixed iters that chain is
-    // cheaper than materializing, but left unbounded it blows up
-    // analysis time (and eventually the optimizer). Truncate the
-    // lineage every `truncateEvery` rounds — the node-sized (node,
-    // rank) state is cheap to materialize — releasing each previous
-    // truncation as soon as the next lands. Integer ranks make the
-    // truncated and unbroken chains bit-identical (PropertySpec replays
-    // iters = 10 against a single-threaded reference).
-    val truncateEvery = 4
+    // PLAN-GROWTH + SHUFFLE-DISK GUARD: each un-materialized iteration
+    // appends a join+agg to the logical plan (unbounded: analysis-time
+    // blow-up) AND keeps every prior round's contribution-shuffle
+    // files referenced through the lineage — at sf100 one round's
+    // shuffle is ~10 GB, and three retained rounds plus the adjacency
+    // build put the bench past ENOSPC while the LIVE working set fit
+    // easily. Truncate the lineage every `truncateEvery` rounds — the
+    // node-sized (node, rank) state is cheap to materialize — so at
+    // most two rounds' shuffle files are ever alive; each previous
+    // truncation is released as the next lands, and the now-
+    // unreferenced shuffle files are reclaimed by the periodic-GC'd
+    // ContextCleaner (Sessions). Integer ranks make the truncated and
+    // unbroken chains bit-identical (the iters = 10 replay spec runs
+    // through multiple truncations).
+    val truncateEvery = 2
     var prevTrunc: Option[DataFrame] = None
     for (i <- 1 to iters) {
       state = prRound(adj, state, base)
