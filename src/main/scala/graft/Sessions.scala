@@ -24,6 +24,16 @@ import org.apache.spark.sql.SparkSession
   */
 object Sessions {
 
+  /** The core count behind a `local[...]` argument: `*` resolves to
+    * the machine's processors (what Spark itself does with it); any
+    * other non-numeric value is rejected loudly — a silent fixed
+    * fallback would mis-size initialPartitionNum AND hide typos. */
+  def resolveCpus(cpus: String): Int =
+    if (cpus == "*") Runtime.getRuntime.availableProcessors()
+    else scala.util.Try(cpus.toInt).getOrElse(
+      throw new IllegalArgumentException(
+        s"SPARK_GRAFT_CPUS must be an integer or '*', got '$cpus'"))
+
   /** Builder with the shared hygiene + determinism settings applied.
     * Callers add master/parallelism and any entrypoint-specific conf. */
   def builder(cpus: String): SparkSession.Builder = {
@@ -46,7 +56,7 @@ object Sessions {
       // determinism, data-derived shard keys), which the oracle gates
       // verify at every scale factor.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (scala.util.Try(cpus.toInt).getOrElse(32) * 8).toString)
+        (resolveCpus(cpus) * 8).toString)
       // Shuffle files of FINISHED queries are only deleted when the
       // driver GCs their RDD references (ContextCleaner); with a large
       // heap a long multi-query session can go 30+ min (the default

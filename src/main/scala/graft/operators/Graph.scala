@@ -33,6 +33,11 @@ object Graph {
   /** Rank mass scale: ranks are int64 fractions of 10^12. */
   val RankScale = 1000000000000L
 
+  /** Lineage-truncation cadence for pagerank: checkpoint the node-rank
+    * state (and delete the dead rounds' shuffle files) every this many
+    * iterations. */
+  val TruncateEvery = 2
+
   /** Raw co-purchase pairs: parts linked when they appear in the same
     * order, both directions, NOT deduplicated (pagerank's adjacency
     * build dedups on its own shuffle — a separate distinct pass would
@@ -80,13 +85,36 @@ object Graph {
     * computation (the node-count job materializes it); the final
     * node-sized state is truncated with localCheckpoint and the cache
     * RELEASED — no immortal persist escapes this function. The join
-    * chain is truncated every 4 iterations (node-rank-sized
-    * localCheckpoint, previous truncation released as the next lands),
-    * so `iters` may be raised freely without unbounded plan growth —
-    * a durable checkpoint dir replaces localCheckpoint on a real
-    * cluster, as in Pipeline.labelPropagate. */
+    * chain is truncated every `TruncateEvery` iterations
+    * (node-rank-sized localCheckpoint, previous truncation released as
+    * the next lands), so `iters` may be raised freely without
+    * unbounded plan growth. Each truncation also deterministically
+    * DELETES the shuffle files its now-dead rounds wrote
+    * (Bridge.removeShuffles) — proved-dead shuffles otherwise linger
+    * until the driver GCs the plan objects, and at sf100 two retained
+    * dead rounds (~10 GB each) plus the build shuffle exceeded the
+    * local-disk budget while the live working set fit easily.
+    *
+    * Cluster note: set `spark.graft.checkpointDir` to a durable path
+    * and the truncations become reliable checkpoints (Dataset
+    * .checkpoint) instead of localCheckpoint — localCheckpoint blocks
+    * (and the eagerly-deleted shuffles backing them) cannot survive
+    * executor loss, so on a multi-executor cluster the durable dir is
+    * the fault-tolerant configuration; results are bit-identical
+    * either way (integer ranks). */
   def pagerank(edges: DataFrame, iters: Int,
       narrowIds: Boolean = false): DataFrame = {
+    val session = edges.sparkSession
+    import org.apache.spark.sql.graftbridge.Bridge
+    // shuffles alive before this operator ran: never touched
+    val baseline = Bridge.shuffleIds(session)
+    // durable-checkpoint knob (cluster configuration; see scaladoc)
+    val ckDir = session.conf.get("spark.graft.checkpointDir", "")
+    if (ckDir.nonEmpty &&
+        session.sparkContext.getCheckpointDir.isEmpty)
+      session.sparkContext.setCheckpointDir(ckDir)
+    def truncate(df: DataFrame): DataFrame =
+      if (ckDir.nonEmpty) df.checkpoint() else df.localCheckpoint()
     // NARROW-ID gate (the q87 discipline): when the caller certifies
     // every node id fits in 32 bits — q53 checks the part DIMENSION's
     // key bounds, one metadata-sized scan, instead of re-running the
@@ -118,6 +146,24 @@ object Graph {
     // data); also forces the cache
     val n = adj.count()
     require(n > 0, "pagerank needs a non-empty edge set")
+    // the adjacency-build shuffles (the edge-sized pair exchange — the
+    // single largest disk item of the whole computation). In LOCAL
+    // mode the fully-materialized cache can't lose blocks short of JVM
+    // death, so they are dead the moment count() lands and are deleted
+    // now; on a cluster they stay until the cache is released (block
+    // loss would recompute through them).
+    val buildIds = Bridge.shuffleIds(session) -- baseline
+    val protectedIds =
+      if (session.sparkContext.isLocal) {
+        Bridge.removeShuffles(session, buildIds); baseline
+      } else baseline ++ buildIds
+    // delete every shuffle this operator created that is not protected
+    // — called only at points where all prior rounds are materialized
+    // into checkpoint blocks (removeShuffles unregisters, so repeated
+    // sweeps are naturally incremental)
+    def sweepDeadShuffles(): Unit =
+      Bridge.removeShuffles(session,
+        Bridge.shuffleIds(session) -- protectedIds)
     val per = RankScale / n
     val base = 15L * per / 100L
     // the state CARRIES its adjacency (node, nbrs, outdeg, rank):
@@ -133,26 +179,27 @@ object Graph {
     // files referenced through the lineage — at sf100 one round's
     // shuffle is ~10 GB, and three retained rounds plus the adjacency
     // build put the bench past ENOSPC while the LIVE working set fit
-    // easily. Truncate the lineage every `truncateEvery` rounds — the
+    // easily. Truncate the lineage every `TruncateEvery` rounds — the
     // node-sized (node, rank) state is cheap to materialize — so at
-    // most two rounds' shuffle files are ever alive; each previous
-    // truncation is released as the next lands, and the now-
-    // unreferenced shuffle files are reclaimed by the periodic-GC'd
-    // ContextCleaner (Sessions). Integer ranks make the truncated and
-    // unbroken chains bit-identical (the iters = 10 replay spec runs
-    // through multiple truncations).
-    val truncateEvery = 2
+    // most TruncateEvery rounds' shuffle files are ever alive: each
+    // truncation releases the previous checkpoint AND deletes the
+    // now-dead rounds' shuffle files on the spot (sweepDeadShuffles —
+    // waiting for GC-driven cleanup left ~49 GB of proved-dead files
+    // on disk mid-query at sf100). Integer ranks make the truncated
+    // and unbroken chains bit-identical (the iters = 10 replay spec
+    // runs through multiple truncations).
     var prevTrunc: Option[DataFrame] = None
     for (i <- 1 to iters) {
       state = prRound(adj, state, base)
-      if (i % truncateEvery == 0 && i < iters) {
+      if (i % TruncateEvery == 0 && i < iters) {
         // carry only (node, rank); re-attach the cached adjacency so
         // the checkpointed frame is node-rank-sized, not array-sized
-        val slim = state.select(col("node").as("ck_node"), col("rank"))
-          .localCheckpoint()
+        val slim = truncate(
+          state.select(col("node").as("ck_node"), col("rank")))
         prevTrunc.foreach(p =>
           org.apache.spark.sql.graftbridge.Bridge.releaseCheckpoints(p))
         prevTrunc = Some(slim)
+        sweepDeadShuffles()
         state = adj.join(slim, col("node") === col("ck_node"))
           .select(col("node"), col("nbrs"), col("outdeg"), col("rank"))
       }
@@ -160,12 +207,14 @@ object Graph {
     // node-sized: drop the arrays, one cheap materialization so the
     // cache can drop; ids widen back to long at the boundary so the
     // narrow encoding never leaks into a caller's schema
-    val out = state.select(col("node").cast("long").as("node"),
-        col("outdeg"), col("rank"))
-      .localCheckpoint()
+    val out = truncate(state.select(col("node").cast("long").as("node"),
+        col("outdeg"), col("rank")))
     prevTrunc.foreach(p =>
       org.apache.spark.sql.graftbridge.Bridge.releaseCheckpoints(p))
     adj.unpersist()
+    // the cache is gone: every shuffle since function entry (including
+    // the build shuffles a cluster run kept) is now unreachable
+    Bridge.removeShuffles(session, Bridge.shuffleIds(session) -- baseline)
     out
   }
 

@@ -33,6 +33,38 @@ object Bridge {
   def releaseCheckpoints(dfs: org.apache.spark.sql.DataFrame*): Unit =
     dfs.foreach(df => checkpointRdd(df).foreach(_.unpersist(blocking = false)))
 
+  /** Ids of every shuffle currently registered with the driver's map
+    * output tracker. Snapshot/diff pairs of this set let an iterative
+    * operator name exactly the shuffles its own rounds created. */
+  def shuffleIds(spark: org.apache.spark.sql.SparkSession): Set[Int] =
+    org.apache.spark.SparkEnv.get.mapOutputTracker
+      .asInstanceOf[org.apache.spark.MapOutputTrackerMaster]
+      .shuffleStatuses.keySet.toSet
+
+  /** Deterministically release the given shuffles NOW — unregister the
+    * map outputs and delete the shuffle files — instead of waiting for
+    * the ContextCleaner to notice the referencing RDDs are garbage.
+    * This is the disk-hygiene twin of releaseCheckpoints: an iterative
+    * operator that truncates its lineage (localCheckpoint) has PROVED
+    * the pre-truncation shuffles dead, but the JVM may not GC the plan
+    * objects for many minutes on a large heap — at sf100 one PageRank
+    * round's contribution shuffle is ~10 GB, so three retained dead
+    * rounds exceed the local-disk budget while the live working set
+    * fits easily (the committed r8 ENOSPC). Blocking: the files are
+    * gone when this returns, so the next round's writes see the space.
+    *
+    * Callers must only pass ids whose results can no longer be needed:
+    * ids created by THIS operator's already-materialized rounds, never
+    * a baseline id that predates the operator (a sequential driver —
+    * Bench/Verify run queries one at a time — makes the since-baseline
+    * diff exact). Cleaning is idempotent; the ContextCleaner's later
+    * GC-driven pass over the same ids is a no-op. */
+  def removeShuffles(spark: org.apache.spark.sql.SparkSession,
+      ids: Iterable[Int]): Unit =
+    spark.sparkContext.cleaner.foreach { c =>
+      ids.foreach(id => c.doCleanupShuffle(id, blocking = true))
+    }
+
   /** Imperative function registration on a live session (the
     * config-time path is SparkSessionExtensions.injectFunction). */
   def registerFunction(

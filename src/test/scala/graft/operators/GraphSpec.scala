@@ -89,7 +89,46 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     val e = intercept[Exception] {
       Graph.pagerank(big, iters = 1, narrowIds = true).collect()
     }
-    assert(e.getMessage != null)
+    // the raise_error path specifically — not just any failure (an
+    // unrelated AnalysisException would otherwise pass); unwrap the
+    // cause chain because Spark wraps task failures in SparkException
+    val messages = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+    assert(messages.exists(_.contains("narrowIds certificate violated")))
+  }
+
+  test("pagerank deletes every shuffle it created by the time it returns") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val edges = Graph.copurchaseEdges(spark, sfDir)
+    // enough iterations to cross two truncation points
+    val before = Bridge.shuffleIds(spark)
+    // pagerank materializes eagerly (checkpointed result) — no action
+    // here, so any id left registered is pagerank's own
+    val out = Graph.pagerank(edges, iters = 6)
+    Bridge.releaseCheckpoints(out)
+    val leaked = Bridge.shuffleIds(spark) -- before
+    assert(leaked.isEmpty,
+      s"pagerank left shuffles registered (disk-hygiene regression): $leaked")
+  }
+
+  test("spark.graft.checkpointDir: durable truncations, identical ranks") {
+    val edges = Graph.copurchaseEdges(spark, sfDir)
+    def run(): Seq[(Long, Long, Long)] =
+      Graph.pagerank(edges, iters = 5).collect().toSeq
+        .map(r => (r.getAs[Long]("node"), r.getAs[Long]("outdeg"),
+          r.getAs[Long]("rank"))).sorted
+    val viaLocal = run()
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    spark.conf.set("spark.graft.checkpointDir", dir.toString)
+    val viaDurable = try run()
+      finally spark.conf.unset("spark.graft.checkpointDir")
+    assert(viaLocal === viaDurable)
+    // the durable run actually wrote checkpoint data under the dir
+    val wrote = java.nio.file.Files.walk(dir).count() > 1
+    assert(wrote, "durable run left no files under the checkpoint dir")
+    // best-effort cleanup of the temp checkpoint tree
+    java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
   }
 
   test("q53/q86/q87 release their checkpoint blocks (no block-manager litter)") {
