@@ -77,6 +77,13 @@ object Bench {
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val fullReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL_REPS", "1").toInt
+    // disk headroom bracketing the run (GiB on the shuffle-temp fs):
+    // a disk-constrained record — the failure mode that produced the
+    // r8 sf100 ENOSPC — is self-diagnosing instead of a mystery
+    def diskFreeGb: Long =
+      new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+        .getUsableSpace / (1024L * 1024 * 1024)
+    val diskFreeBefore = diskFreeGb
     val spark = Sessions.local(cpus)
 
     // warmup: exercise scan + shuffle + window codegen paths once
@@ -170,7 +177,7 @@ object Bench {
         ",\"full_median\":" + fmt(r.fullMedian) + probeFields + "}"
     }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"sf":"$sfDir","n_queries":${results.length},"build_sec":${fmt(buildSec)},"skipped":$skipped,"full_total":${fmt(fullTotal)},"full_reps":$fullReps}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"sf":"$sfDir","n_queries":${results.length},"build_sec":${fmt(buildSec)},"skipped":$skipped,"full_total":${fmt(fullTotal)},"full_reps":$fullReps,"disk_free_gb_before":$diskFreeBefore,"disk_free_gb_after":$diskFreeGb}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (full + "\n").getBytes("UTF-8"))
     spark.stop()

@@ -131,9 +131,12 @@ object SparkEntry {
     kmeansCtes(k.toString, iters)
 
   /** As above with the cluster count as a SQL expression, so an oracle
-    * can derive k from the corpus itself (q90's k = max(16, n/250) —
-    * the same formula the Spark side computes) and stay valid at every
-    * scale factor without overrides. */
+    * can derive k from the corpus itself and stay valid at every scale
+    * factor without overrides. NOTE: each round references its
+    * predecessor twice (assignment + carry-over join), so this chain
+    * is for oracles where it stands essentially alone (q32/q45/q82/
+    * q88) — composed inside a larger WITH it inlines 2^iters plan
+    * copies; use flatLloydCtes (single-reference rounds) there. */
   private def kmeansCtes(kSql: String, iters: Int): String = {
     def iterCte(i: Int): String = {
       val prev = s"c${i - 1}"
@@ -199,20 +202,27 @@ object SparkEntry {
     * inlined plan LINEAR in iters, no materialization hints needed,
     * at the cost of exploding the scored set (rows × codebook × dims)
     * instead of just the argmin rows — the committed form's replay is
-    * ~n·sqrt(k)·64 rows per round, the same complexity as the engine. */
-  private def twoLevelCtes(iters: Int): String = {
-    val k1Sql = """SELECT CASE WHEN t * t >= k THEN t ELSE t + 1 END FROM (
-          SELECT GREATEST(16, COUNT(*) // 250) AS k,
-            CAST(floor(sqrt(CAST(GREATEST(16, COUNT(*) // 250) AS DOUBLE))) AS BIGINT) AS t
-          FROM v)"""
-    // one single-reference Lloyd's round: score prev's codebook
-    // (rows = every vector × the codebook entries it can reach),
-    // argmin by window, then per (keys, dim): floor-div mean of the
-    // chosen rows, or the carried old coordinate when none chose it.
-    // keys = "cluster" (level 1, reach = CROSS JOIN) or "super, sub"
-    // (level 2, reach = equi-join on super).
-    def round(out: String, keysIn: String, keys: String, join: String,
-        tieCol: String): String = s"""
+    * ~n·sqrt(k)·64 rows per round, the same complexity as the engine.
+    *
+    * The chain trains over the full corpus unconditionally — q90's
+    * regime gate silences its ASSIGNMENT with one count predicate at
+    * the `cells` union instead of filtering this chain's source (a
+    * filtered source re-plans its decorrelated count subquery at every
+    * inlined reference: minutes of planner time on empty data). */
+  /** One SINGLE-REFERENCE Lloyd's round (the CTE-discipline unit both
+    * quantizer replays build from): score prev's codebook (rows =
+    * every vector × the codebook entries it can reach), argmin by
+    * window, then per (keys, dim): floor-div mean of the chosen rows,
+    * or the carried old coordinate when none chose it. keys =
+    * "cluster" (flat / level 1, reach = CROSS JOIN) or "super, sub"
+    * (level 2, reach = equi-join on super). Referencing the
+    * predecessor exactly once keeps the inlined DuckDB plan LINEAR in
+    * iterations — the two-reference kmeansCtes recipe is fine standing
+    * alone but inlines 2^iters plan copies when composed inside a
+    * larger WITH (q90's gated oracle took minutes in the PLANNER at
+    * 500 rows before this round replaced its flat branch). */
+  private def singleRefLloydRound(out: String, keysIn: String,
+      keys: String, join: String, tieCol: String): String = s"""
       $out AS (
         SELECT $keys, list(cq_j ORDER BY j) AS cq FROM (
           SELECT $keys, j,
@@ -235,6 +245,33 @@ object SparkEntry {
           ) GROUP BY ALL
         ) GROUP BY ALL
       )"""
+
+  /** Flat quantized-Lloyd's replay in single-reference rounds: trains
+    * a `kSql`-sized codebook over the quantized-vector CTE `src`,
+    * emitting `${prefix}0..${prefix}iters` — the composition-safe
+    * equivalent of kmeansCtes' chain (bit-identical updates; the
+    * carry-over lives inside each round instead of a second prev
+    * reference). Ends at `$prefix$iters(cluster, cq)`. */
+  private def flatLloydCtes(kSql: String, iters: Int, src: String,
+      prefix: String): String = {
+    val rounds = (1 to iters).map(i => singleRefLloydRound(s"$prefix$i",
+      "c.cluster", "cluster", s"$src x CROSS JOIN $prefix${i - 1} c",
+      "c.cluster")).mkString(",")
+    s"""${prefix}0 AS (
+        SELECT rn - 1 AS cluster, q AS cq FROM (
+          SELECT q, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM $src
+        ) WHERE rn <= ($kSql)
+      ),$rounds"""
+  }
+
+  private def twoLevelCtes(iters: Int): String = {
+    val k1Sql = """SELECT CASE WHEN t * t >= k THEN t ELSE t + 1 END FROM (
+          SELECT GREATEST(16, COUNT(*) // 250) AS k,
+            CAST(floor(sqrt(CAST(GREATEST(16, COUNT(*) // 250) AS DOUBLE))) AS BIGINT) AS t
+          FROM v)"""
+    def round(out: String, keysIn: String, keys: String, join: String,
+        tieCol: String): String =
+      singleRefLloydRound(out, keysIn, keys, join, tieCol)
     def l1Round(i: Int): String = round(s"l$i",
       "c.cluster", "cluster", s"v x CROSS JOIN l${i - 1} c", "c.cluster")
     def l2Round(i: Int): String = round(s"d$i",
@@ -2456,17 +2493,50 @@ object SparkEntry {
       JOIN w5 ON w5.word = t.word
       GROUP BY 1
     """,
-    // the full SemDeDup lifecycle replayed: TWO-LEVEL quantizer
-    // training (twoLevelCtes — both Lloyd's chains, the grouped
-    // level-2 argmin, prefix-sum cell offsets), integer cell
-    // assignment, within-cell pairs, and the bit-exact cosine verify.
-    // k1/tgt derive from the corpus size by the SAME formulas as
-    // Clustering.twoLevelQuantizer, so this oracle stays valid at
-    // every scale factor without overrides — and, unlike the flat
-    // replay (whose assignment crossed n × n/250 cells and filled the
-    // disk at sf10), its replay cost is ~n·sqrt(k) too.
+    // the full SemDeDup lifecycle replayed BRANCH-AND-ALL: the regime
+    // gate (Ann.TwoLevelMinVectors) picks flat Lloyd's below 50k
+    // vectors and the two-level quantizer above, and the oracle
+    // replays the SAME count-derived branch — both chains are present
+    // in one static SQL, but each trains over a count-FILTERED source
+    // (vtl / vfl), so the un-chosen chain sees zero rows and costs
+    // nothing beyond a scalar count. k/k1/tgt derive from the corpus
+    // size by the SAME formulas as the Scala side, so this oracle
+    // stays valid at every scale factor without overrides; the chosen
+    // two-level replay is ~n·sqrt(k) per round, same complexity as
+    // the engine.
     "q90_semantic_dedup" -> s"""
       WITH ${twoLevelCtes(iters = 5)},
+      vfl AS (
+        SELECT vec_id,
+          list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 16777216.0) AS BIGINT)) AS q
+        FROM embeddings
+        WHERE (SELECT COUNT(*) FROM embeddings) < ${Ann.TwoLevelMinVectors}
+      ),
+      ${flatLloydCtes("SELECT GREATEST(16, COUNT(*) // 250) FROM vfl",
+          iters = 5, src = "vfl", prefix = "fc")},
+      flatasg AS (
+        SELECT vec_id, cluster AS cell FROM (
+          SELECT v.vec_id, c.cluster,
+            ROW_NUMBER() OVER (PARTITION BY v.vec_id
+              ORDER BY ${qDist("c")} ASC, c.cluster ASC) AS rn
+          FROM vfl v CROSS JOIN fc5 c
+        ) WHERE rn = 1
+      ),
+      cells AS (
+        -- EXACTLY one branch contributes: the count predicate silences
+        -- the two-level assignment in the flat regime, and vfl (the
+        -- flat chain's source) is empty in the two-level regime. The
+        -- gate is ASYMMETRIC by design — only the flat chain (the
+        -- quadratic-at-scale one) trains over a count-filtered source;
+        -- the two-level chain keeps its plain source because its ~65
+        -- inlined source references each re-plan the filter's
+        -- decorrelated subquery (measured: 300 s of PLANNER time on an
+        -- EMPTY chain), while executing it small-n costs seconds.
+        SELECT vec_id, cell FROM cellasg
+        WHERE (SELECT COUNT(*) FROM embeddings) >= ${Ann.TwoLevelMinVectors}
+        UNION ALL SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM flatasg
+      ),
       e AS (
         SELECT vec_id, embedding,
           sqrt(list_reduce(
@@ -2476,7 +2546,7 @@ object SparkEntry {
       ),
       pruned AS (
         SELECT DISTINCT b.vec_id
-        FROM cellasg a JOIN cellasg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
         JOIN e p ON a.vec_id = p.vec_id
         JOIN e n ON b.vec_id = n.vec_id
         WHERE $cosineSql >= 0.25
@@ -2485,7 +2555,7 @@ object SparkEntry {
         CAST(COUNT(pr.vec_id) AS BIGINT) AS pruned,
         CAST(COUNT(*) - COUNT(pr.vec_id) AS BIGINT) AS kept,
         CAST(COUNT(pr.vec_id) * 10000 // COUNT(*) AS BIGINT) AS prune_bp
-      FROM cellasg g LEFT JOIN pruned pr ON g.vec_id = pr.vec_id
+      FROM cells g LEFT JOIN pruned pr ON g.vec_id = pr.vec_id
       GROUP BY 1
     """,
     "q91_skew_profile" ->

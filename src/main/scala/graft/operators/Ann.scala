@@ -425,27 +425,51 @@ object Ann {
   def semDedupK(n: Long, targetCellSize: Int = 250): Int =
     math.max(16L, n / targetCellSize).toInt
 
+  /** Quantizer regime gate for q90: below this corpus size the FLAT
+    * quantized Lloyd's trains the cell carve (its n·k·d pass is cheap
+    * when k = max(16, n/250) is small, and one chain beats two); at or
+    * above it the TWO-LEVEL quantizer takes over (flat's pass is
+    * n²·d/250 — quadratic in corpus, 494 s of the sf100 bench). The
+    * DuckDB oracle replays the SAME count-derived branch (each chain's
+    * source CTE is emptied by the opposite predicate), so both regimes
+    * stay oracle-exact at every scale factor. */
+  val TwoLevelMinVectors = 50000L
+
   def q90SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
-    val threshold = 0.25
     // corpus-derived quantizer: the count() is a parquet-metadata read
-    // (no data pass). TWO-LEVEL since round 8: training one flat
-    // k = n/250 quantizer is n²·dim/250 MACs per Lloyd's pass —
-    // quadratic in corpus, and measured as 494 of q90's 494 s at
-    // sf100. The two-level quantizer (Clustering.twoLevelQuantizer)
-    // trains sqrt(k) supers then sub-codebooks within, cutting every
-    // training/assignment pass to ~n·sqrt(k)·dim while keeping the
-    // SemDeDup contract stronger than before: EVERY super's expected
-    // sub-cell size is bounded by construction, so within-cell pairs
-    // stay O(n·250) — linear. The whole train-assign-prune lifecycle
-    // remains integer-deterministic and replayed by the DuckDB oracle
-    // (both level chains, the offsets, the bit-exact cosine verify).
+    // (no data pass). Regime gate (TwoLevelMinVectors): flat Lloyd's
+    // carves the cells below 50k vectors, the two-level quantizer
+    // (Clustering.twoLevelQuantizer — sqrt(k) supers then sub-
+    // codebooks, ~n·sqrt(k)·d per pass) above. Either way EVERY
+    // expected cell size stays ≤ 250, so within-cell pairs are
+    // O(n·250) — linear. The whole train-assign-prune lifecycle is
+    // integer-deterministic and replayed by the DuckDB oracle (both
+    // regime chains, the offsets, the bit-exact cosine verify).
     val n = Tables.embeddings(spark, dir).count()
-    val model = Clustering.twoLevelQuantizer(spark, dir, n, target = 250, iters = 5)
+    q90SemanticDedupImpl(spark, dir, n, twoLevel = n >= TwoLevelMinVectors)
+  }
+
+  /** q90 with the quantizer regime forced — package-private so the
+    * spec suite exercises BOTH branches on the fixture corpus (the
+    * public gate would pick flat there); the sf10/sf100 gates prove
+    * the two-level branch against the oracle at its natural sizes. */
+  private[graft] def q90SemanticDedupImpl(spark: SparkSession, dir: String,
+      n: Long, twoLevel: Boolean): DataFrame = {
+    val threshold = 0.25
+    val cellOf: Column =
+      if (!twoLevel) {
+        val cents = Clustering.centroidsQuantized(
+          spark, dir, k = semDedupK(n), iters = 5)
+        exprCol(NearestCellsInt(expression(col("q")), cents, 1))(0)
+      } else {
+        val model = Clustering.twoLevelQuantizer(
+          spark, dir, n, target = 250, iters = 5)
+        Clustering.twoLevelCellCol(col("q"), model)
+      }
     val emb = Tables.parallelized(Tables.embeddings(spark, dir), col("vec_id"))
       .select(col("vec_id"), col("embedding"))
       .withColumn("q", Clustering.quantizedCol)
-      .select(col("vec_id"), col("embedding"),
-        Clustering.twoLevelCellCol(col("q"), model).as("cell"))
+      .select(col("vec_id"), col("embedding"), cellOf.as("cell"))
     // within-cell candidate pairs: each side carries its vector
     // through the single cell-keyed exchange (n rows of ~600 B — the
     // only data the join SORTS), so the O(n·250) pair stream flows

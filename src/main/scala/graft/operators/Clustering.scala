@@ -250,8 +250,19 @@ object Clustering {
     * Driver-side state is centroid/metadata-sized only: k1*dim longs,
     * sum_c k2_c * dim ≈ (n/target)*dim longs per update round — at
     * n = 10^10 shard the level-2 update by super instead. */
+  /** Ceiling on the rows each level-2 update round may collect to the
+    * driver: (Σ_c k2_c) · dim ≈ (n/target) · dim aggregate rows per
+    * iteration. 2^26 (~67M rows, ~1.6 GB of driver heap transient) is
+    * roughly n = 2.6·10^8 vectors at the default target/dim — two
+    * orders past the sf100 corpus. The guard makes the documented
+    * limit SELF-ENFORCING (the q54 pattern): past it the constructor
+    * fails fast and names the mitigation instead of silently melting
+    * the driver. */
+  val MaxDriverUpdateRows: Long = 1L << 26
+
   def twoLevelQuantizer(spark: SparkSession, dir: String, n: Long,
-      target: Int = 250, iters: Int = 5): TwoLevelQuantizer = {
+      target: Int = 250, iters: Int = 5,
+      maxDriverUpdateRows: Long = MaxDriverUpdateRows): TwoLevelQuantizer = {
     import org.apache.spark.sql.graftbridge.Bridge.{column => exprColQ, expression => exprQ}
     val k1 = ceilSqrt(math.max(16L, n / target))
     val tgt = twoLevelTarget(n, target)
@@ -267,6 +278,17 @@ object Clustering {
       .foreach(r => counts(r.getAs[Int]("super")) = r.getAs[Long]("n_c"))
     vecs.unpersist(blocking = false)
     val k2 = counts.map(nc => if (nc == 0) 0 else ((nc + tgt - 1) / tgt).toInt)
+    // driver-update bound (see MaxDriverUpdateRows): every level-2
+    // round collects ≤ (Σ_c k2_c)·dim aggregate rows — fail fast with
+    // the mitigation rather than discover the limit as a driver OOM
+    val dim = superCents.headOption.map(_.length.toLong).getOrElse(64L)
+    val updateRows = k2.map(_.toLong).sum * dim
+    require(updateRows <= maxDriverUpdateRows,
+      s"twoLevelQuantizer level-2 update would collect $updateRows " +
+      s"aggregate rows per round to the driver (budget " +
+      s"$maxDriverUpdateRows). At this corpus size shard the level-2 " +
+      "update by super (aggregate per-super partitions and merge " +
+      "centroid deltas distributively) or raise `target`.")
     // level-2 init: the k2_c lowest vec_ids within each super-cell
     // (one n-row window sort; the filtered result is cell-count-sized)
     val w = org.apache.spark.sql.expressions.Window

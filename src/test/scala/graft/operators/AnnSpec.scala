@@ -251,9 +251,14 @@ class AnnSpec extends AnyFunSuite with SparkFixture {
     // pins (20000/1250 = 16), so these floors certify the
     // constant-cell-size contract at its design point. Guarded on the
     // generated corpus (tools/gen_sf1.py / tools/run_sf1_gate.sh).
-    val sf1 = "testdata/sf1"
-    assume(new java.io.File(sf1).isDirectory,
-      "sf1 corpus not generated — run tools/gen_sf1.py")
+    // the sandbox wipes generated corpora between sessions; a bare
+    // `sbt test` used to silently lose this spec to a cancel — now it
+    // regenerates sf1 itself (~20 s, deterministic) and only cancels
+    // if generation is impossible (missing source corpus/python)
+    val sf1Dir = graft.SparkFixture.ensureSf1()
+    assume(sf1Dir.isDefined, "sf1 corpus could not be generated — " +
+      "run: python3 tools/gen_sf1.py /root/testdata/sf0.1 testdata/sf1 10")
+    val sf1 = sf1Dir.get
     val ivf = ivfRecall(sf1)
     info(s"IVF recall@5 at sf1 = $ivf")
     assert(ivf >= 0.70, s"IVF recall $ivf")
@@ -314,34 +319,14 @@ class AnnSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
-  test("q90 SemDeDup report matches an independent local replay") {
-    val embCount = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
-    val model = Clustering.twoLevelQuantizer(spark, sfDir, embCount,
-      target = 250, iters = 5)
-    // structural contract on the trained artifact itself: every
-    // non-empty super's codebook honors the ceil(n_c/tgt) size, and
-    // offsets are the dense prefix sums
-    assert(model.offsets.zip(model.subCents.map(_.length.toLong))
-      .scanLeft(0L) { case (acc, (off, len)) => assert(off === acc); acc + len }
-      .last === model.totalCells)
-    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .select("vec_id", "embedding").collect()
-      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Seq[Float]]("embedding").toArray)
+  /** Local q90 replay against an arbitrary cell assignment: groups by
+    * cell, prunes every vector with a lower-id cosine-close cellmate,
+    * and compares the Spark report row-for-row. */
+  private def checkQ90Report(
+      got: Array[org.apache.spark.sql.Row],
+      embs: Array[(Long, Array[Float])],
+      cellOf: Array[Float] => Long): Unit = {
     val idToVec = embs.toMap
-    def cellOf(v: Array[Float]): Long = {
-      val q = v.map(x => math.floor(x.toDouble * 16777216.0).toLong)
-      def argmin(cents: Array[Array[Long]]): Int = {
-        var best = -1; var bd = Long.MaxValue
-        for (c <- cents.indices) {
-          var d = 0L; var j = 0
-          while (j < q.length) { val t = q(j) - cents(c)(j); d += t * t; j += 1 }
-          if (d < bd) { bd = d; best = c }
-        }
-        best
-      }
-      val s = argmin(model.superCents)
-      model.offsets(s) + argmin(model.subCents(s))
-    }
     def cos(a: Array[Float], b: Array[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0
       for (i <- a.indices) {
@@ -356,7 +341,6 @@ class AnnSpec extends AnyFunSuite with SparkFixture {
       }.toLong
       c.toLong -> ((ids.length.toLong, pruned))
     }
-    val got = Ann.q90SemanticDedup(spark, sfDir).collect()
     assert(got.length === expected.size)
     var totalPruned = 0L
     got.foreach { r =>
@@ -369,5 +353,66 @@ class AnnSpec extends AnyFunSuite with SparkFixture {
     }
     assert(got.map(_.getAs[Long]("n")).sum === embs.length)
     assert(totalPruned > 0, "corpus must exercise the prune path")
+  }
+
+  private def localArgmin(q: Array[Long], cents: Array[Array[Long]]): Int = {
+    var best = -1; var bd = Long.MaxValue
+    for (c <- cents.indices) {
+      var d = 0L; var j = 0
+      while (j < q.length) { val t = q(j) - cents(c)(j); d += t * t; j += 1 }
+      if (d < bd) { bd = d; best = c }
+    }
+    best
+  }
+
+  private def loadEmbs(): Array[(Long, Array[Float])] =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Seq[Float]]("embedding").toArray)
+
+  test("q90 regime gate: the fixture corpus picks FLAT, and the report " +
+      "matches a flat-quantizer local replay") {
+    val embs = loadEmbs()
+    assert(embs.length < Ann.TwoLevelMinVectors,
+      "fixture corpus must sit in the flat regime for this spec")
+    val cents = Clustering.centroidsQuantized(
+      spark, sfDir, k = Ann.semDedupK(embs.length.toLong), iters = 5)
+    def cellOf(v: Array[Float]): Long =
+      localArgmin(v.map(x => math.floor(x.toDouble * 16777216.0).toLong), cents).toLong
+    // the PUBLIC entrypoint: its gate must choose the flat branch here
+    checkQ90Report(Ann.q90SemanticDedup(spark, sfDir).collect(), embs, cellOf)
+  }
+
+  test("q90 two-level branch matches an independent local replay " +
+      "(forced at fixture size; the gate picks it naturally at >=50k)") {
+    val embs = loadEmbs()
+    val embCount = embs.length.toLong
+    val model = Clustering.twoLevelQuantizer(spark, sfDir, embCount,
+      target = 250, iters = 5)
+    // structural contract on the trained artifact itself: every
+    // non-empty super's codebook honors the ceil(n_c/tgt) size, and
+    // offsets are the dense prefix sums
+    assert(model.offsets.zip(model.subCents.map(_.length.toLong))
+      .scanLeft(0L) { case (acc, (off, len)) => assert(off === acc); acc + len }
+      .last === model.totalCells)
+    def cellOf(v: Array[Float]): Long = {
+      val q = v.map(x => math.floor(x.toDouble * 16777216.0).toLong)
+      val s = localArgmin(q, model.superCents)
+      model.offsets(s) + localArgmin(q, model.subCents(s))
+    }
+    val got = Ann.q90SemanticDedupImpl(spark, sfDir, embCount,
+      twoLevel = true).collect()
+    checkQ90Report(got, embs, cellOf)
+  }
+
+  test("twoLevelQuantizer fails fast past the driver-update row budget") {
+    val embCount = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    val e = intercept[IllegalArgumentException] {
+      // target = 1 makes k2 ~ n, so updateRows = n*dim blows a budget
+      // set below it — the guard must name the mitigation, not OOM
+      Clustering.twoLevelQuantizer(spark, sfDir, embCount,
+        target = 1, iters = 1, maxDriverUpdateRows = embCount)
+    }
+    assert(e.getMessage.contains("shard the level-2 update by super"))
   }
 }

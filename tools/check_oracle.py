@@ -104,19 +104,25 @@ def checksum_compare(name, sql, con, record):
         k = np.dtype(po[c].dtype).kind
         t = "BIGINT" if k in "iu" else ("DOUBLE" if k == "f" else "VARCHAR")
         return f'CAST("{c}" AS {t})'
-    hexpr = "SUM(CAST(hash(" + ", ".join(cast(c) for c in sorted(po.columns)) + ") AS HUGEINT))"
+    # TWO independent order-free aggregates over the row hashes — SUM
+    # and bit XOR. A multiset difference could in principle cancel in
+    # one aggregate (sum of deltas = 0); cancelling in BOTH
+    # simultaneously requires the adversarial construction, not a bug.
+    rowh = "hash(" + ", ".join(cast(c) for c in sorted(po.columns)) + ")"
+    hexpr = (f"SUM(CAST({rowh} AS HUGEINT)), "
+             f"bit_xor(CAST({rowh} AS UBIGINT))")
     _t0 = _time.time()
-    on_, oh = con.sql(f"SELECT COUNT(*), {hexpr} FROM ({sql})").fetchone()
+    on_, oh, ox = con.sql(f"SELECT COUNT(*), {hexpr} FROM ({sql})").fetchone()
     record[name]["oracle_sec"] = round(_time.time() - _t0, 2)
     record[name]["oracle_rows"] = on_
-    sn, sh = con.sql(f"SELECT COUNT(*), {hexpr} FROM read_parquet('{src}')").fetchone()
+    sn, sh, sx = con.sql(f"SELECT COUNT(*), {hexpr} FROM read_parquet('{src}')").fetchone()
     record[name]["spark_rows"] = sn
     if sn != on_:
         print(f"{name}: ROWCOUNT MISMATCH spark={sn} oracle={on_}")
         record[name]["err"] = "rowcount_mismatch"; return False
     record[name]["rows_match"] = True
-    if sh != oh:
-        print(f"{name}: CHECKSUM MISMATCH spark={sh} oracle={oh}")
+    if sh != oh or sx != ox:
+        print(f"{name}: CHECKSUM MISMATCH spark=({sh},{sx}) oracle=({oh},{ox})")
         record[name]["err"] = "checksum_mismatch"; return False
     record[name]["hash_match"] = True
     record[name]["compare"] = "duckdb_checksum"

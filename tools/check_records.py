@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Records-consistency gate: a committed benchmark or correctness
+artifact that records a failure must be NAMED in SURVEY.md with a
+KNOWN_RED marker — a red record may exist (mid-investigation), but it
+can never ship silently again (round 8 committed BENCH_SF100.json with
+failed:[q53,q54,q58] while the survey text still described the
+superseded zero-failure run).
+
+Checks every BENCH_*.json / bench.json for non-empty "failed" and every
+CORRECTNESS_*.json for any query whose rows/schema/hash matched false
+(err == "no_oracle" rows-only entries are the documented exception).
+Each offender must appear in SURVEY.md on a line containing
+`KNOWN_RED` together with the artifact name, e.g.:
+
+    KNOWN_RED: BENCH_SF100.json q53_pagerank — ENOSPC under bisection
+
+Exit 0 = consistent; exit 1 = a red artifact is unacknowledged.
+Run at end of round alongside the gates.
+"""
+import glob
+import json
+import os
+import re
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Driver-written per-round history (BENCH_r03.json, CORRECTNESS_r01.json
+# ...) is an immutable record of how THAT round ended — early rounds
+# legitimately contain failures that later rounds fixed. The consistency
+# contract applies to the artifacts that describe the CURRENT tree: the
+# per-scale gate records and the local bench record.
+ROUND_HISTORY = re.compile(r"_r\d+\.json$")
+
+
+def survey_acknowledges(survey: str, artifact: str, item: str) -> bool:
+    for line in survey.splitlines():
+        if "KNOWN_RED" in line and artifact in line and item in line:
+            return True
+    return False
+
+
+def main() -> int:
+    survey_path = os.path.join(ROOT, "SURVEY.md")
+    survey = open(survey_path).read() if os.path.exists(survey_path) else ""
+    problems = []
+
+    for path in sorted(glob.glob(os.path.join(ROOT, "BENCH_*.json"))
+                       + glob.glob(os.path.join(ROOT, "bench.json"))):
+        name = os.path.basename(path)
+        if ROUND_HISTORY.search(name):
+            continue
+        try:
+            rec = json.load(open(path))
+        except Exception as e:  # unparseable committed record is itself red
+            problems.append(f"{name}: unparseable ({e})")
+            continue
+        # driver-side BENCH_r*.json wraps the record under "parsed"
+        rec = rec.get("parsed", rec) if isinstance(rec, dict) else rec
+        if not isinstance(rec, dict):
+            continue
+        for q in rec.get("failed") or []:
+            if not survey_acknowledges(survey, name, q):
+                problems.append(
+                    f"{name}: failed query {q} not acknowledged "
+                    f"(add 'KNOWN_RED: {name} {q} — <reason>' to SURVEY.md)")
+
+    for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_*.json"))):
+        name = os.path.basename(path)
+        if ROUND_HISTORY.search(name):
+            continue
+        try:
+            rec = json.load(open(path))
+        except Exception as e:
+            problems.append(f"{name}: unparseable ({e})")
+            continue
+        if not isinstance(rec, dict):
+            continue
+        for q, r in rec.items():
+            if not isinstance(r, dict):
+                continue
+            err = r.get("err")
+            if err in ("no_oracle", "skipped_at_scale"):
+                continue  # documented rows-only / scale-skip entries
+            red = (r.get("rows_match") is False
+                   or r.get("schema_match") is False
+                   or r.get("hash_match") is False
+                   or (err is not None and err != ""))
+            if red and not survey_acknowledges(survey, name, q):
+                problems.append(
+                    f"{name}: {q} red ({err or 'mismatch'}) not acknowledged "
+                    f"(add 'KNOWN_RED: {name} {q} — <reason>' to SURVEY.md)")
+
+    if problems:
+        print("RECORDS INCONSISTENT:")
+        for p in problems:
+            print(" -", p)
+        return 1
+    print("records consistent: no unacknowledged red artifacts")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

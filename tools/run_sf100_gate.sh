@@ -40,6 +40,8 @@
 # ~20 min DuckDB, ~40 min bench.
 set -euo pipefail
 cd "$(dirname "$0")/.."
+# pre-flight: sweep orphaned Spark temp debris, record disk headroom
+source tools/disk_hygiene.sh
 
 SF100=testdata/sf100
 OUT=${SF100_VERIFY_OUT:-/tmp/verify_sf100_gate}

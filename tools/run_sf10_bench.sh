@@ -24,6 +24,8 @@
 # zero query failures + the scaling-ratio table vs sf1.
 set -euo pipefail
 cd "$(dirname "$0")/.."
+# pre-flight: sweep orphaned Spark temp debris, record disk headroom
+source tools/disk_hygiene.sh
 
 SF10=testdata/sf10
 CPUS=${SPARK_GRAFT_CPUS:-32}

@@ -27,6 +27,8 @@
 # 95 oracles in ~30 min).
 set -euo pipefail
 cd "$(dirname "$0")/.."
+# pre-flight: sweep orphaned Spark temp debris, record disk headroom
+source tools/disk_hygiene.sh
 
 SF10=testdata/sf10
 OUT=${SF10_VERIFY_OUT:-/tmp/verify_sf10_gate}

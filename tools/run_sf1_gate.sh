@@ -9,6 +9,8 @@
 # Run from anywhere; ~15 min end-to-end on 32 cores.
 set -euo pipefail
 cd "$(dirname "$0")/.."
+# pre-flight: sweep orphaned Spark temp debris, record disk headroom
+source tools/disk_hygiene.sh
 
 SF1=testdata/sf1
 OUT=${SF1_VERIFY_OUT:-/tmp/verify_sf1_gate}
