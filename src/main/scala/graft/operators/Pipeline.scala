@@ -54,9 +54,21 @@ object Pipeline {
     * (a durable checkpoint dir replaces localCheckpoint on a real
     * cluster where executor loss matters).
     *
+    * Round hygiene (the q53 discipline): once round i's checkpoint
+    * lands, round i-1's blocks are released and every shuffle this
+    * function created is provably dead — both are reclaimed ON THE
+    * SPOT (Bridge.releaseCheckpoints / removeShuffles) instead of
+    * lingering until a driver GC; over ~log2(d) rounds on a 100 TB
+    * edge set that's the difference between one round's working set
+    * and the whole history on disk.
+    *
     * `initial`: (doc_id, rep) starting labels. `edges`: (src, dst)
-    * pairs, treated as undirected. */
+    * pairs, treated as undirected. Returns a checkpointed frame the
+    * caller releases when done. */
   def labelPropagate(initial: DataFrame, edges: DataFrame, maxRounds: Int = 64): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val session = initial.sparkSession
+    val baseline = Bridge.shuffleIds(session)
     val undirected = edges
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint() // edge derivation (e.g. minhash) runs once, not per round
@@ -87,9 +99,15 @@ object Pipeline {
       val nextSum = repSum(next)
       changed = nextSum.compareTo(prevSum) != 0
       prevSum = nextSum
+      // round i is materialized: release round i-1's blocks and delete
+      // every shuffle this function has created — labels/undirected are
+      // checkpoint storage, so nothing since `baseline` is reachable
+      Bridge.releaseCheckpoints(labels)
+      Bridge.removeShuffles(session, Bridge.shuffleIds(session) -- baseline)
       labels = next
       i += 1
     }
+    Bridge.releaseCheckpoints(undirected)
     labels
   }
 

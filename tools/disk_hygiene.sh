@@ -19,13 +19,13 @@ disk_free_gb() {
 if pgrep -f 'java.*(graft|spark)' >/dev/null 2>&1; then
   echo "disk_hygiene: live Spark/graft JVM detected — skipping /tmp sweep" >&2
 else
-  swept=0
+  swept_mb=0
   for d in /tmp/blockmgr-* /tmp/spark-* /tmp/graft-*; do
     [ -e "$d" ] || continue
-    sz=$(du -sBG "$d" 2>/dev/null | cut -f1 | tr -dc '0-9')
-    rm -rf "$d" 2>/dev/null && swept=$((swept + ${sz:-0}))
+    sz=$(du -sm "$d" 2>/dev/null | cut -f1 | tr -dc '0-9')
+    rm -rf "$d" 2>/dev/null && swept_mb=$((swept_mb + ${sz:-0}))
   done
-  [ "$swept" -gt 0 ] && \
-    echo "disk_hygiene: swept ~${swept} GiB of orphaned Spark temp dirs" >&2
+  [ "$swept_mb" -gt 0 ] && \
+    echo "disk_hygiene: swept ~${swept_mb} MiB of orphaned Spark temp dirs" >&2
 fi
 echo "disk_hygiene: $(disk_free_gb) GiB free on /tmp before run" >&2
