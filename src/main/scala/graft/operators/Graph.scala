@@ -159,10 +159,12 @@ object Graph {
       } else baseline ++ buildIds
     // delete every shuffle this operator created that is not protected
     // — called only at points where all prior rounds are materialized
-    // into checkpoint blocks (removeShuffles unregisters, so repeated
-    // sweeps are naturally incremental)
+    // into checkpoint blocks (sweepShuffles unregisters synchronously
+    // and blocks on file deletion only under real disk pressure, so
+    // repeated sweeps are naturally incremental and small-sf rounds
+    // don't pay the per-id confirmation round-trip)
     def sweepDeadShuffles(): Unit =
-      Bridge.removeShuffles(session,
+      Bridge.sweepShuffles(session,
         Bridge.shuffleIds(session) -- protectedIds)
     val per = RankScale / n
     val base = 15L * per / 100L

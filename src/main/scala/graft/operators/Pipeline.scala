@@ -103,7 +103,7 @@ object Pipeline {
       // every shuffle this function has created — labels/undirected are
       // checkpoint storage, so nothing since `baseline` is reachable
       Bridge.releaseCheckpoints(labels)
-      Bridge.removeShuffles(session, Bridge.shuffleIds(session) -- baseline)
+      Bridge.sweepShuffles(session, Bridge.shuffleIds(session) -- baseline)
       labels = next
       i += 1
     }

@@ -50,8 +50,17 @@ object Bridge {
     * objects for many minutes on a large heap — at sf100 one PageRank
     * round's contribution shuffle is ~10 GB, so three retained dead
     * rounds exceed the local-disk budget while the live working set
-    * fits easily (the committed r8 ENOSPC). Blocking: the files are
-    * gone when this returns, so the next round's writes see the space.
+    * fits easily (the committed r8 ENOSPC).
+    *
+    * `blocking` governs only the FILE deletion: unregistration from the
+    * map output tracker is synchronous either way (the no-leak specs
+    * assert on registered ids). blocking = true waits for the block
+    * managers to confirm the files are gone — the guarantee a
+    * disk-pressured run needs before its next round writes; blocking =
+    * false queues the deletion and returns, which measures ~25% faster
+    * on small-sf iterative queries where the per-id synchronization
+    * dominates the (tiny) file sizes. Use [[sweepShuffles]] to pick
+    * per-call from actual disk headroom.
     *
     * Callers must only pass ids whose results can no longer be needed:
     * ids created by THIS operator's already-materialized rounds, never
@@ -60,10 +69,37 @@ object Bridge {
     * diff exact). Cleaning is idempotent; the ContextCleaner's later
     * GC-driven pass over the same ids is a no-op. */
   def removeShuffles(spark: org.apache.spark.sql.SparkSession,
-      ids: Iterable[Int]): Unit =
+      ids: Iterable[Int], blocking: Boolean = true): Unit =
     spark.sparkContext.cleaner.foreach { c =>
-      ids.foreach(id => c.doCleanupShuffle(id, blocking = true))
+      ids.foreach(id => c.doCleanupShuffle(id, blocking = blocking))
     }
+
+  /** Free space (GiB) on the filesystem holding this session's shuffle
+    * spill dirs (first `spark.local.dir` entry, else java.io.tmpdir) —
+    * the number that decides whether a dead-shuffle sweep must block. */
+  def shuffleDirFreeGb(spark: org.apache.spark.sql.SparkSession): Long = {
+    val dir = spark.conf.getOption("spark.local.dir")
+      .map(_.split(",").head.trim)
+      .filter(_.nonEmpty)
+      .getOrElse(System.getProperty("java.io.tmpdir", "/tmp"))
+    new java.io.File(dir).getUsableSpace / (1024L * 1024 * 1024)
+  }
+
+  /** Adaptive per-round sweep: delete the given dead shuffles, waiting
+    * for the files to hit the floor only when the shuffle-temp
+    * filesystem is actually short on headroom (free GiB below
+    * `spark.graft.sweepBlockingMinFreeGb`, default 32 — roughly three
+    * sf100 PageRank rounds). Under pressure the sf100 guarantee holds
+    * exactly as before — the files are gone before this returns; with
+    * ample headroom the deletion is queued asynchronously and the
+    * iteration doesn't pay a per-id synchronization round-trip that A/B
+    * measured at ~+25% on sf0.1 q53 (VERDICT_r9 item 4). */
+  def sweepShuffles(spark: org.apache.spark.sql.SparkSession,
+      ids: Iterable[Int]): Unit = {
+    val minFree = spark.conf.get("spark.graft.sweepBlockingMinFreeGb", "32")
+      .toLong
+    removeShuffles(spark, ids, blocking = shuffleDirFreeGb(spark) < minFree)
+  }
 
   /** Imperative function registration on a live session (the
     * config-time path is SparkSessionExtensions.injectFunction). */

@@ -64,6 +64,27 @@ def main() -> int:
                 problems.append(
                     f"{name}: failed query {q} not acknowledged "
                     f"(add 'KNOWN_RED: {name} {q} — <reason>' to SURVEY.md)")
+        # LOAD-CONTAMINATION sentinel (round 9's committed bench was a
+        # ~2.6x phantom regression from a stalling VM, shipped with
+        # failed=[] so nothing flagged it). Bench records now carry a
+        # fixed single-thread calibration loop bracketing the run; a
+        # record whose calibration deviates >1.5x from the committed
+        # machine reference was taken on a machine that was not itself,
+        # and must either be re-taken quiet or KNOWN_RED-acknowledged.
+        ref_path = os.path.join(ROOT, "tools", "calibration_ref.json")
+        if os.path.exists(ref_path):
+            ref_ms = json.load(open(ref_path)).get("calib_ms")
+            for field in ("calib_ms_before", "calib_ms_after"):
+                got = rec.get(field)
+                if ref_ms and isinstance(got, (int, float)) and got > 0:
+                    if got > 1.5 * ref_ms and not survey_acknowledges(
+                            survey, name, "load-contaminated"):
+                        problems.append(
+                            f"{name}: {field}={got:.0f}ms vs reference "
+                            f"{ref_ms:.0f}ms (> 1.5x) — record taken on a "
+                            f"loaded machine; re-take quiet or add "
+                            f"'KNOWN_RED: {name} load-contaminated — "
+                            f"<reason>' to SURVEY.md")
 
     for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_*.json"))):
         name = os.path.basename(path)
