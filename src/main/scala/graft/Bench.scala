@@ -152,7 +152,7 @@ object Bench {
         name -> (try cnt(spark, sfDir) catch { case _: Throwable => -1L })
     }
     case class R(name: String, median: Double, min: Double, max: Double,
-      fullMedian: Double, ok: Boolean)
+      fullMedian: Double, ok: Boolean, calibMs: Double)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -177,9 +177,19 @@ object Bench {
       val fullSorted = fullRuns.map(_._1).sorted
       def med(v: Seq[Double]): Double =
         if (v.isEmpty) 0.0 else v(v.length / 2)
+      // one calibration sample taken right after this query's reps:
+      // the sandbox VM stalls intermittently in multi-minute windows
+      // that DRIFT between runs (r9's window hit q39-q53, r10's first
+      // re-take hit q26-q56), so a single before/after bracket misses
+      // them — the per-query sample localizes which entries a stall
+      // contaminated, making a targeted re-measure-and-merge possible
+      // min-of-2 so a single STW GC pause (expected after a heavy
+      // query at large sf) doesn't read as a machine stall; a real
+      // stall window spans both samples
       R(name, med(sorted), sorted.headOption.getOrElse(0.0),
         sorted.lastOption.getOrElse(0.0), med(fullSorted),
-        runs.forall(_._2) && fullRuns.forall(_._2))
+        runs.forall(_._2) && fullRuns.forall(_._2),
+        math.min(calibrationMs, calibrationMs))
     }
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     // stdout gets ONLY the fixed-size summary object (~170 B): the
@@ -206,14 +216,20 @@ object Bench {
       }
       "\"" + r.name + "\":{\"median\":" + fmt(r.median) +
         ",\"min\":" + fmt(r.min) + ",\"max\":" + fmt(r.max) +
-        ",\"full_median\":" + fmt(r.fullMedian) + probeFields + "}"
+        ",\"full_median\":" + fmt(r.fullMedian) +
+        ",\"calib_ms\":" + fmt(r.calibMs) + probeFields + "}"
     }.mkString("{", ",", "}")
     val loadAfter = loadAvg
     val calibAfter = calib3
+    // the run's worst mid-run calibration sample: a stall window that
+    // hit ANY query surfaces here even if the before/after brackets
+    // were quiet (single samples, so noisier than the median-of-3
+    // brackets — check_records.py uses a looser 2x threshold)
+    val calibWorst = if (results.isEmpty) 0.0 else results.map(_.calibMs).max
     def fmtSeq(v: Seq[Double]): String =
       v.map(fmt).mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"sf":"$sfDir","n_queries":${results.length},"build_sec":${fmt(buildSec)},"skipped":$skipped,"full_total":${fmt(fullTotal)},"full_reps":$fullReps,"disk_free_gb_before":$diskFreeBefore,"disk_free_gb_after":$diskFreeGb,"loadavg_before":${fmtSeq(loadBefore)},"loadavg_after":${fmtSeq(loadAfter)},"calib_ms_before":${fmt(calibBefore)},"calib_ms_after":${fmt(calibAfter)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"sf":"$sfDir","n_queries":${results.length},"build_sec":${fmt(buildSec)},"skipped":$skipped,"full_total":${fmt(fullTotal)},"full_reps":$fullReps,"disk_free_gb_before":$diskFreeBefore,"disk_free_gb_after":$diskFreeGb,"loadavg_before":${fmtSeq(loadBefore)},"loadavg_after":${fmtSeq(loadAfter)},"calib_ms_before":${fmt(calibBefore)},"calib_ms_after":${fmt(calibAfter)},"calib_ms_worst":${fmt(calibWorst)}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (full + "\n").getBytes("UTF-8"))
     spark.stop()

@@ -74,15 +74,21 @@ def main() -> int:
         ref_path = os.path.join(ROOT, "tools", "calibration_ref.json")
         if os.path.exists(ref_path):
             ref_ms = json.load(open(ref_path)).get("calib_ms")
-            for field in ("calib_ms_before", "calib_ms_after"):
+            # brackets are median-of-3 (tight 1.5x); the per-query worst
+            # is a single sample (looser 2x) — it exists because the
+            # VM's stall windows DRIFT between runs and can fall
+            # entirely between quiet brackets
+            for field, mult in (("calib_ms_before", 1.5),
+                                ("calib_ms_after", 1.5),
+                                ("calib_ms_worst", 2.0)):
                 got = rec.get(field)
                 if ref_ms and isinstance(got, (int, float)) and got > 0:
-                    if got > 1.5 * ref_ms and not survey_acknowledges(
+                    if got > mult * ref_ms and not survey_acknowledges(
                             survey, name, "load-contaminated"):
                         problems.append(
                             f"{name}: {field}={got:.0f}ms vs reference "
-                            f"{ref_ms:.0f}ms (> 1.5x) — record taken on a "
-                            f"loaded machine; re-take quiet or add "
+                            f"{ref_ms:.0f}ms (> {mult}x) — record taken on "
+                            f"a loaded machine; re-take quiet or add "
                             f"'KNOWN_RED: {name} load-contaminated — "
                             f"<reason>' to SURVEY.md")
 
