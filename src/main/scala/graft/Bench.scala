@@ -43,10 +43,10 @@ object Bench {
   private val probeCounters: Map[String, (SparkSession, String) => Long] = {
     val docProbes = (s: SparkSession, dir: String) =>
       graft.sources.Tables.documents(s, dir)
-        .filter(col("doc_id") % 50 === 0).count()
+        .filter(Probes.isProbe(col("doc_id"))).count()
     val vecProbes = (s: SparkSession, dir: String) =>
       graft.sources.Tables.embeddings(s, dir)
-        .filter(col("vec_id") % 50 === 0).count()
+        .filter(Probes.isProbe(col("vec_id"))).count()
     Map(
       "q17_cosine_topk" -> docProbes, "q18_weighted_recs" -> docProbes,
       "q24_ann_bruteforce" -> vecProbes, "q25_ann_lsh" -> vecProbes,
@@ -228,8 +228,12 @@ object Bench {
     val calibWorst = if (results.isEmpty) 0.0 else results.map(_.calibMs).max
     def fmtSeq(v: Seq[Double]): String =
       v.map(fmt).mkString("[", ",", "]")
+    // probe-cap policy: when set (large-sf benches only — see Probes),
+    // the record says so, next to the counted per-query divisors
+    val probeCapField =
+      if (Probes.cap > 0) s""","probe_cap":${Probes.cap}""" else ""
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"sf":"$sfDir","n_queries":${results.length},"build_sec":${fmt(buildSec)},"skipped":$skipped,"full_total":${fmt(fullTotal)},"full_reps":$fullReps,"disk_free_gb_before":$diskFreeBefore,"disk_free_gb_after":$diskFreeGb,"loadavg_before":${fmtSeq(loadBefore)},"loadavg_after":${fmtSeq(loadAfter)},"calib_ms_before":${fmt(calibBefore)},"calib_ms_after":${fmt(calibAfter)},"calib_ms_worst":${fmt(calibWorst)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"sf":"$sfDir","n_queries":${results.length},"build_sec":${fmt(buildSec)},"skipped":$skipped,"full_total":${fmt(fullTotal)},"full_reps":$fullReps$probeCapField,"disk_free_gb_before":$diskFreeBefore,"disk_free_gb_after":$diskFreeGb,"loadavg_before":${fmtSeq(loadBefore)},"loadavg_after":${fmtSeq(loadAfter)},"calib_ms_before":${fmt(calibBefore)},"calib_ms_after":${fmt(calibAfter)},"calib_ms_worst":${fmt(calibWorst)}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (full + "\n").getBytes("UTF-8"))
     spark.stop()

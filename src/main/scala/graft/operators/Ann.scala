@@ -31,7 +31,7 @@ object Ann {
     * is judged against. */
   def q24AnnBruteforce(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.parallelized(Tables.embeddings(spark, dir), col("vec_id"))
-    val probes = emb.filter(col("vec_id") % 50 === 0)
+    val probes = emb.filter(graft.Probes.isProbe(col("vec_id")))
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
     val scored = emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
       .join(broadcast(probes), col("probe_id") =!= col("neighbor_id"))
@@ -55,7 +55,7 @@ object Ann {
       .select(col("vec_id"), col("embedding"),
         posexplode(exprCol(HyperplaneBuckets(
           expression(col("embedding")), nTables, bitsPerTable))).as(Seq("tbl", "bucket")))
-    val probes = emb.filter(col("vec_id") % 50 === 0)
+    val probes = emb.filter(graft.Probes.isProbe(col("vec_id")))
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
         col("tbl"), col("bucket"))
     val cand = probes
@@ -118,7 +118,7 @@ object Ann {
       col("vec_id").as("neighbor_id"), col("embedding"),
       exprCol(NearestCellsInt(expression(col("q")), cents, 1))(0).as("cell"))
     // probe side: fan out to the probeCells nearest cells
-    val probes = emb.filter(col("vec_id") % 50 === 0)
+    val probes = emb.filter(graft.Probes.isProbe(col("vec_id")))
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
         explode(exprCol(NearestCellsInt(expression(col("q")), cents, probeCells)))
           .as("cell"))
@@ -240,7 +240,7 @@ object Ann {
     val corpus = vecs
       .select(col("vec_id").as("neighbor_id"),
         exprColQ(graft.functions.PqCodesInt(exprQ(col("q")), cents)).as("codes"))
-    val probes = vecs.filter(col("vec_id") % 50 === 0)
+    val probes = vecs.filter(graft.Probes.isProbe(col("vec_id")))
       .select(col("vec_id").as("probe_id"),
         exprColQ(graft.functions.PqDistTableInt(exprQ(col("q")), cents)).as("dtab"))
     val adc = (0 until m).map(s =>
@@ -254,7 +254,7 @@ object Ann {
       .filter(col("adc_rank") <= shortlist)
       .select(col("probe_id"), col("neighbor_id"), col("adc_dist"))
     // exact rerank: only shortlist rows fetch full vectors
-    val pq = vecs.filter(col("vec_id") % 50 === 0)
+    val pq = vecs.filter(graft.Probes.isProbe(col("vec_id")))
       .select(col("vec_id").as("probe_id"), col("q").as("pq"))
     val nq = vecs.select(col("vec_id").as("neighbor_id"), col("q").as("nq"))
     val wExact = Window.partitionBy(col("probe_id"))

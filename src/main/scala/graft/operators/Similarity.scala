@@ -83,7 +83,7 @@ object Similarity {
     // hide a cache inside one query.
     val post = postings(spark, dir)
     val n = norms(post)
-    val probes = post.filter(col("doc_id") % 50 === 0)
+    val probes = post.filter(graft.Probes.isProbe(col("doc_id")))
       .select(col("doc_id").as("probe_doc"), col("word"), col("cnt").as("p_cnt"))
     val dots = probes
       .join(post.withColumnRenamed("doc_id", "neighbor_doc"), "word")
@@ -156,17 +156,20 @@ object Similarity {
     * always re-probes, so data changed on disk is picked up at the
     * same granularity the q88 index build already established. */
   private[graft] val gateMemo = new java.util.concurrent.ConcurrentHashMap[
-    (String, String, Int), GateProbe]()
+    (String, String, Int, Long), GateProbe]()
 
+  // The probe cap joins the key: fixed per JVM in real runs, but specs
+  // toggle it via sys.props and must not inherit a stale probe count.
   private def gateProbe(spark: SparkSession, dir: String,
       maxVocab: Int): GateProbe =
-    gateMemo.computeIfAbsent((graft.Sessions.sessionKey(spark), dir, maxVocab), _ => {
+    gateMemo.computeIfAbsent(
+      (graft.Sessions.sessionKey(spark), dir, maxVocab, graft.Probes.cap), _ => {
       val vocab = discoverVocab(spark, dir, maxVocab)
       if (vocab.length > maxVocab) GateProbe(vocab, None)
       else {
         val counts = Tables.documents(spark, dir).agg(
           count(lit(1)).as("n"),
-          sum(when(col("doc_id") % 50 === 0, 1L).otherwise(0L)).as("probes"))
+          sum(when(graft.Probes.isProbe(col("doc_id")), 1L).otherwise(0L)).as("probes"))
           .head()
         GateProbe(vocab, Some((counts.getLong(0), counts.getLong(1))))
       }
@@ -239,7 +242,7 @@ object Similarity {
     // per-pair op order) and the exploded pair stream carries only
     // (idx, cosine). Probe residency on the driver is the same
     // broadcast-sized contract the old path already required.
-    val probeRows = vecs.filter(col("doc_id") % 50 === 0)
+    val probeRows = vecs.filter(graft.Probes.isProbe(col("doc_id")))
       .select(col("doc_id"), col("vec")).collect().sortBy(_.getLong(0))
     val probeIds = probeRows.map(_.getLong(0))
     val probeMat = probeRows.map(_.getSeq[Float](1).toArray)

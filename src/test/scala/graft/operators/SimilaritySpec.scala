@@ -167,7 +167,8 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
   }
 
   test("q17/q18 gate discovery is memoized per (session, dir)") {
-    val key = (graft.Sessions.sessionKey(spark), sfDir, 4096)
+    // the active probe cap joined the memo key in r10 (0 = uncapped)
+    val key = (graft.Sessions.sessionKey(spark), sfDir, 4096, graft.Probes.cap)
     Similarity.gateMemo.remove(key)
     val first = Similarity.q17CosineTopK(spark, sfDir).collect()
     assert(Similarity.gateMemo.containsKey(key), "gate probe cached")
