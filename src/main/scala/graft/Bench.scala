@@ -111,7 +111,14 @@ object Bench {
     def calib3: Double = Seq(calibrationMs, calibrationMs, calibrationMs)
       .sorted.apply(1)
     val calibBefore = calib3
-    val spark = Sessions.local(cpus)
+    // Long timer interval + an explicit GC at every query boundary
+    // (below): the 2-min timer GC is a 1-2 s STW Full pause landing at
+    // a random point of a timed rep or a calibration window (r10's
+    // first quiet re-take recorded calib_ms_worst = 1.9 s purely from
+    // GC(66) "Pause Full (System.gc())" ticks); the boundary GC reaps
+    // the SAME debris — the just-finished query's dead shuffles — in
+    // untimed time, bounding the on-disk footprint at one query.
+    val spark = Sessions.local(cpus, periodicGc = "30min")
 
     // warmup: exercise scan + shuffle + window codegen paths once
     try {
@@ -182,14 +189,28 @@ object Bench {
       // that DRIFT between runs (r9's window hit q39-q53, r10's first
       // re-take hit q26-q56), so a single before/after bracket misses
       // them — the per-query sample localizes which entries a stall
-      // contaminated, making a targeted re-measure-and-merge possible
-      // min-of-2 so a single STW GC pause (expected after a heavy
-      // query at large sf) doesn't read as a machine stall; a real
-      // stall window spans both samples
+      // contaminated, making a targeted re-measure-and-merge possible.
+      // Sampled BEFORE the boundary GC below, at the quietest point
+      // the JVM has (executors just went idle, no GC in flight): r10
+      // measured 400-500 ms samples when this ran AFTER the GC — the
+      // concurrent-mark workers + cleaner file IO it kicks off tax a
+      // single-thread loop for seconds. Min of 3 spaced 250 ms so one
+      // residual burst can't read as a stall; a real machine stall is
+      // a multi-minute window that inflates all three.
+      val calibSample = (1 to 3).map { i =>
+        if (i > 1) Thread.sleep(250)
+        calibrationMs
+      }.min
+      // boundary GC (untimed): reap the just-finished query's dead
+      // shuffle files NOW instead of at the next timer tick — the
+      // per-query debris bound that lets the session run a 30-min
+      // timer interval, keeping the 1-2 s Full-GC pause out of timed
+      // reps and out of the calibration samples above
+      System.gc()
       R(name, med(sorted), sorted.headOption.getOrElse(0.0),
         sorted.lastOption.getOrElse(0.0), med(fullSorted),
         runs.forall(_._2) && fullRuns.forall(_._2),
-        math.min(calibrationMs, calibrationMs))
+        calibSample)
     }
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     // stdout gets ONLY the fixed-size summary object (~170 B): the

@@ -35,8 +35,20 @@ object Sessions {
         s"SPARK_GRAFT_CPUS must be an integer or '*', got '$cpus'"))
 
   /** Builder with the shared hygiene + determinism settings applied.
-    * Callers add master/parallelism and any entrypoint-specific conf. */
-  def builder(cpus: String): SparkSession.Builder = {
+    * Callers add master/parallelism and any entrypoint-specific conf.
+    *
+    * `periodicGc` is the ContextCleaner's timer-GC interval (see the
+    * inline note at the conf below). The 2-minute default is the
+    * debris bound for GENERIC long-lived sessions; the measurement
+    * mains (Bench, Verify) pass a long interval and instead reap
+    * deterministically at their own query boundaries — a timer-driven
+    * `System.gc()` is a 1-2 s stop-the-world Full pause that lands at
+    * a random point of whatever query is running (r10 measured 1.3 to
+    * 1.8 s pauses inside timed reps AND inside the load-sentinel's
+    * calibration windows, reading as a fake machine stall), while a
+    * boundary GC bounds debris at ONE query's worth and pauses only
+    * untimed time. */
+  def builder(cpus: String, periodicGc: String = "2min"): SparkSession.Builder = {
     val target = new java.io.File("target")
     target.mkdirs()
     System.setProperty("derby.system.home",
@@ -63,8 +75,10 @@ object Sessions {
       // periodicGC interval) without one, accumulating tens of GB of
       // dead shuffle files — the sf100 bench hit ENOSPC exactly this
       // way while its LIVE working set fit comfortably. A 2-minute
-      // periodic GC bounds the debris at a few queries' worth.
-      .config("spark.cleaner.periodicGC.interval", "2min")
+      // periodic GC bounds the debris at a few queries' worth (for the
+      // measurement mains the bound is per-query instead — see the
+      // `periodicGc` param doc above).
+      .config("spark.cleaner.periodicGC.interval", periodicGc)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir",
         new java.io.File(target, "spark-warehouse").getAbsolutePath)
@@ -87,8 +101,8 @@ object Sessions {
 
   /** The standard entrypoint session: hygiene + WARN log level with
     * the window-package warning scoped out. */
-  def local(cpus: String): SparkSession = {
-    val s = builder(cpus).getOrCreate()
+  def local(cpus: String, periodicGc: String = "2min"): SparkSession = {
+    val s = builder(cpus, periodicGc).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     quietBoundedWindowWarnings()
     s

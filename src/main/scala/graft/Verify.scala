@@ -29,7 +29,11 @@ object Verify {
       .getOrElse(Set.empty[String])
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val spark = Sessions.local(cpus)
+    // Long timer interval + explicit GC per dump (below): the dump
+    // loop's debris bound is per-query/event-driven, not time-driven —
+    // same policy as Bench, where the 2-min timer's 1-2 s STW Full
+    // pauses were landing inside measurement windows.
+    val spark = Sessions.local(cpus, periodicGc = "30min")
     new java.io.File(outDir).mkdirs()
     if (skip.nonEmpty)
       System.err.println(s"[verify] SKIPPING (documented scale-step " +
@@ -52,6 +56,10 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        // boundary GC: reap this dump's dead shuffle files before the
+        // next query starts — bounds the multi-hour scale-gate dump's
+        // shuffle-temp footprint at one query's worth
+        System.gc()
       } else if (done)
         System.err.println(s"[verify] $name: resume skip (_SUCCESS present)")
     }

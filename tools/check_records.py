@@ -75,12 +75,20 @@ def main() -> int:
         if os.path.exists(ref_path):
             ref_ms = json.load(open(ref_path)).get("calib_ms")
             # brackets are median-of-3 (tight 1.5x); the per-query worst
-            # is a single sample (looser 2x) — it exists because the
-            # VM's stall windows DRIFT between runs and can fall
-            # entirely between quiet brackets
+            # exists because the VM's stall windows DRIFT between runs
+            # and can fall entirely between quiet brackets. Its 2.5x
+            # threshold is CALIBRATED, not guessed: r10 measured the
+            # noise floor of the per-query probe (min of 3 samples
+            # spaced 250 ms, taken pre-boundary-GC) across three quiet
+            # runs at 150-320 ms (1.1-2.4x) — JVM-internal micro-bursts
+            # (concurrent-mark workers, cleaner IO), with hypervisor
+            # steal ruled out (519 steal jiffies over the whole 10-min
+            # run) — while the real stall the sentinel hunts measured
+            # 1900 ms (14x) and spans minutes, inflating every probe in
+            # its window far past any threshold in this range.
             for field, mult in (("calib_ms_before", 1.5),
                                 ("calib_ms_after", 1.5),
-                                ("calib_ms_worst", 2.0)):
+                                ("calib_ms_worst", 2.5)):
                 got = rec.get(field)
                 if ref_ms and isinstance(got, (int, float)) and got > 0:
                     if got > mult * ref_ms and not survey_acknowledges(
