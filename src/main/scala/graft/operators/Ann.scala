@@ -47,7 +47,27 @@ object Ann {
   /** Random-hyperplane LSH: L=8 tables × 8 bits, bucket codes from the
     * HyperplaneBuckets kernel (deterministic hyperplanes — no stored
     * model). Candidates = bucket collisions in any table; ranked by
-    * exact cosine within candidates. */
+    * exact cosine within candidates.
+    *
+    * Scale shape (rebuilt in r10 after the first formulation filled
+    * the disk at sf100): the bucket space is FIXED (8×256 codes), so
+    * bucket occupancy grows linearly with the corpus and the collision
+    * join's output grows ~quadratically — 2M vectors → ~2.5 B
+    * candidate rows, which the old `dropDuplicates` + window-sort pair
+    * tried to materialize with BOTH 64-d payloads attached (~1.4 TB
+    * of sort spill; ENOSPC). The pair stream is now never
+    * materialized: the probe side (small by the every-50th-id
+    * contract) is BROADCAST, so collisions stream out of one
+    * corpus-side scan straight through the codegen cosine into a
+    * per-probe TopKDistinctAgg partial aggregate — multi-table
+    * duplicate collisions (identical (cosine, neighbor) payload by
+    * construction) die inside the O(k) buffer, replacing the old
+    * full-width dedup shuffle AND the window sort. The only exchange
+    * left is the final ≤ k-rows-per-probe-per-partition merge.
+    * Results are bit-identical to the committed formulation (same
+    * candidates, same cosine expression, same (cosine DESC,
+    * neighbor_id ASC) order); the unchanged oracle SQL re-proves it
+    * at every gated scale factor. */
   def q25AnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val nTables = 8
     val bitsPerTable = 8
@@ -58,19 +78,20 @@ object Ann {
     val probes = emb.filter(graft.Probes.isProbe(col("vec_id")))
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
         col("tbl"), col("bucket"))
-    val cand = probes
-      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding"),
-        col("tbl"), col("bucket")), Seq("tbl", "bucket"))
+    // cosine DESC, neighbor_id ASC — total over the payload, so
+    // ord-equivalence == "same pair via another table"
+    val ord: Ordering[(Double, Long)] = Ordering.by(t => (-t._1, t._2))
+    val topk = udaf(new graft.functions.TopKDistinctAgg[(Double, Long)](5, ord))
+    emb.select(col("vec_id").as("neighbor_id"), col("embedding"),
+        col("tbl"), col("bucket"))
+      .join(broadcast(probes), Seq("tbl", "bucket"))
       .filter(col("probe_id") =!= col("neighbor_id"))
-      .select("probe_id", "neighbor_id", "p_emb", "embedding")
-      .dropDuplicates("probe_id", "neighbor_id")
-    val scored = cand.withColumn("cosine", cosine(col("p_emb"), col("embedding")))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("probe_id"), col("neighbor_id"), col("rank"), col("cosine"))
+      .withColumn("cosine", cosine(col("p_emb"), col("embedding")))
+      .groupBy(col("probe_id"))
+      .agg(topk(col("cosine"), col("neighbor_id")).as("top"))
+      .select(col("probe_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("probe_id"), col("t._2").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"), col("t._1").as("cosine"))
   }
 
   /** IVF (inverted-file) ANN: the corpus is partitioned into kmeans

@@ -49,6 +49,41 @@ class AnnSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q25 fused top-k plan is row-identical to the dedup+window formulation") {
+    // The r10 rewrite (broadcast probes -> in-stage cosine ->
+    // TopKDistinctAgg) claims bit-identical results to the original
+    // dropDuplicates + row_number() OVER (...) shape it replaced for
+    // scale reasons. Assert that by running the ORIGINAL formulation
+    // here, independently of the operator code.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftbridge.Bridge.{column => exprCol, expression}
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        posexplode(exprCol(graft.functions.HyperplaneBuckets(
+          expression(col("embedding")), 8, 8))).as(Seq("tbl", "bucket")))
+    val probes = emb.filter(graft.Probes.isProbe(col("vec_id")))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("tbl"), col("bucket"))
+    val cand = probes
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding"),
+        col("tbl"), col("bucket")), Seq("tbl", "bucket"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select("probe_id", "neighbor_id", "p_emb", "embedding")
+      .dropDuplicates("probe_id", "neighbor_id")
+      .withColumn("cosine", exprCol(graft.functions.FloatVecCosine(
+        expression(col("p_emb")), expression(col("embedding")))))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val original = cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("probe_id"), col("neighbor_id"), col("rank"), col("cosine"))
+      .collect().map(_.toSeq).toSet
+    val fused = Ann.q25AnnLsh(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(fused === original)
+    assert(fused.nonEmpty)
+  }
+
   private def cos(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     for (i <- a.indices) {
