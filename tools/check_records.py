@@ -86,9 +86,30 @@ def main() -> int:
             # run) — while the real stall the sentinel hunts measured
             # 1900 ms (14x) and spans minutes, inflating every probe in
             # its window far past any threshold in this range.
-            for field, mult in (("calib_ms_before", 1.5),
-                                ("calib_ms_after", 1.5),
-                                ("calib_ms_worst", 2.5)):
+            # The per-query probes are STRICTLY STRONGER evidence than
+            # the run-level brackets: every timed window is certified
+            # individually, so a bracket spike with clean per-query
+            # probes means load arrived before the first or after the
+            # last measured window (observed: the r10 sf100 bench
+            # started while the preceding oracle phase's load was
+            # still draining — calib_ms_before 818 ms, yet all 40
+            # per-query probes and the after bracket sat at
+            # 147-156 ms). Enforce the brackets only when per-query
+            # coverage is absent (older records). Known limitation,
+            # by design of ANY probe scheme: a stall that begins and
+            # ends entirely inside one very long single-rep query's
+            # reps (sf100's 20-min q53) evades both probes and
+            # brackets — the failed[] list and cross-record deltas
+            # remain the backstop there.
+            per_query = [v.get("calib_ms")
+                         for v in (rec.get("queries") or {}).values()
+                         if isinstance(v, dict)]
+            has_pq = any(isinstance(c, (int, float)) and c > 0
+                         for c in per_query)
+            checks = [("calib_ms_worst", 2.5)] if has_pq else [
+                ("calib_ms_before", 1.5), ("calib_ms_after", 1.5),
+                ("calib_ms_worst", 2.5)]
+            for field, mult in checks:
                 got = rec.get(field)
                 if ref_ms and isinstance(got, (int, float)) and got > 0:
                     if got > mult * ref_ms and not survey_acknowledges(

@@ -2,7 +2,7 @@
 # 1000x scale step: generate sf100 (1000 x sf0.1, ~17 GB) and run
 #   1. a CORRECTNESS gate over the documented practical subset
 #      (CORRECTNESS_SF100.json) — DuckDB replays the oracle for every
-#      query whose replay stays tractable at 17 GB (83 of the 97
+#      query whose replay stays tractable at 17 GB (82 of the 97
 #      oracle-backed queries since r10; the rest are recorded
 #      skipped_at_scale, never silently), and
 #   2. a BENCH over the scale-story subset (BENCH_SF100.json) — the
@@ -13,12 +13,19 @@
 #   - r10 skip audit: of the 18 r8 skips, q59's was the only
 #     COMPARE-bound one (80M-row pandas dump compare — joined via the
 #     checksum comparator in r8); the rest are REPLAY-bound (DuckDB
-#     oracle CPU/disk) or quadratic by construction. Four replay-bound
+#     oracle CPU/disk) or quadratic by construction. Three replay-bound
 #     skips are affordable at ~10x their measured sf10 oracle_sec and
-#     JOIN THE GATE in r10: q22 (25.8 s @ sf10 -> ~4 min), q25
-#     (9.7 s -> ~2 min), q32 (26.7 s -> ~4.5 min), q96 (15.0 s ->
-#     ~2.5 min). Outputs stay compare-cheap (q22 ~2.4M rows, q25
-#     200k, q32/q96 <100).
+#     JOIN THE GATE in r10: q22 (25.8 s @ sf10 -> ~4 min), q32
+#     (26.7 s -> ~4.5 min), q96 (15.0 s -> ~2.5 min). Outputs stay
+#     compare-cheap (q22 ~2.4M rows, q32/q96 <100).
+#     q25 was provisionally added on the same ~10x-linear math and
+#     MEASURED OUT in the r10 run: with a FIXED 8x256 bucket space the
+#     candidate set grows ~quadratically (~2.5 B pairs at 2M vectors),
+#     so the DuckDB replay is ~100x sf10's, and its dedup+window
+#     materialization filled the disk ("Could not write duckdb_temp_
+#     storage: No space left on device"). The SPARK side runs clean at
+#     sf100 since the r10 fused top-k rewrite (6m50s, 200k rows,
+#     ~9 GB peak temp); the oracle stays proven at sf0.01/0.1/1/10.
 #   - ORACLE EXCLUDED, measured from sf10 oracle_sec x ~10 linear (or
 #     worse for iterative replays): q17/q18 (probe-set retrieval,
 #     ~32 s @ sf10 each -> ~5.5 min each), q21 (57 s -> ~10 min),
@@ -77,7 +84,7 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   printf -- "--add-opens=java.base/%s=ALL-UNNAMED " "$p"
 done)
 
-GATE_ONLY=q01_agg_filter,q02_star_join,q03_topn_order,q04_window_topn,q05_distinct_agg,q06_sessionize,q07_trending,q08_url_normalize,q09_explode_conf,q10_dynamic_cube,q11_pivot,q12_calendar_window,q13_date_intervals,q14_threshold_monitor,q15_bin_histogram,q16_num_format,q19_feature_matrix,q20_dedup_exact,q22_dedup_simhash,q23_ngram_jaccard,q25_ann_lsh,q26_lang_id,q27_quality_score,q28_token_count,q29_fingerprint,q31_multimodal_features,q32_kmeans,q33_json_extract,q34_timezone,q35_percentiles,q36_rollup,q37_running_window,q38_asof_join,q39_range_join,q40_hash_split,q43_stratified_sample,q44_contamination,q46_pii_redact,q47_repetition,q49_sequence_pack,q50_zorder,q51_kmv_distinct,q52_balanced_sample,q54_tfidf,q55_funnel,q56_retention,q57_vocab,q58_cdc_merge,q59_scd2,q60_transitions,q61_anomaly,q62_bloom_prune,q63_boilerplate,q64_countmin,q65_session_paths,q66_gap_fill,q67_correlation,q68_experiment,q69_pacing,q70_refresh_select,q71_rfm,q72_corpus_rarity,q74_token_budget,q75_chunking,q76_mixture_report,q77_incremental_rollup,q78_session_funnel,q79_containment,q80_tokenize,q81_chisq_drift,q83_dup_span,q84_embed_stats,q85_snapshot_diff,q86_bpe,q89_bpe_apply,q91_skew_profile,q92_mixture_sample,q93_watermark_audit,q94_shard_manifest,q95_ngram_novelty,q96_pca_power,q97_bm25,q98_bigram_lm,q99_perceptron
+GATE_ONLY=q01_agg_filter,q02_star_join,q03_topn_order,q04_window_topn,q05_distinct_agg,q06_sessionize,q07_trending,q08_url_normalize,q09_explode_conf,q10_dynamic_cube,q11_pivot,q12_calendar_window,q13_date_intervals,q14_threshold_monitor,q15_bin_histogram,q16_num_format,q19_feature_matrix,q20_dedup_exact,q22_dedup_simhash,q23_ngram_jaccard,q26_lang_id,q27_quality_score,q28_token_count,q29_fingerprint,q31_multimodal_features,q32_kmeans,q33_json_extract,q34_timezone,q35_percentiles,q36_rollup,q37_running_window,q38_asof_join,q39_range_join,q40_hash_split,q43_stratified_sample,q44_contamination,q46_pii_redact,q47_repetition,q49_sequence_pack,q50_zorder,q51_kmv_distinct,q52_balanced_sample,q54_tfidf,q55_funnel,q56_retention,q57_vocab,q58_cdc_merge,q59_scd2,q60_transitions,q61_anomaly,q62_bloom_prune,q63_boilerplate,q64_countmin,q65_session_paths,q66_gap_fill,q67_correlation,q68_experiment,q69_pacing,q70_refresh_select,q71_rfm,q72_corpus_rarity,q74_token_budget,q75_chunking,q76_mixture_report,q77_incremental_rollup,q78_session_funnel,q79_containment,q80_tokenize,q81_chisq_drift,q83_dup_span,q84_embed_stats,q85_snapshot_diff,q86_bpe,q89_bpe_apply,q91_skew_profile,q92_mixture_sample,q93_watermark_audit,q94_shard_manifest,q95_ngram_novelty,q96_pca_power,q97_bm25,q98_bigram_lm,q99_perceptron
 
 BENCH_ONLY=q01_agg_filter,q06_sessionize,q20_dedup_exact,q21_dedup_minhash,q22_dedup_simhash,q23_ngram_jaccard,q26_lang_id,q27_quality_score,q28_token_count,q29_fingerprint,q31_multimodal_features,q32_kmeans,q37_running_window,q41_dedup_pipeline,q45_ann_ivf,q49_sequence_pack,q53_pagerank,q54_tfidf,q58_cdc_merge,q59_scd2,q63_boilerplate,q64_countmin,q72_corpus_rarity,q73_incremental_dedup,q74_token_budget,q75_chunking,q76_mixture_report,q79_containment,q80_tokenize,q83_dup_span,q84_embed_stats,q86_bpe,q88_ivfpq_probe,q89_bpe_apply,q90_semantic_dedup,q94_shard_manifest,q95_ngram_novelty,q97_bm25,q98_bigram_lm,q99_perceptron
 
