@@ -94,22 +94,11 @@ object Bench {
     //    allocation, so on a quiet machine it is a machine constant;
     //    check_records.py fails any record whose calibration deviates
     //    >1.5x from tools/calibration_ref.json.
-    def loadAvg: Seq[Double] =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString
-        .split("\\s+").take(3).toSeq.map(_.toDouble)
-      catch { case _: Throwable => Seq(-1.0, -1.0, -1.0) }
-    def calibrationMs: Double = {
-      var h = 0L; var i = 0L
-      val t0 = System.nanoTime()
-      while (i < 100000000L) { h = h * 0x9E3779B97F4A7C15L + i; i += 1 }
-      // fold h into a volatile-ish sink so the loop can't be elided
-      if (h == 42L) System.err.println("calibration sentinel")
-      (System.nanoTime() - t0) / 1e6
-    }
+    def loadAvg: Seq[Double] = LoadSentinel.loadAvg
+    def calibrationMs: Double = LoadSentinel.calibrationMs
     val loadBefore = loadAvg
     // median of 3 so one scheduler preemption can't skew the probe
-    def calib3: Double = Seq(calibrationMs, calibrationMs, calibrationMs)
-      .sorted.apply(1)
+    def calib3: Double = LoadSentinel.calib3
     val calibBefore = calib3
     // Long timer interval + an explicit GC at every query boundary
     // (below): the 2-min timer GC is a 1-2 s STW Full pause landing at
@@ -125,6 +114,15 @@ object Bench {
       SparkEntry.queries("q01_agg_filter")(spark, sfDir).count()
       SparkEntry.queries("q04_window_topn")(spark, sfDir).count()
     } catch { case _: Throwable => }
+    // leading-edge certification: one more probe AFTER warmup, right
+    // before the first timed query — the before-bracket runs at JVM
+    // start, and load that is still draining from a preceding phase
+    // (observed: r10's sf100 bench started at calib_ms_before=818 ms
+    // while the oracle phase's load drained) can contaminate the
+    // warmup and the earliest timed windows yet be gone by the first
+    // per-query probe. This sample certifies the run's leading edge;
+    // check_records.py holds it to the tight bracket threshold.
+    val calibStart = calib3
 
     // optional comma-separated subset for iterating on one query's
     // plan without paying the full suite (default: everything), and an
@@ -158,9 +156,34 @@ object Bench {
       case (name, cnt) if selected.contains(name) =>
         name -> (try cnt(spark, sfDir) catch { case _: Throwable => -1L })
     }
+    // Untimed per-query first-touch pass (SPARK_GRAFT_BENCH_WARM=1,
+    // intended for the single-rep sf>=10 records): the first action a
+    // query ever runs pays costs that are not the kernel — cold-cache
+    // parquet reads, codegen/JIT, and the memoized one-off builds
+    // (q54's vocab, q88's artifact open) — which at reps=1 land
+    // entirely on the headline count number (r10's sf100 record read
+    // q54 at 210 s count vs 59 s full purely from this). The warm pass
+    // absorbs them in untimed time AND records them: per-query
+    // `first_touch` is the cold wall, so the cold-vs-warm split is a
+    // field in the record instead of folklore. Multi-rep records
+    // (sf<=1, median-of-3) already bury first-touch in the median and
+    // don't pay the extra pass. WARM_SKIP exempts queries whose full
+    // recompute is too expensive to run un-timed (sf100's 20-min
+    // iterative q53) — never silent, recorded as warm_skipped.
+    val warm = sys.env.get("SPARK_GRAFT_BENCH_WARM").contains("1")
+    val warmSkip = sys.env.get("SPARK_GRAFT_BENCH_WARM_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     case class R(name: String, median: Double, min: Double, max: Double,
-      fullMedian: Double, ok: Boolean, calibMs: Double)
+      fullMedian: Double, ok: Boolean, calibMs: Double,
+      firstTouch: Double, halfCapSec: Double, halfCapProbes: Long)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val firstTouch: Double =
+        if (warm && !warmSkip(name)) {
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+          (System.nanoTime() - t0) / 1e9
+        } else -1.0
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
@@ -177,6 +200,35 @@ object Bench {
                    false }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
+      // Marginal per-probe cost under a cap (untimed extra run): a cap
+      // amortizes any probe-count-INDEPENDENT cost (q45's in-query IVF
+      // retrain, artifact opens) over fewer probes, so raw
+      // median/probes inflates — r10's capped sf100 read q45 at
+      // 19.1 ms/probe vs the uncapped r8 record's 2.36 from arithmetic
+      // alone. One extra count at cap/2 (a deterministic prefix of the
+      // capped set — Probes caps are prefixes by construction) gives
+      // two (probes, wall) points on the same fixed cost, so the
+      // record carries the MARGINAL slope — the kernel's true
+      // per-probe cost — and the fixed-cost intercept explicitly.
+      // cap > 1: cap/2 == 0 would read back as UNCAPPED (Probes treats
+      // 0 as "no cap") and run the full probe set by accident
+      val (halfCapSec, halfCapProbes): (Double, Long) =
+        if (Probes.cap > 1 && probeCounts.get(name).exists(_ > 0)) {
+          val oldProp = sys.props.get("spark.graft.probeCap")
+          sys.props.update("spark.graft.probeCap", (Probes.cap / 2).toString)
+          try {
+            val p = try probeCounters(name)(spark, sfDir)
+                    catch { case _: Throwable => -1L }
+            val t0 = System.nanoTime()
+            try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+            ((System.nanoTime() - t0) / 1e9, p)
+          } finally {
+            oldProp match {
+              case Some(v) => sys.props.update("spark.graft.probeCap", v)
+              case None    => sys.props.remove("spark.graft.probeCap")
+            }
+          }
+        } else (-1.0, -1L)
       // either rep count may be 0 (count-only or full-only A/B modes);
       // an empty vector reports 0.0, never an index crash (r9 judge hit
       // IndexOutOfBounds running FULL_REPS=0), and min/max mirror that
@@ -210,7 +262,7 @@ object Bench {
       R(name, med(sorted), sorted.headOption.getOrElse(0.0),
         sorted.lastOption.getOrElse(0.0), med(fullSorted),
         runs.forall(_._2) && fullRuns.forall(_._2),
-        calibSample)
+        calibSample, firstTouch, halfCapSec, halfCapProbes)
     }
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     // stdout gets ONLY the fixed-size summary object (~170 B): the
@@ -232,20 +284,31 @@ object Bench {
     val qs = results.map { r =>
       val probeFields = probeCounts.get(r.name) match {
         case Some(p) if p > 0 =>
-          s""","probes":$p,"ms_per_probe":${fmt(r.median * 1000.0 / p)}"""
+          val base = s""","probes":$p,"ms_per_probe":${fmt(r.median * 1000.0 / p)}"""
+          // two (probes, wall) points on the same fixed cost: slope =
+          // marginal ms/probe, intercept = the probe-independent share
+          val marginal =
+            if (r.halfCapSec >= 0 && r.halfCapProbes > 0 && p > r.halfCapProbes) {
+              val slope = (r.median - r.halfCapSec) * 1000.0 / (p - r.halfCapProbes)
+              s""","half_cap_sec":${fmt(r.halfCapSec)},"half_cap_probes":${r.halfCapProbes},"ms_per_probe_marginal":${fmt(slope)},"fixed_sec_est":${fmt(r.median - slope * p / 1000.0)}"""
+            } else ""
+          base + marginal
         case _ => ""
       }
+      val ftField =
+        if (r.firstTouch >= 0) s""","first_touch":${fmt(r.firstTouch)}""" else ""
       "\"" + r.name + "\":{\"median\":" + fmt(r.median) +
         ",\"min\":" + fmt(r.min) + ",\"max\":" + fmt(r.max) +
         ",\"full_median\":" + fmt(r.fullMedian) +
-        ",\"calib_ms\":" + fmt(r.calibMs) + probeFields + "}"
+        ",\"calib_ms\":" + fmt(r.calibMs) + probeFields + ftField + "}"
     }.mkString("{", ",", "}")
     val loadAfter = loadAvg
     val calibAfter = calib3
     // the run's worst mid-run calibration sample: a stall window that
     // hit ANY query surfaces here even if the before/after brackets
-    // were quiet (single samples, so noisier than the median-of-3
-    // brackets — check_records.py uses a looser 2x threshold)
+    // were quiet (each per-query sample is a min-of-3 spaced 250 ms,
+    // still noisier than the bracket medians — check_records.py holds
+    // it to the calibrated 2.5x threshold vs the brackets' 1.5x)
     val calibWorst = if (results.isEmpty) 0.0 else results.map(_.calibMs).max
     def fmtSeq(v: Seq[Double]): String =
       v.map(fmt).mkString("[", ",", "]")
@@ -254,7 +317,7 @@ object Bench {
     val probeCapField =
       if (Probes.cap > 0) s""","probe_cap":${Probes.cap}""" else ""
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"sf":"$sfDir","n_queries":${results.length},"build_sec":${fmt(buildSec)},"skipped":$skipped,"full_total":${fmt(fullTotal)},"full_reps":$fullReps$probeCapField,"disk_free_gb_before":$diskFreeBefore,"disk_free_gb_after":$diskFreeGb,"loadavg_before":${fmtSeq(loadBefore)},"loadavg_after":${fmtSeq(loadAfter)},"calib_ms_before":${fmt(calibBefore)},"calib_ms_after":${fmt(calibAfter)},"calib_ms_worst":${fmt(calibWorst)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"sf":"$sfDir","n_queries":${results.length},"build_sec":${fmt(buildSec)},"skipped":$skipped,"full_total":${fmt(fullTotal)},"full_reps":$fullReps$probeCapField,"disk_free_gb_before":$diskFreeBefore,"disk_free_gb_after":$diskFreeGb,"loadavg_before":${fmtSeq(loadBefore)},"loadavg_after":${fmtSeq(loadAfter)},"calib_ms_before":${fmt(calibBefore)},"calib_ms_start":${fmt(calibStart)},"calib_ms_after":${fmt(calibAfter)},"calib_ms_worst":${fmt(calibWorst)},"warm_pass":$warm,"warm_skipped":${(if (warm) warmSkip.intersect(selected.keySet) else Set.empty[String]).toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (full + "\n").getBytes("UTF-8"))
     spark.stop()

@@ -39,6 +39,13 @@ object StreamBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val outFile = sys.env.getOrElse("SPARK_GRAFT_STREAMBENCH_OUT", "STREAMBENCH.json")
     val filesPerTrigger = sys.env.getOrElse("SPARK_GRAFT_STREAM_FPT", "2").toInt
+    // LOAD SENTINEL (the Bench.scala discipline, r11): streaming rates
+    // are single-pass walls, so a loaded machine understates them with
+    // nothing flagging it. Bracket the run with loadavg + the fixed
+    // calibration loop; check_records.py holds committed records to
+    // the same calibration_ref thresholds as the batch benches.
+    val loadBefore = LoadSentinel.loadAvg
+    val calibBefore = LoadSentinel.calib3
     val spark = Sessions.local(cpus)
     import spark.implicits._
 
@@ -105,8 +112,11 @@ object StreamBench {
         s""""rows_per_sec":${fmt(r.rows / r.wallSec)},""" +
         s""""state_rows":${r.stateRows},"state_bytes":${r.stateBytes}}"""
     }.mkString("{", ",", "}")
+    val loadAfter = LoadSentinel.loadAvg
+    val calibAfter = LoadSentinel.calib3
+    def fmtSeq(v: Seq[Double]): String = v.map(fmt).mkString("[", ",", "]")
     val line =
-      s"""{"metric":"stream_rows_per_sec","sf":"$sfDir","files_per_trigger":$filesPerTrigger,"ops":$js}"""
+      s"""{"metric":"stream_rows_per_sec","sf":"$sfDir","files_per_trigger":$filesPerTrigger,"ops":$js,"loadavg_before":${fmtSeq(loadBefore)},"loadavg_after":${fmtSeq(loadAfter)},"calib_ms_before":${fmt(calibBefore)},"calib_ms_after":${fmt(calibAfter)}}"""
     println(line)
     System.err.println(line)
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),

@@ -75,12 +75,25 @@ object Ann {
       .select(col("vec_id"), col("embedding"),
         posexplode(exprCol(HyperplaneBuckets(
           expression(col("embedding")), nTables, bitsPerTable))).as(Seq("tbl", "bucket")))
+    // Broadcast-size bound: the probe side is every-50th-id × nTables
+    // rows of one 64-float payload each — ~2% of the corpus × 8 ≈
+    // 160 MB per 10M vectors. Linear in the corpus BY THE BENCH
+    // CONTRACT, so sf100 (~320k rows) is comfortably inside Spark's
+    // 8 GB broadcast ceiling but a further 10× step is not: large-sf
+    // runs pin graft.Probes.cap (the sf100 gate uses 4000), which
+    // bounds this broadcast to cap × nTables rows regardless of scale.
     val probes = emb.filter(graft.Probes.isProbe(col("vec_id")))
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
         col("tbl"), col("bucket"))
     // cosine DESC, neighbor_id ASC — total over the payload, so
-    // ord-equivalence == "same pair via another table"
-    val ord: Ordering[(Double, Long)] = Ordering.by(t => (-t._1, t._2))
+    // ord-equivalence == "same pair via another table". Built by
+    // REVERSING the total order, never by negating the key: -cosine
+    // maps NaN to NaN (which TotalOrdering would sort LAST, silently
+    // dropping a zero-norm-embedding candidate that Spark's `desc`
+    // ranks FIRST) and swaps the -0.0/0.0 signed zeros. reverse puts
+    // NaN first — the same place Spark's descending sort puts it.
+    val ord: Ordering[(Double, Long)] =
+      Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.Long)
     val topk = udaf(new graft.functions.TopKDistinctAgg[(Double, Long)](5, ord))
     emb.select(col("vec_id").as("neighbor_id"), col("embedding"),
         col("tbl"), col("bucket"))

@@ -108,6 +108,24 @@ object Graph {
     import org.apache.spark.sql.graftbridge.Bridge
     // shuffles alive before this operator ran: never touched
     val baseline = Bridge.shuffleIds(session)
+    // ITERLOG (SPARK_GRAFT_ITERLOG=1; stderr; a few lines per query):
+    // per materialization segment — wall since the last line, the
+    // delta of sweep-BLOCKED wall (Bridge.SweepStats), disk headroom.
+    // This is the split that attributes an iterative run's wall to
+    // waiting-on-dead-file-deletion vs compute (the q53 sf100
+    // 28x-for-10x attribution question, VERDICT r10 item 5).
+    val iterLog = sys.env.get("SPARK_GRAFT_ITERLOG").contains("1")
+    var segT0 = System.nanoTime()
+    var segBlocked0 = Bridge.SweepStats.blockedNanos.get()
+    def logSegment(tag: String): Unit = if (iterLog) {
+      val wall = (System.nanoTime() - segT0) / 1e9
+      val blocked =
+        (Bridge.SweepStats.blockedNanos.get() - segBlocked0) / 1e9
+      System.err.println(
+        f"ITERLOG pagerank $tag%s wall=$wall%.1fs sweepBlocked=$blocked%.1fs diskFreeGb=${Bridge.shuffleDirFreeGb(session)}%d")
+      segT0 = System.nanoTime()
+      segBlocked0 = Bridge.SweepStats.blockedNanos.get()
+    }
     // durable-checkpoint knob (cluster configuration; see scaladoc)
     val ckDir = session.conf.get("spark.graft.checkpointDir", "")
     if (ckDir.nonEmpty &&
@@ -157,6 +175,7 @@ object Graph {
       if (session.sparkContext.isLocal) {
         Bridge.removeShuffles(session, buildIds); baseline
       } else baseline ++ buildIds
+    logSegment("adjacency-build")
     // delete every shuffle this operator created that is not protected
     // — called only at points where all prior rounds are materialized
     // into checkpoint blocks (sweepShuffles unregisters synchronously
@@ -202,6 +221,7 @@ object Graph {
           org.apache.spark.sql.graftbridge.Bridge.releaseCheckpoints(p))
         prevTrunc = Some(slim)
         sweepDeadShuffles()
+        logSegment(s"trunc@$i")
         state = adj.join(slim, col("node") === col("ck_node"))
           .select(col("node"), col("nbrs"), col("outdeg"), col("rank"))
       }
@@ -217,6 +237,7 @@ object Graph {
     // the cache is gone: every shuffle since function entry (including
     // the build shuffles a cluster run kept) is now unreachable
     Bridge.removeShuffles(session, Bridge.shuffleIds(session) -- baseline)
+    logSegment("final-rounds")
     out
   }
 

@@ -98,7 +98,28 @@ object Bridge {
       ids: Iterable[Int]): Unit = {
     val minFree = spark.conf.get("spark.graft.sweepBlockingMinFreeGb", "32")
       .toLong
-    removeShuffles(spark, ids, blocking = shuffleDirFreeGb(spark) < minFree)
+    val blocking = shuffleDirFreeGb(spark) < minFree
+    if (blocking) {
+      val t0 = System.nanoTime()
+      removeShuffles(spark, ids, blocking = true)
+      SweepStats.blockedNanos.addAndGet(System.nanoTime() - t0)
+      SweepStats.blockingSweeps.incrementAndGet()
+    } else {
+      removeShuffles(spark, ids, blocking = false)
+      SweepStats.asyncSweeps.incrementAndGet()
+    }
+  }
+
+  /** Process-cumulative sweep accounting, so an iterative operator's
+    * wall can be split into "waiting for dead files to hit the floor"
+    * vs compute (the q53 sf100 28x-for-10x attribution question):
+    * blockedNanos accumulates ONLY the disk-pressured blocking waits
+    * (the async path returns immediately by construction). Read-only
+    * consumers take deltas; monotone, never reset by operators. */
+  object SweepStats {
+    val blockedNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+    val blockingSweeps = new java.util.concurrent.atomic.AtomicLong(0L)
+    val asyncSweeps = new java.util.concurrent.atomic.AtomicLong(0L)
   }
 
   /** Imperative function registration on a live session (the

@@ -37,6 +37,7 @@ import numpy as np
 import pandas as pd
 
 TIMEOUT = int(os.environ.get("OVERRIDE_EQUIV_TIMEOUT", "600"))
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_with_timeout(con, sql, seconds):
@@ -85,6 +86,18 @@ def same(a, b):
 def main():
     oracle_path = sys.argv[1]
     sf_dirs = sys.argv[2:] or ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+    # provenance stamp (the LEAKCHECK_LOCAL discipline): the committed
+    # OVERRIDE_EQUIV.txt must say WHICH tree it proved — an equivalence
+    # proof that predates the oracle SQL it certifies is silently stale.
+    try:
+        head = subprocess.check_output(
+            ["git", "-C", ROOT, "rev-parse", "HEAD"], text=True).strip()
+        dirty = subprocess.run(
+            ["git", "-C", ROOT, "diff", "--quiet", "HEAD"]).returncode != 0
+        print(f"commit: {head}{' (dirty worktree)' if dirty else ''}",
+              flush=True)
+    except Exception as e:
+        print(f"commit: unknown ({type(e).__name__})", flush=True)
     oracle = json.load(open(oracle_path))
     with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as f:
         ov_path = f.name

@@ -51,9 +51,14 @@ sbt -batch package
 JAR=$(ls target/scala-2.13/*_2.13-*.jar | head -1); CP="$JAR:/opt/spark/jars/*"
 
 echo "== Bench at sf10 (single rep, quadratic baselines skipped) =="
+# r11: WARM=1 — untimed, RECORDED first-touch pass per query so the
+# single-rep count numbers are warm-kernel walls (first_touch carries
+# the cold split). ITERLOG: q53's sweep-wait vs compute split on stderr.
 SPARK_GRAFT_SF_DIR="$PWD/$SF10" SPARK_GRAFT_CPUS=$CPUS \
   SPARK_GRAFT_BENCH_REPS=1 \
   SPARK_GRAFT_BENCH_SKIP=q24_ann_bruteforce,q30_dedup_embedding \
+  SPARK_GRAFT_BENCH_WARM=1 \
+  SPARK_GRAFT_ITERLOG=1 \
   SPARK_GRAFT_BENCH_OUT=BENCH_SF10.json \
   java $JOPTS -Xmx${SPARK_GRAFT_XMX:-80g} -cp "$CP" graft.Bench
 
