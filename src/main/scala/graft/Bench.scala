@@ -249,10 +249,27 @@ object Bench {
       // single-thread loop for seconds. Min of 3 spaced 250 ms so one
       // residual burst can't read as a stall; a real machine stall is
       // a multi-minute window that inflates all three.
-      val calibSample = (1 to 3).map { i =>
-        if (i > 1) Thread.sleep(250)
-        calibrationMs
-      }.min
+      val calibSample = {
+        val min3 = (1 to 3).map { i =>
+          if (i > 1) Thread.sleep(250)
+          calibrationMs
+        }.min
+        // ESCALATE on elevation (r11): the r11 sf10 re-takes proved the
+        // 0.5 s min-of-3 window reads 400-700 ms after the two
+        // artifact-writing queries (q88's index build/open, q89's
+        // memoized-merge IO) on an otherwise-quiet machine — a SELF-
+        // INFLICTED sub-second IO/cleaner tail, reproduced at the same
+        // two queries across runs, not the multi-minute machine stall
+        // the probe hunts. Keep sampling at 1 s spacing (up to 8 more)
+        // until the reading settles; a real stall spans minutes and
+        // stays elevated through all samples, so detection is intact.
+        var best = min3; var extra = 0
+        while (best > 300.0 && extra < 8) {
+          Thread.sleep(1000); extra += 1
+          best = math.min(best, calibrationMs)
+        }
+        best
+      }
       // boundary GC (untimed): reap the just-finished query's dead
       // shuffle files NOW instead of at the next timer tick — the
       // per-query debris bound that lets the session run a 30-min
