@@ -173,7 +173,12 @@ object Graph {
     val buildIds = Bridge.shuffleIds(session) -- baseline
     val protectedIds =
       if (session.sparkContext.isLocal) {
-        Bridge.removeShuffles(session, buildIds); baseline
+        // adaptive sweep, not an unconditional blocking delete: with
+        // disk headroom the deletion queues asynchronously (the same
+        // policy as the per-truncation sweeps); under pressure it
+        // still blocks until the build shuffle — the largest single
+        // disk item of the whole computation — is actually gone
+        Bridge.sweepShuffles(session, buildIds); baseline
       } else baseline ++ buildIds
     logSegment("adjacency-build")
     // delete every shuffle this operator created that is not protected
