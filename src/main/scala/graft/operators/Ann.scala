@@ -26,6 +26,19 @@ object Ann {
   private def cosine(a: Column, b: Column): Column =
     exprCol(FloatVecCosine(expression(a), expression(b)))
 
+  /** (cosine DESC, neighbor_id ASC) — total over the payload, so
+    * ord-equivalence == "same pair via another table" in
+    * TopKDistinctAgg. Built by REVERSING the total order, never by
+    * negating the key: -cosine maps NaN to NaN (which TotalOrdering
+    * would sort LAST, silently dropping a zero-norm-embedding
+    * candidate that Spark's `desc` ranks FIRST) and swaps the
+    * -0.0/0.0 signed zeros. reverse puts NaN first — the same place
+    * Spark's descending sort puts it. Pinned by AnnOrderingSpec
+    * (VERDICT r11: the corpus has no zero-norm embeddings, so only a
+    * unit spec can catch a regression to the negate-the-key form). */
+  private[graft] val cosineDescIdAsc: Ordering[(Double, Long)] =
+    Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.Long)
+
   /** Brute-force exact cosine top-k: probes (vec_id % 50 == 0)
     * broadcast against one corpus scan — the baseline every ANN method
     * is judged against. */
@@ -85,16 +98,8 @@ object Ann {
     val probes = emb.filter(graft.Probes.isProbe(col("vec_id")))
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
         col("tbl"), col("bucket"))
-    // cosine DESC, neighbor_id ASC — total over the payload, so
-    // ord-equivalence == "same pair via another table". Built by
-    // REVERSING the total order, never by negating the key: -cosine
-    // maps NaN to NaN (which TotalOrdering would sort LAST, silently
-    // dropping a zero-norm-embedding candidate that Spark's `desc`
-    // ranks FIRST) and swaps the -0.0/0.0 signed zeros. reverse puts
-    // NaN first — the same place Spark's descending sort puts it.
-    val ord: Ordering[(Double, Long)] =
-      Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.Long)
-    val topk = udaf(new graft.functions.TopKDistinctAgg[(Double, Long)](5, ord))
+    val topk = udaf(new graft.functions.TopKDistinctAgg[(Double, Long)](5,
+      cosineDescIdAsc))
     emb.select(col("vec_id").as("neighbor_id"), col("embedding"),
         col("tbl"), col("bucket"))
       .join(broadcast(probes), Seq("tbl", "bucket"))
@@ -132,6 +137,18 @@ object Ann {
   def q45AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val n = Tables.embeddings(spark, dir).count()
     annIvf(spark, dir, k = ivfK(n), iters = 5, probeCells = 6, topK = 5)
+  }
+
+  /** Run q45's one-off IVF training (through the deterministic
+    * centroid memo) without serving a probe: Bench calls this before
+    * the timing loop so the per-rep numbers read SERVE latency and the
+    * train cost is an explicit build_sec field — the q88 split,
+    * extended to the in-query-trained index (VERDICT r11 item 7: the
+    * marginal/fixed fit proved q45's 97 s sf100 wall was the train). */
+  def ensureQ45Trained(spark: SparkSession, dir: String): Unit = {
+    val n = Tables.embeddings(spark, dir).count()
+    Clustering.centroidsQuantized(spark, dir, ivfK(n), 5)
+    ()
   }
 
   /** IVF over the DETERMINISTIC quantized kmeans cells: training,
