@@ -33,4 +33,44 @@ object LoadSentinel {
 
   def calib3: Double =
     Seq(calibrationMs, calibrationMs, calibrationMs).sorted.apply(1)
+
+  /** Quiet-machine reference (tools/calibration_ref.json) — the same
+    * number check_records.py holds committed records to. Parsed with a
+    * narrow regex so the sentinel has no JSON dependency; None when
+    * the file is absent (e.g. running outside the repo root). */
+  lazy val refCalibMs: Option[Double] =
+    try {
+      val txt = scala.io.Source.fromFile("tools/calibration_ref.json").mkString
+      """"calib_ms"\s*:\s*([0-9.]+)""".r.findFirstMatchIn(txt)
+        .map(_.group(1).toDouble)
+    } catch { case _: Throwable => None }
+
+  /** Escalation threshold for the per-query probe's settle loop:
+    * machine-relative (2.25x the committed reference — between the
+    * brackets' 1.5x and the per-query worst's 2.5x record thresholds)
+    * instead of an absolute 300 ms, which on a machine whose quiet
+    * baseline exceeds 300 ms would make EVERY query pay the full
+    * escalation wall (ADVICE r11). 300 ms retained only as the
+    * no-reference fallback (2.25 x the original 133.5 ms reference). */
+  def escalationThresholdMs: Double = refCalibMs.map(_ * 2.25).getOrElse(300.0)
+
+  /** Escalate-on-elevation: keep sampling (up to maxExtra, spaced
+    * sleepMs) until the reading drops under thresholdMs, returning
+    * (best reading, extra samples taken). A sub-threshold initial
+    * takes zero extras; a real machine stall spans minutes and stays
+    * elevated through every sample, so detection is intact — and the
+    * extra count is RETURNED so an escalated (tail-masked) entry is
+    * identifiable in the committed record instead of indistinguishable
+    * from a first-sample-quiet one (ADVICE r11). */
+  def settle(initial: Double, thresholdMs: Double, maxExtra: Int,
+      sample: () => Double, sleepMs: Long = 1000): (Double, Int) = {
+    var best = initial
+    var extra = 0
+    while (best > thresholdMs && extra < maxExtra) {
+      if (sleepMs > 0) Thread.sleep(sleepMs)
+      extra += 1
+      best = math.min(best, sample())
+    }
+    (best, extra)
+  }
 }
