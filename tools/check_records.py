@@ -131,6 +131,44 @@ def main() -> int:
                             f"a loaded machine; re-take quiet or add "
                             f"'KNOWN_RED: {name} load-contaminated — "
                             f"<reason>' to SURVEY.md")
+            # MERGED entries came from a SEPARATE targeted run whose
+            # brackets ride in merged_entries — hold them to the same
+            # thresholds, or a load-contaminated re-measure merges into
+            # a record that still passes this gate (ADVICE r11). Same
+            # per-query-coverage thresholds as above (targeted runs
+            # carry per-query probes by construction).
+            merged_checks = [("calib_ms_before", 4.0),
+                             ("calib_ms_start", 1.5),
+                             ("calib_ms_worst", 2.5)]
+            for mq, ment in (rec.get("merged_entries") or {}).items():
+                if not isinstance(ment, dict) or not ref_ms:
+                    continue
+                for field, mult in merged_checks:
+                    got = ment.get(field)
+                    if isinstance(got, (int, float)) and got > 0 \
+                            and got > mult * ref_ms \
+                            and not survey_acknowledges(
+                                survey, name, "load-contaminated"):
+                        problems.append(
+                            f"{name}: merged entry {mq} {field}="
+                            f"{got:.0f}ms vs reference {ref_ms:.0f}ms "
+                            f"(> {mult}x) — targeted re-measure was "
+                            f"load-contaminated; re-take quiet or add "
+                            f"'KNOWN_RED: {name} load-contaminated — "
+                            f"<reason>' to SURVEY.md")
+            # the record-level worst must cover every per-query probe,
+            # merged or native — a merge that skipped the recompute
+            # would understate it (ADVICE r11)
+            pq_worst = max((c for c in per_query
+                            if isinstance(c, (int, float))), default=0)
+            rec_worst = rec.get("calib_ms_worst")
+            if isinstance(rec_worst, (int, float)) and pq_worst > 0 \
+                    and rec_worst + 0.01 < pq_worst:
+                problems.append(
+                    f"{name}: calib_ms_worst={rec_worst:.0f}ms is below "
+                    f"the per-query max {pq_worst:.0f}ms — stale after a "
+                    f"merge; recompute (merge_bench_entries.py does this "
+                    f"since r12)")
 
     for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_*.json"))):
         name = os.path.basename(path)

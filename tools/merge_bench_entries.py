@@ -25,6 +25,13 @@ def main():
     for name in names:
         if name not in tgt["queries"]:
             sys.exit(f"{name} not in targeted record")
+        # a query the targeted run FAILED has a wall that measures the
+        # failure path, not the operator — merging it would launder a
+        # red reading into a committed record that still passes
+        # check_records.py (ADVICE r11)
+        if name in (tgt.get("failed") or []):
+            sys.exit(f"{name} is in the targeted record's failed[] — "
+                     f"fix and re-measure before merging")
         rec["queries"][name] = tgt["queries"][name]
         merged[name] = {
             "source_sf": tgt["sf"],
@@ -43,8 +50,18 @@ def main():
     rec["full_total"] = round(
         sum(q["full_median"] for q in rec["queries"].values()), 3)
     rec["n_queries"] = len(rec["queries"])
+    # the record-level worst must cover the merged entries' own probes,
+    # or a load-contaminated targeted re-measure slips under the
+    # committed record's calib_ms_worst gate (ADVICE r11)
+    per_query_worst = max(
+        (q.get("calib_ms", 0) for q in rec["queries"].values()
+         if isinstance(q.get("calib_ms"), (int, float))), default=0)
+    rec["calib_ms_worst"] = round(
+        max(rec.get("calib_ms_worst", 0), per_query_worst), 3)
     with open(committed_path, "w") as f:
-        json.dump(rec, f)
+        # compact separators: match Bench's hand-built JSON so merged
+        # records diff cleanly against fresh ones (ADVICE r11)
+        json.dump(rec, f, separators=(",", ":"))
         f.write("\n")
     print(f"merged {names} into {committed_path}: value={rec['value']} "
           f"full_total={rec['full_total']} n={rec['n_queries']}")
