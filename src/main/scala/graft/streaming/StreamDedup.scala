@@ -30,8 +30,9 @@ object StreamDedup {
   /** Streaming NEAR-dup detection — the ingest-time face of the batch
     * minhash LSH (operators/Dedup.q21): each arriving doc computes its
     * 32-band minhash signature (same codegen kernel as batch), bands
-    * explode to (band, hash) rows, and `dropDuplicatesWithinWatermark`
-    * keyed on the band hash keeps only FIRST claimers — a doc that
+    * explode to packed single-long claim rows (band id in the low 6
+    * bits — see inline note), and `dropDuplicatesWithinWatermark`
+    * keyed on the claim keeps only FIRST claimers — a doc that
     * shares any band with an earlier doc inside the horizon loses that
     * band. A per-doc windowed count then closes at the watermark:
     * fresh_bands < bands means some band was already claimed, i.e. the
@@ -61,17 +62,30 @@ object StreamDedup {
       // empty signatures are all-identical: without this filter every
       // short doc collides in every band (same guard as batch q21)
       .filter(size(col("tri")) > 0)
+    // claim = (band hash << 6) | band id, ONE long instead of the
+    // (band int, hash long) pair — the dedup state key is the claim,
+    // so packing shrinks every retained state row (r12, VERDICT watch
+    // item: 1.24 GB of band-claim state at sf10). Distinctness: bands
+    // occupy the low 6 bits (0..31, presence tag 63), the hash keeps
+    // its low 58 bits — two DIFFERENT hashes colliding in one claim
+    // needs a 58-bit collision among the horizon's claims (~2^-58 per
+    // pair; ~1e-6 cumulative at a 1.2M-claim horizon), the same class
+    // of risk the 64-bit band hash itself already carries. Flag
+    // semantics verified identical on the committed corpora
+    // (StreamNearDedupSpec + the sf1/sf10 record re-takes).
     val bandRows = base.select(col("doc_id"), col("ts"),
       posexplode(bandHashes).as(Seq("band", "bh")))
-    // one presence row per doc under a doc-unique key (band -1): it
-    // always survives the dedup, so a doc whose EVERY band is claimed
-    // still reaches the aggregate and reports fresh_bands = 0 instead
-    // of silently vanishing
+      .select(col("doc_id"), col("ts"),
+        shiftleft(col("bh"), 6).bitwiseOR(col("band")).as("claim"))
+    // one presence row per doc under a doc-unique claim (tag 63,
+    // disjoint from every band id): it always survives the dedup, so a
+    // doc whose EVERY band is claimed still reaches the aggregate and
+    // reports fresh_bands = 0 instead of silently vanishing
     val presence = base.select(col("doc_id"), col("ts"),
-      lit(-1).as("band"), col("doc_id").as("bh"))
+      shiftleft(col("doc_id"), 6).bitwiseOR(lit(63)).as("claim"))
     bandRows.unionByName(presence)
       .withWatermark("ts", horizon)
-      .dropDuplicatesWithinWatermark("band", "bh")
+      .dropDuplicatesWithinWatermark("claim")
       .groupBy(window(col("ts"), "1 minute").as("win"), col("doc_id"))
       .agg((count(lit(1)) - 1).as("fresh_bands"))
       .select(col("doc_id"), col("win"), col("fresh_bands"),
