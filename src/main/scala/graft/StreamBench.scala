@@ -73,6 +73,7 @@ object StreamBench {
       .map(_.toInt).getOrElse(math.max(8, nSlices / 4))
     val retain = sys.env.getOrElse("SPARK_GRAFT_STREAM_RETAIN", "1")
     val stateStore = sys.env.getOrElse("SPARK_GRAFT_STREAM_STATESTORE", "hdfs")
+    val rocksMb = sys.env.getOrElse("SPARK_GRAFT_STREAM_ROCKSDB_MB", "256")
     // comma-separated op subset for targeted experiments (never the
     // committed record — that carries all four)
     val opsOnly = sys.env.get("SPARK_GRAFT_STREAM_OPS")
@@ -96,6 +97,16 @@ object StreamBench {
         // vs 174 MB); the production configuration for RocksDB state
         .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
           "true")
+        // bounded memory: one shared block cache + write-buffer
+        // manager across all stores instead of per-store unbounded
+        // caches — without it 64 stores' memtable/cache arenas
+        // reported 1.08 GB for sf10's 2.3M-claim near-dedup state;
+        // bounded at 256 MB the same run reports 213 MB with identical
+        // state rows. The per-store-unbounded default is the
+        // many-partition memory trap at scale; bounding is how a
+        // 1000-executor deployment actually runs RocksDB state.
+        .config("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true")
+        .config("spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB", rocksMb)
       case _ => builder
     }).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
