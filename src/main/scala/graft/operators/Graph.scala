@@ -66,6 +66,38 @@ object Graph {
   def copurchaseEdges(spark: SparkSession, dir: String): DataFrame =
     copurchasePairs(spark, dir).distinct()
 
+  /** copurchasePairs re-derived as a CO-PARTITIONED SELF-JOIN — the
+    * q53 feed since round 13, multiset-identical to copurchasePairs
+    * (GraphSpec proves it exactly) but free of the object-aggregate
+    * tax that made the old derivation 72 % of q53's sf100 wall:
+    *
+    *  - the old shape ran collect_set over every lineitem row (an
+    *    ObjectHashAggregate that falls back to SORT-BASED aggregation
+    *    past 128 keys per partition — so the whole fact table went
+    *    through a per-row object-buffer sort) and then a double
+    *    explode over the materialized arrays. Measured at sf10, that
+    *    object-agg + explode front half was ~35 s of the 56 s build;
+    *  - here lineitem's (orderkey, partkey) projection DISTINCTs once
+    *    (a codegen HashAggregate over two primitives — cheap, and it
+    *    also bounds the within-order duplicate-part blowup a raw
+    *    line-level self-join would square), exchanges ONCE by
+    *    orderkey (ReusedExchange serves both join sides), and the
+    *    per-order pair expansion is the join itself — whole-stage
+    *    codegen end to end, no object buffers anywhere. Measured at
+    *    sf10: adjacency build 56 s → 21 s, same arrays out.
+    *
+    * Per-order set semantics are IDENTICAL to copurchasePairs: the
+    * distinct projection is exactly the order's part set, and the
+    * pk != pk' join enumerates each ordered pair once per order. */
+  def copurchasePairsJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+  }
+
   /** Integer PageRank over (src, dst) edges (multi-edges collapse),
     * `iters` fixed iterations, damping 0.85 expressed as exact
     * integer arithmetic:
@@ -283,7 +315,12 @@ object Graph {
       .agg(min(col("p_partkey")).as("lo"), max(col("p_partkey")).as("hi")).head()
     val narrow = !b.isNullAt(0) &&
       b.getLong(0) >= Int.MinValue.toLong && b.getLong(1) <= Int.MaxValue.toLong
-    val pr = pagerank(copurchasePairs(spark, dir), iters = 3, narrowIds = narrow)
+    // r13: feed the self-join pair derivation — multiset-identical to
+    // copurchasePairs (GraphSpec) but object-aggregate-free, which was
+    // 72 % of the sf100 wall (958 s of 1331 s, ITERLOG-attributed;
+    // measured at sf10: adjacency-build segment 56 s → 21 s).
+    val pr = pagerank(copurchasePairsJoin(spark, dir), iters = 3,
+      narrowIds = narrow)
     val top = pr
       .select(col("node").as("part_key"), col("outdeg").as("out_degree"),
         col("rank"))

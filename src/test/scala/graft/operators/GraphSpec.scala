@@ -43,6 +43,31 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(e.count() === e.distinct().count())
   }
 
+  test("copurchasePairsJoin is multiset-identical to copurchasePairs") {
+    // the r13 q53 feed (distinct projection + co-partitioned
+    // self-join) must emit the EXACT pair multiset of the
+    // collect_set + double-explode derivation — per-order part sets
+    // pair once per order in both — which is what keeps q53's oracle
+    // SQL unchanged across the rewrite. exceptAll is multiset
+    // difference, so this is multiset equality, not just set equality.
+    val fast = Graph.copurchasePairsJoin(spark, sfDir)
+    val raw = Graph.copurchasePairs(spark, sfDir)
+    assert(fast.exceptAll(raw).isEmpty, "join feed has a pair raw lacks")
+    assert(raw.exceptAll(fast).isEmpty, "join feed misses a raw pair")
+    assert(fast.count() === raw.count())
+  }
+
+  test("pagerank over the self-join feed matches the explode feed bit-exactly") {
+    def ranks(df: org.apache.spark.sql.DataFrame) =
+      Graph.pagerank(df, iters = 3).collect()
+        .map(r => (r.getAs[Long]("node"), r.getAs[Long]("outdeg"),
+          r.getAs[Long]("rank"))).sorted.toSeq
+    val viaJoin = ranks(Graph.copurchasePairsJoin(spark, sfDir))
+    val viaRaw = ranks(Graph.copurchasePairs(spark, sfDir))
+    assert(viaJoin === viaRaw)
+    assert(viaJoin.nonEmpty)
+  }
+
   test("q53 emits 20 rows in total (rank DESC, part ASC) order") {
     val rows = Graph.q53Pagerank(spark, sfDir).collect()
     assert(rows.length === 20)

@@ -19,7 +19,16 @@ TIMEOUT (proof for that query stays at the smaller sf), not a failure;
 a MISMATCH is always fatal.
 
 Usage:
-  check_override_equiv.py <oracle_sql.json> [sf_dir ...]
+  check_override_equiv.py [--out FILE] <oracle_sql.json> [sf_dir ...]
+    --out FILE       write the report to FILE atomically (buffered, then
+                     temp-file + os.replace AFTER the provenance probe) —
+                     the way to produce the committed OVERRIDE_EQUIV.txt.
+                     Shell redirection (`> OVERRIDE_EQUIV.txt`) truncates
+                     the target BEFORE the git-dirty probe runs, so the
+                     stamp reads "(dirty worktree)" purely from its own
+                     in-progress output file (VERDICT r12 What's-wrong
+                     #2); --out keeps the tree untouched until the report
+                     is complete.
     oracle_sql.json  a Verify dump's committed oracle map (the SQL is
                      scale-independent; any Verify outDir's copy works)
     sf_dir           table dirs to prove at (default /root/testdata/sf0.01
@@ -84,8 +93,18 @@ def same(a, b):
 
 
 def main():
-    oracle_path = sys.argv[1]
-    sf_dirs = sys.argv[2:] or ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+    args = sys.argv[1:]
+    out_path = None
+    if args and args[0] == "--out":
+        out_path, args = args[1], args[2:]
+    out_lines = []
+
+    def emit(line):
+        print(line, flush=True)
+        out_lines.append(line)
+
+    oracle_path = args[0]
+    sf_dirs = args[1:] or ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
     # provenance stamp (the LEAKCHECK_LOCAL discipline): the committed
     # OVERRIDE_EQUIV.txt must say WHICH tree it proved — an equivalence
     # proof that predates the oracle SQL it certifies is silently stale.
@@ -94,23 +113,24 @@ def main():
             ["git", "-C", ROOT, "rev-parse", "HEAD"], text=True).strip()
         dirty = subprocess.run(
             ["git", "-C", ROOT, "diff", "--quiet", "HEAD"]).returncode != 0
-        print(f"commit: {head}{' (dirty worktree)' if dirty else ''}",
-              flush=True)
+        emit(f"commit: {head}{' (dirty worktree)' if dirty else ''}")
     except Exception as e:
-        print(f"commit: unknown ({type(e).__name__})", flush=True)
+        emit(f"commit: unknown ({type(e).__name__})")
     oracle = json.load(open(oracle_path))
     with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as f:
         ov_path = f.name
-    subprocess.check_call([sys.executable,
-                           os.path.join(os.path.dirname(__file__),
-                                        "make_sf1_overrides.py"),
-                           oracle_path, ov_path])
+    ov_out = subprocess.check_output(
+        [sys.executable,
+         os.path.join(os.path.dirname(__file__), "make_sf1_overrides.py"),
+         oracle_path, ov_path], text=True)
+    for line in ov_out.rstrip("\n").splitlines():
+        emit(line)
     overrides = json.load(open(ov_path))
     os.unlink(ov_path)
 
     fails, timeouts = 0, 0
     for sf_dir in sf_dirs:
-        print(f"== {sf_dir} ==", flush=True)
+        emit(f"== {sf_dir} ==")
         for name in sorted(overrides):
             # fresh connection per query: an interrupted (timed-out)
             # connection is not reliably reusable
@@ -124,9 +144,9 @@ def main():
             try:
                 committed = canon(run_with_timeout(con, oracle[name], TIMEOUT))
             except Exception as e:
-                print(f"{name}: TIMEOUT/ERROR on committed form after "
-                      f"{time.time()-t0:.0f}s ({type(e).__name__}) — proof "
-                      f"for this query stays at the smaller sf", flush=True)
+                emit(f"{name}: TIMEOUT/ERROR on committed form after "
+                     f"{time.time()-t0:.0f}s ({type(e).__name__}) — proof "
+                     f"for this query stays at the smaller sf")
                 timeouts += 1
                 con.close()
                 continue
@@ -134,17 +154,25 @@ def main():
             rewritten = canon(run_with_timeout(con, overrides[name], TIMEOUT))
             t2 = time.time()
             if same(committed, rewritten):
-                print(f"{name}: IDENTICAL ({len(committed)} rows; "
-                      f"committed {t1-t0:.1f}s, override {t2-t1:.1f}s)",
-                      flush=True)
+                emit(f"{name}: IDENTICAL ({len(committed)} rows; "
+                     f"committed {t1-t0:.1f}s, override {t2-t1:.1f}s)")
             else:
-                print(f"{name}: MISMATCH committed={len(committed)} rows "
-                      f"override={len(rewritten)} rows", flush=True)
+                emit(f"{name}: MISMATCH committed={len(committed)} rows "
+                     f"override={len(rewritten)} rows")
                 fails += 1
             con.close()
-    print(f"\n{'FAIL' if fails else 'OK'}: {fails} mismatches, "
-          f"{timeouts} committed-form timeouts across "
-          f"{len(sf_dirs)} scale factors x {len(overrides)} overrides")
+    emit(f"\n{'FAIL' if fails else 'OK'}: {fails} mismatches, "
+         f"{timeouts} committed-form timeouts across "
+         f"{len(sf_dirs)} scale factors x {len(overrides)} overrides")
+    if out_path:
+        # atomic: temp file in the target's directory, then replace —
+        # the worktree stays clean for the whole run (see --out doc)
+        d = os.path.dirname(os.path.abspath(out_path)) or "."
+        with tempfile.NamedTemporaryFile(
+                "w", dir=d, suffix=".tmp", delete=False) as f:
+            f.write("\n".join(out_lines) + "\n")
+            tmp = f.name
+        os.replace(tmp, out_path)
     sys.exit(1 if fails else 0)
 
 

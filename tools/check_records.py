@@ -170,6 +170,85 @@ def main() -> int:
                     f"merge; recompute (merge_bench_entries.py does this "
                     f"since r12)")
 
+    # SURVEY-QUOTED STREAMING FIGURES vs the committed artifacts
+    # (r13, VERDICT r12 What's-wrong #1: SURVEY twice carried a state
+    # figure its artifact contradicted — r11's "identical marks" claim,
+    # r12's 470-vs-387 MB on-disk). Scope: the CURRENT streaming record
+    # section (between '### §5d ' and '### §5d-history'); history
+    # sections are per-round records like BENCH_r*.json and go stale
+    # legitimately. Three checks:
+    #  1. every citation of the form `state_files_bytes`/`state_bytes`/
+    #     `state_rows` followed by a (possibly space-grouped) number,
+    #     ANYWHERE in SURVEY, must equal some op's value in some
+    #     STREAMBENCH*.json;
+    #  2. every `N MB` token on a §5d line in state context (mentions
+    #     state/changelog/on-disk/reported) must be within 3% of some
+    #     op's state_bytes or state_files_bytes. Exempt: A/B ladders
+    #     ('→'), ranges (213-232 MB), cache-budget configs ('cache'),
+    #     unbounded-config experiments ('nbounded'), and corrected
+    #     pre-final figures ('pre-final') — those quote experiment
+    #     takes, not the committed record;
+    #  3. every `N k` / `N.NN M` rate token on a §5d line that itself
+    #     says 'rows/s' must be within 3% of some op's rows_per_sec.
+    stream_vals = {"state_bytes": set(), "state_files_bytes": set(),
+                   "state_rows": set(), "rows_per_sec": set()}
+    for path in sorted(glob.glob(os.path.join(ROOT, "STREAMBENCH*.json"))):
+        try:
+            rec = json.load(open(path))
+        except Exception:
+            continue
+        for op in (rec.get("ops") or {}).values():
+            for f in stream_vals:
+                v = op.get(f)
+                if isinstance(v, (int, float)):
+                    stream_vals[f].add(float(v))
+    if any(stream_vals.values()) and survey:
+        def near(x, candidates, tol=0.03):
+            return any(c > 0 and abs(x - c) / c <= tol for c in candidates)
+        # check 1: explicit field citations (space-grouped digits)
+        for m in re.finditer(
+                r"`?(state_files_bytes|state_bytes|state_rows)`?\s+"
+                r"(\d[\d\s ,]*\d|\d)", survey):
+            field, num = m.group(1), re.sub(r"[\s ,]", "", m.group(2))
+            if float(num) not in stream_vals[field]:
+                problems.append(
+                    f"SURVEY.md cites {field} {num} but no committed "
+                    f"STREAMBENCH*.json op records that value")
+        # checks 2-3 scoped to the current §5d section
+        in_5d = False
+        for ln in survey.splitlines():
+            if ln.startswith("### "):
+                in_5d = ln.startswith("### §5d ")
+                continue
+            if not in_5d:
+                continue
+            exempt = ("→" in ln or "nbounded" in ln or "cache" in ln
+                      or "pre-final" in ln)
+            state_ctx = any(k in ln for k in
+                            ("state", "changelog", "on-disk", "reported"))
+            if state_ctx and not exempt:
+                mb_pool = stream_vals["state_bytes"] \
+                    | stream_vals["state_files_bytes"]
+                for m in re.finditer(r"(?<![\d.\-–])(\d+(?:\.\d+)?)\s*MB",
+                                     ln):
+                    mb = float(m.group(1))
+                    if not near(mb * 1e6, mb_pool):
+                        problems.append(
+                            f"SURVEY.md §5d quotes {m.group(1)} MB in state "
+                            f"context but no committed STREAMBENCH*.json "
+                            f"state_bytes/state_files_bytes is within 3% "
+                            f"(line: {ln.strip()[:70]}...)")
+            if "rows/s" in ln and not exempt:
+                for m in re.finditer(
+                        r"(?<![\d.\-–])(\d+(?:\.\d+)?)\s*([kM])\b", ln):
+                    rate = float(m.group(1)) * \
+                        (1e3 if m.group(2) == "k" else 1e6)
+                    if not near(rate, stream_vals["rows_per_sec"]):
+                        problems.append(
+                            f"SURVEY.md §5d quotes rate {m.group(0)} but no "
+                            f"committed STREAMBENCH*.json rows_per_sec is "
+                            f"within 3% (line: {ln.strip()[:70]}...)")
+
     for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_*.json"))):
         name = os.path.basename(path)
         if ROUND_HISTORY.search(name):
