@@ -165,6 +165,23 @@ object Bench {
     // training with per-probe cost below noise — now the train is an
     // explicit field and ms_per_probe reads serve cost. The top-level
     // build_sec stays q88's value for record compatibility.
+    // The coarse centroid model is SHARED between q45 and q88 (same
+    // Clustering.centroidsQuantized memo key: dir | ivfK(n) | 5), so
+    // whichever builder ran first used to absorb the whole train into
+    // its build_sec while the other memo-hit ~0 — a value that silently
+    // depended on builder order and on the selected subset (ADVICE
+    // r12). Time the shared train EXPLICITLY first: centroid_train_sec
+    // is its own field, and both builders' build_sec now consistently
+    // measure only their own work (q88: PQ codebooks + artifact write;
+    // q45: the memo probe) in any subset, in any order.
+    val sharesCentroidTrain = Set("q45_ann_ivf", "q88_ivfpq_probe")
+    val centroidTrainSec: Double =
+      if (selected.keySet.exists(sharesCentroidTrain)) {
+        val t0 = System.nanoTime()
+        try { graft.operators.Ann.ensureQ45Trained(spark, sfDir)
+              (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
+      } else -1.0
     val builders: Seq[(String, (SparkSession, String) => Unit)] = Seq(
       "q88_ivfpq_probe" ->
         ((s: SparkSession, d: String) => { graft.sources.IvfIndex.ensureQ88Built(s, d); () }),
@@ -322,8 +339,12 @@ object Bench {
     val skipped = skip.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_.median).sum
     val fullTotal = results.map(_.fullMedian).sum
+    val ctField =
+      if (centroidTrainSec >= 0)
+        s""","centroid_train_sec":${fmt(centroidTrainSec)}"""
+      else ""
     val summary =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"reps":$reps,"sf":"$sfDir","n_queries":${results.length},"build_sec":${fmt(buildSec)},"skipped":$skipped,"full_total":${fmt(fullTotal)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"reps":$reps,"sf":"$sfDir","n_queries":${results.length},"build_sec":${fmt(buildSec)}$ctField,"skipped":$skipped,"full_total":${fmt(fullTotal)}}"""
     println(summary)
     // raw copy on stderr too: sbt prefixes stdout with "[info] ", which
     // breaks line-oriented parsers; stderr passes through un-prefixed
@@ -348,8 +369,14 @@ object Bench {
       // reading is identifiable in the record instead of folklore
       val ceField =
         if (r.calibExtra > 0) s""","calib_extra":${r.calibExtra}""" else ""
+      // build_shared names the one-off cost this entry's build_sec
+      // deliberately EXCLUDES (timed once, record-level, as
+      // centroid_train_sec) so the split is readable from the entry
       val buildField = buildSecs.get(r.name)
-        .map(b => s""","build_sec":${fmt(b)}""").getOrElse("")
+        .map(b => s""","build_sec":${fmt(b)}""" + (
+          if (sharesCentroidTrain(r.name) && centroidTrainSec >= 0)
+            s""","build_shared":"centroid_train""""
+          else "")).getOrElse("")
       "\"" + r.name + "\":{\"median\":" + fmt(r.median) +
         ",\"min\":" + fmt(r.min) + ",\"max\":" + fmt(r.max) +
         ",\"full_median\":" + fmt(r.fullMedian) +
@@ -371,7 +398,7 @@ object Bench {
     val probeCapField =
       if (Probes.cap > 0) s""","probe_cap":${Probes.cap}""" else ""
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"sf":"$sfDir","n_queries":${results.length},"build_sec":${fmt(buildSec)},"skipped":$skipped,"full_total":${fmt(fullTotal)},"full_reps":$fullReps$probeCapField,"disk_free_gb_before":$diskFreeBefore,"disk_free_gb_after":$diskFreeGb,"loadavg_before":${fmtSeq(loadBefore)},"loadavg_after":${fmtSeq(loadAfter)},"calib_ms_before":${fmt(calibBefore)},"calib_ms_start":${fmt(calibStart)},"calib_ms_after":${fmt(calibAfter)},"calib_ms_worst":${fmt(calibWorst)},"warm_pass":$warm,"warm_skipped":${(if (warm) warmSkip.intersect(selected.keySet) else Set.empty[String]).toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"sf":"$sfDir","n_queries":${results.length},"build_sec":${fmt(buildSec)}$ctField,"skipped":$skipped,"full_total":${fmt(fullTotal)},"full_reps":$fullReps$probeCapField,"disk_free_gb_before":$diskFreeBefore,"disk_free_gb_after":$diskFreeGb,"loadavg_before":${fmtSeq(loadBefore)},"loadavg_after":${fmtSeq(loadAfter)},"calib_ms_before":${fmt(calibBefore)},"calib_ms_start":${fmt(calibStart)},"calib_ms_after":${fmt(calibAfter)},"calib_ms_worst":${fmt(calibWorst)},"warm_pass":$warm,"warm_skipped":${(if (warm) warmSkip.intersect(selected.keySet) else Set.empty[String]).toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (full + "\n").getBytes("UTF-8"))
     spark.stop()

@@ -138,10 +138,16 @@ object StreamBench {
           .write.mode("overwrite").parquet(f"$path/t$i%04d")
         // pin mtimes: slice i's files all stamp epoch + i seconds, so
         // mod-time ordering == slice ordering == event-time ordering,
-        // independent of how long each write took
+        // independent of how long each write took. setLastModified's
+        // return is CHECKED: on a filesystem that refuses the pin the
+        // deterministic-sequence guarantee would silently degrade to
+        // write-completion order — fail the protocol loudly instead
+        // (ADVICE r12 / VERDICT What's-wrong #4)
         val dir = new java.io.File(f"$path/t$i%04d")
         Option(dir.listFiles()).toSeq.flatten.foreach { f =>
-          f.setLastModified(1700000000000L + i * 1000L)
+          require(f.setLastModified(1700000000000L + i * 1000L),
+            s"mtime pin refused by the filesystem for $f — the " +
+            "deterministic micro-batch protocol cannot hold here")
         }
         i += 1
       }
@@ -174,26 +180,47 @@ object StreamBench {
         .option("maxFilesPerTrigger", filesPerTrigger).parquet(s"$path/t*")
     }
 
-    case class Res(name: String, rows: Long, wallSec: Double,
-      stateRows: Long, stateBytes: Long, stateFilesBytes: Long)
+    // PER-TAKE WALLS (r13, VERDICT item 7): the deterministic feed made
+    // the state marks bit-stable, but single-pass WALLS still swing
+    // ±17% between takes — a committed point rate carries no error bar,
+    // so round-over-round comparisons read ambient noise as change.
+    // Each op runs `takes` times from a fresh checkpoint (the identical
+    // micro-batch sequence every time); the record carries every wall
+    // (wall_secs), the median as the headline (wall_sec/rows_per_sec),
+    // and marks_stable — whether the end-of-feed state-row marks were
+    // bit-identical across takes, the determinism claim made checkable
+    // in the artifact itself instead of by a one-off A/B.
+    val takes = sys.env.getOrElse("SPARK_GRAFT_STREAM_TAKES", "3").toInt
+    require(takes >= 1, s"SPARK_GRAFT_STREAM_TAKES must be >= 1, got $takes")
+
+    case class Res(name: String, rows: Long, walls: Seq[Double],
+      stateRows: Long, stateBytes: Long, stateFilesBytes: Long,
+      marksStable: Boolean)
 
     def run(name: String, rows: Long)(build: DataFrame => DataFrame,
         in: String): Option[Res] = {
       if (!opsOnly.forall(_(name))) return None
       val cp = s"$root/cp-$name"
-      val q = build(stream(in))
-        .writeStream.format("noop")
-        .option("checkpointLocation", cp)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      val t0 = System.nanoTime()
-      q.awaitTermination()
-      val wall = (System.nanoTime() - t0) / 1e9
-      val st = Option(q.lastProgress).toSeq.flatMap(_.stateOperators.toSeq)
-      Some(Res(name, rows, wall, st.map(_.numRowsTotal).sum,
-        st.map(_.memoryUsedBytes).sum,
-        dirBytes(new java.io.File(s"$cp/state"))))
+      val onces = (1 to takes).map { _ =>
+        // fresh checkpoint per take: every take replays the identical
+        // deterministic micro-batch sequence from a clean state store
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cp))
+        val q = build(stream(in))
+          .writeStream.format("noop")
+          .option("checkpointLocation", cp)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        val t0 = System.nanoTime()
+        q.awaitTermination()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val st = Option(q.lastProgress).toSeq.flatMap(_.stateOperators.toSeq)
+        (wall, st.map(_.numRowsTotal).sum, st.map(_.memoryUsedBytes).sum,
+          dirBytes(new java.io.File(s"$cp/state")))
+      }
+      val last = onces.last
+      Some(Res(name, rows, onces.map(_._1), last._2, last._3, last._4,
+        onces.map(_._2).distinct.size == 1))
     }
 
     val results = Seq(
@@ -211,8 +238,12 @@ object StreamBench {
         df => StreamSessionize.windowedCounts(df), evIn)).flatten
 
     val js = results.map { r =>
-      s""""${r.name}":{"rows":${r.rows},"wall_sec":${fmt(r.wallSec)},""" +
-        s""""rows_per_sec":${fmt(r.rows / r.wallSec)},""" +
+      val sortedWalls = r.walls.sorted
+      val median = sortedWalls(sortedWalls.length / 2)
+      s""""${r.name}":{"rows":${r.rows},"wall_sec":${fmt(median)},""" +
+        s""""wall_secs":${r.walls.map(fmt).mkString("[", ",", "]")},""" +
+        s""""rows_per_sec":${fmt(r.rows / median)},""" +
+        s""""marks_stable":${r.marksStable},""" +
         s""""state_rows":${r.stateRows},"state_bytes":${r.stateBytes},""" +
         s""""state_files_bytes":${r.stateFilesBytes}}"""
     }.mkString("{", ",", "}")
@@ -220,7 +251,7 @@ object StreamBench {
     val calibAfter = LoadSentinel.calib3
     def fmtSeq(v: Seq[Double]): String = v.map(fmt).mkString("[", ",", "]")
     val line =
-      s"""{"metric":"stream_rows_per_sec","sf":"$sfDir","files_per_trigger":$filesPerTrigger,"n_slices":$nSlices,"n_slices_events":$nSlicesEvents,"state_store":"$stateStore","retain_batches":$retain,"ops":$js,"loadavg_before":${fmtSeq(loadBefore)},"loadavg_after":${fmtSeq(loadAfter)},"calib_ms_before":${fmt(calibBefore)},"calib_ms_after":${fmt(calibAfter)}}"""
+      s"""{"metric":"stream_rows_per_sec","sf":"$sfDir","files_per_trigger":$filesPerTrigger,"n_slices":$nSlices,"n_slices_events":$nSlicesEvents,"state_store":"$stateStore","retain_batches":$retain,"takes":$takes,"ops":$js,"loadavg_before":${fmtSeq(loadBefore)},"loadavg_after":${fmtSeq(loadAfter)},"calib_ms_before":${fmt(calibBefore)},"calib_ms_after":${fmt(calibAfter)}}"""
     println(line)
     System.err.println(line)
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),

@@ -163,22 +163,18 @@ object Clustering {
     * build_sec and the per-rep medians read serve latency (r11's
     * marginal/fixed split measured q45's sf100 wall as ~97 s of
     * training + per-probe cost below noise — the train WAS the
-    * number). Session-keyed like the q17/q18 gate memo: a fresh
-    * session re-trains, so on-disk corpus changes are picked up at
-    * session granularity. */
-  private val centroidsMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Long]]]()
-
+    * number). Stored in the WEAK per-session store
+    * (Sessions.sessionMemo, r13): a fresh session re-trains — the
+    * standing invalidation granularity for on-disk corpus changes —
+    * and a dropped session's models are collectable with it. */
   def centroidsQuantized(spark: SparkSession, dir: String, k: Int,
-      iters: Int): Array[Array[Long]] = {
-    val key = s"${graft.Sessions.sessionKey(spark)}|$dir|$k|$iters"
-    centroidsMemo.computeIfAbsent(key, _ => {
+      iters: Int): Array[Array[Long]] =
+    graft.Sessions.sessionMemo(spark, ("centroids", dir, k, iters)) {
       val vecs = quantizedVecs(spark, dir).persist()
       val cents = centroidsQuantizedOf(vecs, k, iters)
       vecs.unpersist(blocking = false)
       cents
-    })
-  }
+    }
 
   /** (vec_id, q) frame of quantized embeddings. */
   def quantizedVecs(spark: SparkSession, dir: String): DataFrame =

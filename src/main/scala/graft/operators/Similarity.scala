@@ -152,18 +152,19 @@ object Similarity {
     * q17 and q18 share the same gate, and within one session (a bench
     * rep loop, or a report computing both) the discovery aggregates —
     * one distinct-limit collect plus one corpus count pass — are
-    * identical, so re-running them buys nothing. A fresh JVM/session
+    * identical, so re-running them buys nothing. A fresh session
     * always re-probes, so data changed on disk is picked up at the
-    * same granularity the q88 index build already established. */
-  private[graft] val gateMemo = new java.util.concurrent.ConcurrentHashMap[
-    (String, String, Int, Long), GateProbe]()
+    * same granularity the q88 index build already established; stored
+    * in the WEAK per-session store (Sessions.sessionMemo, r13) so a
+    * dropped session's probes are collectable with it. */
+  private[graft] def gateKey(dir: String, maxVocab: Int): Any =
+    ("q17gate", dir, maxVocab, graft.Probes.cap)
 
   // The probe cap joins the key: fixed per JVM in real runs, but specs
   // toggle it via sys.props and must not inherit a stale probe count.
   private def gateProbe(spark: SparkSession, dir: String,
       maxVocab: Int): GateProbe =
-    gateMemo.computeIfAbsent(
-      (graft.Sessions.sessionKey(spark), dir, maxVocab, graft.Probes.cap), _ => {
+    graft.Sessions.sessionMemo(spark, gateKey(dir, maxVocab)) {
       val vocab = discoverVocab(spark, dir, maxVocab)
       if (vocab.length > maxVocab) GateProbe(vocab, None)
       else {
@@ -173,7 +174,7 @@ object Similarity {
           .head()
         GateProbe(vocab, Some((counts.getLong(0), counts.getLong(1))))
       }
-    })
+    }
 
   /** Adaptive default: probe the dictionary (the bounded collect
     * above — one metadata-scale job); a broadcast-sized dictionary

@@ -369,14 +369,16 @@ object TextAnalysis {
     * share the identical training computation, so within one session
     * the second caller gets the 5-row artifact for free; a fresh
     * session re-trains, which is the library's standing
-    * cache-invalidation granularity for on-disk data changes. */
-  private[graft] val mergeMemo = new java.util.concurrent.ConcurrentHashMap[
-    (String, String, Int), Seq[(Int, String, String, String, Long)]]()
+    * cache-invalidation granularity for on-disk data changes. Stored
+    * in the WEAK per-session store (Sessions.sessionMemo, r13) so a
+    * dropped session's merge logs are collectable with it. */
+  private[graft] def mergeKey(dir: String, rounds: Int): Any =
+    ("bpe", dir, rounds)
 
   private[graft] def bpeMerges(spark: SparkSession, dir: String,
       rounds: Int): Seq[(Int, String, String, String, Long)] =
-    mergeMemo.computeIfAbsent((graft.Sessions.sessionKey(spark), dir, rounds),
-      _ => trainBpeMerges(spark, dir, rounds))
+    graft.Sessions.sessionMemo(spark, mergeKey(dir, rounds))(
+      trainBpeMerges(spark, dir, rounds))
 
   private def trainBpeMerges(spark: SparkSession, dir: String,
       rounds: Int): Seq[(Int, String, String, String, Long)] = {

@@ -54,6 +54,13 @@ object StreamDedup {
     * is_near_dup. */
   def nearDedupStream(docs: DataFrame, horizon: String = "1 hour",
       nPerm: Int = 128, bands: Int = 32): DataFrame = {
+    // the packed claim reserves 6 low bits for the band id with tag 63
+    // for presence rows: a band count past 62 would collide with the
+    // tag (63) or overflow into hash bits (64+), silently mis-keying
+    // dedup state — fail loudly instead (ADVICE r12)
+    require(bands > 0 && bands < 63,
+      s"nearDedupStream supports 1..62 bands (6-bit claim tag, 63 " +
+      s"reserved for presence rows); got $bands")
     import org.apache.spark.sql.graftbridge.Bridge.{column => exprCol, expression}
     val bandHashes = exprCol(graft.functions.MinhashBandHashes(
       expression(col("tri")), nPerm, bands))

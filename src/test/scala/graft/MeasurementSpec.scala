@@ -100,27 +100,42 @@ class MeasurementSpec extends AnyFunSuite {
     // so a ratio that still shows up in the min is a real signal, not a
     // scheduling artifact. 8x-core spinners make the expected slowdown
     // ~8x; assert only 1.5x so ambient noise can't flip the test.
-    def min3: Double =
-      (1 to 3).map(_ => LoadSentinel.calibrationMs).min
-    val quiet = min3
-    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
-    val nThreads = Runtime.getRuntime.availableProcessors() * 8
-    val threads = (1 to nThreads).map { _ =>
-      val t = new Thread(() => {
-        var x = 1L
-        while (!stop.get()) { x = x * 6364136223846793005L + 1442695040888963407L }
-        if (x == 42L) println("spin sentinel")
-      })
-      t.setDaemon(true); t.start(); t
+    // SCHEDULER-DEPENDENT by nature (ADVICE r12): on a cgroup-throttled
+    // or already-loaded machine the quiet min can be inflated (or the
+    // spinners deprioritized), so one attempt can read under 1.5x with
+    // correct code. Retry once before failing — a genuine code
+    // regression (calibration not sensitive to load at all) fails both
+    // attempts; a scheduling artifact almost never repeats.
+    def attempt(): (Double, Double) = {
+      def min3: Double =
+        (1 to 3).map(_ => LoadSentinel.calibrationMs).min
+      val quiet = min3
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val nThreads = Runtime.getRuntime.availableProcessors() * 8
+      val threads = (1 to nThreads).map { _ =>
+        val t = new Thread(() => {
+          var x = 1L
+          while (!stop.get()) { x = x * 6364136223846793005L + 1442695040888963407L }
+          if (x == 42L) println("spin sentinel")
+        })
+        t.setDaemon(true); t.start(); t
+      }
+      try {
+        Thread.sleep(100) // let the scheduler saturate
+        (quiet, min3)
+      } finally {
+        stop.set(true)
+        threads.foreach(_.join(2000))
+      }
     }
-    try {
-      Thread.sleep(100) // let the scheduler saturate
-      val loaded = min3
-      assert(loaded > 1.5 * quiet,
-        s"calibration must flag load: quiet=$quiet ms loaded=$loaded ms")
-    } finally {
-      stop.set(true)
-      threads.foreach(_.join(2000))
+    val (q1, l1) = attempt()
+    if (l1 > 1.5 * q1) succeed
+    else {
+      Thread.sleep(500) // let any transient ambient load drain
+      val (q2, l2) = attempt()
+      assert(l2 > 1.5 * q2,
+        s"calibration must flag load (twice under threshold: " +
+          s"quiet=$q1/$q2 ms loaded=$l1/$l2 ms)")
     }
   }
 }

@@ -167,16 +167,18 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
   }
 
   test("q17/q18 gate discovery is memoized per (session, dir)") {
-    // the active probe cap joined the memo key in r10 (0 = uncapped)
-    val key = (graft.Sessions.sessionKey(spark), sfDir, 4096, graft.Probes.cap)
-    Similarity.gateMemo.remove(key)
+    // the active probe cap joined the memo key in r10 (0 = uncapped);
+    // since r13 memos live in the weak per-session store
+    val memo = graft.Sessions.memoMap(spark)
+    val key = Similarity.gateKey(sfDir, 4096)
+    memo.remove(key)
     val first = Similarity.q17CosineTopK(spark, sfDir).collect()
-    assert(Similarity.gateMemo.containsKey(key), "gate probe cached")
-    val cached = Similarity.gateMemo.get(key)
+    assert(memo.containsKey(key), "gate probe cached")
+    val cached = memo.get(key)
     // q18 shares the gate: same session+dir must reuse the same probe
     // object, not re-run the discovery aggregates
     Similarity.q18WeightedRecs(spark, sfDir).count()
-    assert(Similarity.gateMemo.get(key) eq cached,
+    assert(memo.get(key) eq cached,
       "q18 reused q17's cached gate probe")
     val second = Similarity.q17CosineTopK(spark, sfDir).collect()
     assert(first.map(_.toString).toSet === second.map(_.toString).toSet)

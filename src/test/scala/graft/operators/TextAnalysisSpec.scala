@@ -263,13 +263,15 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("q86/q89 share one memoized BPE training per (session, dir)") {
-    val key = (graft.Sessions.sessionKey(spark), sfDir, 5)
-    TextAnalysis.mergeMemo.remove(key)
+    // since r13 memos live in the weak per-session store
+    val memo = graft.Sessions.memoMap(spark)
+    val key = TextAnalysis.mergeKey(sfDir, 5)
+    memo.remove(key)
     TextAnalysis.q86Bpe(spark, sfDir).collect()
-    assert(TextAnalysis.mergeMemo.containsKey(key), "merge log cached")
-    val cached = TextAnalysis.mergeMemo.get(key)
+    assert(memo.containsKey(key), "merge log cached")
+    val cached = memo.get(key)
     TextAnalysis.q89BpeApply(spark, sfDir).count()
-    assert(TextAnalysis.mergeMemo.get(key) eq cached,
+    assert(memo.get(key) eq cached,
       "q89 reused q86's cached merge log")
   }
 

@@ -114,16 +114,16 @@ echo "== Bench at sf100 (single rep, scale-story subset) =="
 # single-rep count number is the warm kernel and the cold-vs-warm split
 # is the record's first_touch field instead of folklore (r10's q54 read
 # 210 s count vs 59 s full purely from memoized-build first-touch).
-# q53 is warm-exempt (never silent — rides in warm_skipped): its warm
-# pass would be a full untimed 20-min iterative recompute, and it has
-# no memoized state for first-touch to hide in. ITERLOG splits q53's
-# wall into sweep-block wait vs compute on stderr (the 28x attribution).
+# q53's warm exemption is RETIRED in r13: the self-join pair
+# derivation cut its recompute ~2.4x (sf10: 79 s -> 47 s), so the
+# untimed warm pass is affordable and the record finally carries a
+# warm count wall + first_touch for the one query that never had one.
+# ITERLOG still splits q53's wall into sweep-block wait vs compute.
 SPARK_GRAFT_SF_DIR="$PWD/$SF100" SPARK_GRAFT_CPUS=$CPUS \
   SPARK_GRAFT_BENCH_REPS=1 \
   SPARK_GRAFT_BENCH_ONLY=$BENCH_ONLY \
   SPARK_GRAFT_PROBE_CAP=4000 \
   SPARK_GRAFT_BENCH_WARM=1 \
-  SPARK_GRAFT_BENCH_WARM_SKIP=q53_pagerank \
   SPARK_GRAFT_ITERLOG=1 \
   SPARK_GRAFT_BENCH_OUT=BENCH_SF100.json \
   java $JOPTS -Xmx${SPARK_GRAFT_XMX:-80g} -cp "$CP" graft.Bench
