@@ -392,24 +392,53 @@ object Graph {
       new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), schema)
   }
 
+  /** Adjacency-broadcast budget (edges), derived from the JVM heap
+    * instead of a constant (r13; guide §2 "scale-adaptive, not a
+    * constant tuned for one mode"). Anchors, both MEASURED on this
+    * corpus family:
+    *  - heap/512 reproduces the long-proven 16M-edge budget at the 8 GB
+    *    dev/test JVM (where a 128M-edge broadcast was measured to
+    *    starve the adjacency build's execution memory —
+    *    AGGREGATE_OUT_OF_MEMORY — because TWO endpoint joins each hold
+    *    a copy of the relation next to the running aggregate);
+    *  - at the scale gates' 80 GB JVM the budget opens to ~156M edges,
+    *    which admits sf10's 120M-edge graph: the two resident
+    *    relations cost ~2-3 GB of an 80 GB heap while removing the
+    *    E^1.5 attached-array shuffle that dominates the shuffle-form
+    *    wall (same-VM A/B: sf1 130 s shuffled vs 32 s broadcast; sf10
+    *    at 80 GB, 620 s shuffled vs 375 s broadcast — the sf10 ratio
+    *    is smaller because the broadcast build itself pays a 120M-edge
+    *    collect and the intersect CPU is branch-invariant).
+    * The 256M-edge hard cap (~1 GB of int entries, ~2-3 GB resident
+    * per join) bounds the worst case on very large heaps — past it the
+    * shuffled equi-joins remain the formulation that holds at any
+    * scale (sf100's ~1.2B edges stay shuffled at every realistic
+    * heap). */
+  def defaultMaxBroadcastEdges: Long =
+    math.min(Runtime.getRuntime.maxMemory() / 512L, 256L * 1024 * 1024)
+
   /** The distributed plan behind q87 (pre-materialization), plus the
     * checkpointed intermediates the caller must release once the
     * bounded result is collected. Exposed for the plan-shape guards.
     *
     * maxBroadcastEdges gates HOW adj(s)/adj(d) reach each edge. The
-    * adjacency table is edge-count longs in total (each oriented edge
-    * appears in exactly one higher-list), so up to the budget it
-    * broadcasts (~8 B/edge; the 16M default is ~128 MB) and both
-    * endpoint joins become broadcast-hash probes of one resident map —
-    * no shuffle carries an edge row with a neighbor ARRAY attached.
-    * That attached-array volume is the real cost of the shuffle form:
-    * sum over edges of |adj(s)|+|adj(d)| = sum of squared higher-
-    * degrees, ~50x the edge table at sf1 (measured: the intersect
-    * stage fell 115 s -> 8 s at 12M edges). Past the budget the
-    * equi-joins shuffle — the formulation that holds at any scale. */
+    * adjacency table is edge-count entries in total (each oriented
+    * edge appears in exactly one higher-list), so up to the budget it
+    * broadcasts and both endpoint joins become broadcast-hash probes
+    * of one resident map — no shuffle carries an edge row with a
+    * neighbor ARRAY attached. That attached-array volume is the real
+    * cost of the shuffle form: sum over edges of |adj(s)|+|adj(d)| =
+    * sum of squared higher-degrees, ~50x the edge table at sf1
+    * (measured: the intersect stage fell 115 s -> 8 s at 12M edges).
+    * Past the budget the equi-joins shuffle — the formulation that
+    * holds at any scale. The default budget is heap-derived (see
+    * defaultMaxBroadcastEdges) so the same binary picks broadcast on a
+    * gate-sized JVM and shuffle on a small one; both branches produce
+    * bit-identical credits (integer counts over the identical
+    * triangle set — GraphSpec). */
   private[graft] def q87RankedPlan(
       spark: SparkSession, dir: String,
-      maxBroadcastEdges: Long = 16L * 1024 * 1024,
+      maxBroadcastEdges: Long = defaultMaxBroadcastEdges,
       forceWideIds: Boolean = false): (DataFrame, Seq[DataFrame]) = {
     // edge-sized but skinny (2 longs/row); checkpointed because three
     // consumers (degree, orientation, and the final readout join)

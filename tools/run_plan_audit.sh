@@ -29,14 +29,22 @@ echo "== plan audit at sf0.1 (documented: dense + broadcast) =="
 SPARK_GRAFT_CPUS=$CPUS java $JOPTS -Xmx16g -cp "$CP" \
   graft.GateAudit /root/testdata/sf0.1 PLANS_SF01.md dense broadcast
 
-echo "== plan audit at sf10 (documented: postings + shuffle) =="
+# r13: the q87 adjacency budget is heap-derived (Graph.
+# defaultMaxBroadcastEdges), so the audit must run at the SAME heap the
+# sf10 bench uses (run_sf10_bench.sh: 80g) to document the branch the
+# bench actually exercises: at 80g the 119.6M-edge sf10 graph fits the
+# ~156M-edge budget and both endpoint joins broadcast. The small-heap
+# shuffle fallback stays spec-proven (PlanQualitySpec, budget=0).
+echo "== plan audit at sf10 (documented: postings + broadcast at the 80g bench heap) =="
 [ -f testdata/sf10/_GRAFT_COMPLETE ] || python3 tools/gen_sf1.py /root/testdata/sf0.1 testdata/sf10 100
-SPARK_GRAFT_CPUS=$CPUS java $JOPTS -Xmx${SPARK_GRAFT_XMX:-48g} -cp "$CP" \
-  graft.GateAudit "$PWD/testdata/sf10" PLANS_SF10.md postings shuffle
+SPARK_GRAFT_CPUS=$CPUS java $JOPTS -Xmx${SPARK_GRAFT_XMX:-80g} -cp "$CP" \
+  graft.GateAudit "$PWD/testdata/sf10" PLANS_SF10.md postings broadcast
 
 if [ -f testdata/sf100/_GRAFT_COMPLETE ]; then
+  # sf100's ~1.2B-edge graph is past the budget at ANY heap (256M cap):
+  # the shuffled equi-joins remain the documented branch there.
   echo "== plan audit at sf100 (documented: postings + shuffle) =="
-  SPARK_GRAFT_CPUS=$CPUS java $JOPTS -Xmx${SPARK_GRAFT_XMX:-48g} -cp "$CP" \
+  SPARK_GRAFT_CPUS=$CPUS java $JOPTS -Xmx${SPARK_GRAFT_XMX:-80g} -cp "$CP" \
     graft.GateAudit "$PWD/testdata/sf100" PLANS_SF100.md postings shuffle
   echo "plan audit complete: PLANS_SF01.md PLANS_SF10.md PLANS_SF100.md"
 else
